@@ -1,0 +1,206 @@
+"""Join operators (SURVEY.md §2.5, J1-J7).
+
+The reference expresses joins as Cypher MATCH patterns executed by Neo4j
+(e.g. item->facility edge creation, src/etl/waste_items.py:404-413) and as
+Python set-membership tests (src/etl/waste_items.py:294-305). Here every
+join is a declarative DataFrame join: Catalyst + AQE pick broadcast vs
+sort-merge; constant-size dimensions (region=5, nation=25 rows at every SF)
+get explicit broadcast() hints so the plan stays shuffle-free on those axes
+even at 100 TB fact scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.numeric import dec
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+from graph_etl_pipeline_spark.queries._sql import REVENUE as _REVENUE_SQL, osum as _osum
+
+
+def _revenue(li: DataFrame) -> F.Column:
+    """Exact (decimal) per-row revenue — order-independent when summed."""
+    return dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: revenue per region via the 4-hop chain
+    lineitem→orders→customer→nation→region (J5) + group-agg (A3).
+
+    Direct analogue of the reference's "items per WasteStream" validation
+    query (reference: etl_implementation.md:249-251) — count/measure per
+    hub node reached over a fixed-length edge chain.
+    """
+    return join_four_hop_chain(spark, sf_dir)
+
+
+@register(
+    "join_four_hop_chain",
+    oracle=f"""
+    SELECT r_name,
+           {_osum(_REVENUE_SQL, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def join_four_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: 3-hop hierarchy traversal (reference: schema.cql:137-140
+    Container→Room→Building; Schema_Doku.pdf §7.2 decision-flow chains),
+    expressed as a chained equi-join over the star schema.
+
+    Scale design: the two big tables (lineitem⋈orders) sort-merge/shuffle
+    on orderkey; customer⋈nation⋈region are broadcast so the hierarchy
+    rollup adds ZERO extra shuffles; aggregation is partial (map-side) then
+    final on the 5 region keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.select("l_orderkey", _revenue_col(li))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _revenue_col(li: DataFrame):
+    return _revenue(li).alias("rev")
+
+
+@register(
+    "join_broadcast_inner",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {_osum("CAST(l_quantity AS DECIMAL(18,6))", "sum_qty")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join",),
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: key-equi inner join with an explicitly broadcast dimension
+    (reference: src/etl/waste_items.py:404-413 — item⋈facility on name,
+    facility side is 38 rows → broadcast, never shuffled)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: missing-match detection (reference: src/etl/waste_items.py:414-419
+    — facility MATCH returning no row logs a warning; anti-join semantics).
+    Customers that never placed an order."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: membership test (reference: src/etl/waste_items.py:294-305 —
+    `target_name in existing_facilities` set). Left-semi join keeps the
+    probe side unchanged and never duplicates rows."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@register(
+    "join_two_hop",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {_osum(_REVENUE_SQL, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "agg"),
+)
+def join_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: 1-hop-each-way pattern join (reference: etl_implementation.md:243-246
+    — `MATCH (w)-[r]->(target)` / reversed facility traversal): revenue by
+    market segment over lineitem→orders→customer."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.select("l_orderkey", _revenue_col(li))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_consistency_antijoin",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    tags=("join", "audit"),
+)
+def join_consistency_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: graph-consistency audit (reference: Schema_Doku.pdf §4.10 — "no
+    ALLOWS_AVV path ⇒ validation error"): nations that have customers but
+    no supplier coverage — a required-edge-missing anti-join."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_nationkey")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left_anti")
+        .join(c, F.col("n_nationkey") == c.c_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )

@@ -1,0 +1,51 @@
+"""SparkSession lifecycle.
+
+Replaces the reference's lazy singleton driver + ``session()`` context
+manager (reference: src/db/neo4j_db.py:58-91) with a memoized
+``SparkSession.builder.getOrCreate()`` tuned for the engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "graph-etl-pipeline-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Memoized session builder (getOrCreate).
+
+    Defaults are sized for the local[N] test/bench environment; on a real
+    cluster the same code runs unchanged — only master/shuffle settings
+    come from spark-submit instead.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", 2 * int(cpus)))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow for pandas_udf / mapInPandas batch transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def is_connected(spark: SparkSession) -> bool:
+    """Health check (reference: src/db/neo4j_db.py:108-120 verify_connectivity)."""
+    try:
+        return spark.range(1).count() == 1
+    except Exception:
+        return False
