@@ -1,4 +1,9 @@
 """Import every query module so its @register side effects populate the
 registry. Add new operator families here as they land."""
 
-from graph_etl_pipeline_spark.queries import joins  # noqa: F401
+from graph_etl_pipeline_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    windows,
+)

@@ -1,0 +1,180 @@
+"""Aggregation operators (SURVEY.md §2.6, A1-A6 + scalable extensions).
+
+The reference's aggregations are Neo4j count queries (per-label stats,
+src/db/neo4j_db.py:122-149) and Python counter loops
+(src/etl/waste_items.py:355-429). Here they are hash aggregations with
+map-side partial aggregation — the shuffle carries one row per (group ×
+partition), so a 100 TB scan reduces to KBs before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.numeric import davg, dec, dsum
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.queries._sql import REVENUE, oavg, osum, sdec
+from graph_etl_pipeline_spark.registry import register
+
+
+@register(
+    "agg_count_by_label",
+    oracle="""
+    SELECT event_type AS label, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_count_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S9: per-label node counts (reference: src/db/neo4j_db.py:129-143
+    — `CALL db.labels()` + per-label count loop). One hash aggregation
+    replaces the reference's 1+N round-trip pattern."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(ev.event_type.alias("label")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_global_count",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("agg",),
+)
+def agg_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global relationship/node count (reference: src/db/neo4j_db.py:142-148
+    — `MATCH ()-[r]->() RETURN count(r)`)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "agg_group_topn",
+    oracle=f"""
+    SELECT n_name,
+           {osum(REVENUE, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "join"),
+)
+def agg_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: group-count with ordering (reference: etl_implementation.md:249-251
+    — items per WasteStream ORDER BY count DESC): revenue per nation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))).alias("rev")
+    return (
+        li.select("l_orderkey", rev)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "agg_topk",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("agg",),
+)
+def agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: top-K after aggregation (reference: etl_implementation.md:253-257
+    — top-10 most-connected facilities). The deterministic tie-break on
+    the key makes the result hash-stable; Catalyst plans this as
+    TakeOrderedAndProject (no global sort — each partition keeps its local
+    top-10, the driver merges)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "agg_multi_counter",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum(sdec('l_quantity'), "sum_qty")},
+           {osum(sdec('l_extendedprice'), "sum_base_price")},
+           {osum(REVENUE, "sum_disc_price")},
+           {oavg(sdec('l_quantity'), "avg_qty")},
+           COUNT(*) AS count_order,
+           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_big_discount
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_multi_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: multi-counter single-pass statistics (reference:
+    src/etl/waste_items.py:355-429 — items_loaded / created / streams /
+    relationships counted in one import pass). TPC-H Q1 shape: every
+    counter is one conditional aggregate in a single scan."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(rev).cast("double").alias("sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(F.when(li.l_discount > 0.05, 1).otherwise(0)).alias("n_big_discount"),
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type) AS n_distinct_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct-set accumulation (reference: src/etl/waste_items.py:330-345
+    — dry-run gathers `streams_needed` / `unmatched_facilities` sets).
+    Sorted before serialization so the value is deterministic (collect_set
+    order is partition-dependent)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+        F.countDistinct("event_type").alias("n_distinct_types"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; exact-count parity is
+    # asserted in tests/test_aggregates.py instead (±5%).
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable variant of A6 (SURVEY §2.6 note): approx_count_distinct is
+    the 100 TB replacement for exact distinct sets — constant memory per
+    group (HLL++ sketch) instead of a shuffle of every distinct value."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

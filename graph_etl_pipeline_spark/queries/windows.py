@@ -1,0 +1,180 @@
+"""Window / ordered-pattern operators (SURVEY.md §2.7 O3+O5, §2.9 T1/T4
+batch-checkable forms).
+
+The reference's only ordered-per-group logic is "first entry wins" dedup
+(src/etl/facilities.py:67-69); the driver's `events` table extends the
+surface to ranking, lag/running aggregates, tumbling windows, and
+sessionization. All ordering keys carry an explicit unique tie-break so
+results are hash-deterministic — at any scale, a window without a total
+order is a nondeterminism bug, not a performance choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.numeric import dec
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.queries._sql import osum, sdec
+from graph_etl_pipeline_spark.registry import register
+
+
+@register(
+    "win_row_number_dedup",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rn
+        FROM customer
+    )
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+)
+def win_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: keep-one-row-per-group (reference: src/etl/facilities.py:67-69 —
+    first-seen facility wins per name). row_number over an explicit
+    deterministic ordering replaces the reference's implicit file order:
+    richest customer per nation, key tie-break."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_lag_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           CAST(CAST(SUM({sdec('value')}) OVER w AS VARCHAR) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window",),
+)
+def win_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: per-group ordered patterns — lag + running sum over the event
+    stream (SURVEY §2.7; no reference analogue, driver-mandated). The
+    running sum is an exact decimal so the prefix values are
+    order-of-evaluation independent."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(wlag).alias("prev_value"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "win_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {osum(sdec('value'), "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "streaming"),
+)
+def win_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling-window aggregation (SURVEY §2.9 — the streaming
+    surface's batch-checkable form; the same groupBy(window(...)) plan runs
+    under Structured Streaming in
+    graph_etl_pipeline_spark.streaming.jobs)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "win_session_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           {osum(sdec('value'), "session_value")}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming"),
+)
+def win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: sessionization, batch form (SURVEY §2.9 — gap-based sessions;
+    the streaming twin uses session_window in streaming/jobs.py). Classic
+    gaps-and-islands: flag gap starts with lag, prefix-sum the flags into
+    session ids, aggregate per session. Gap compare is integer
+    microseconds so both engines agree exactly."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    new_session = (
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session")
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "value", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+    )
