@@ -1,0 +1,99 @@
+"""Labeled property graph over DataFrames (SURVEY.md §1.5).
+
+The reference's data model is a Neo4j property graph (schema.cql:17-142).
+The engine represents it as the GraphX/GraphFrames vertex-edge
+decomposition: ``vertices(uid, label, name, ...)`` and
+``edges(src_uid, dst_uid, rel_type, ...)`` DataFrames. Cypher MATCH
+patterns become self-joins over the edges table; variable-length paths
+become a bounded iterative frontier loop (Pregel analogue in DataFrames,
+no custom Catalyst rules).
+
+Scale notes: the edges table is the single large fact — partition/bucket
+it by src_uid (and keep a dst-sorted copy for reverse traversal at real
+scale); per-hop joins then co-locate. Frontiers stay (uid, root) pairs —
+never collected to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PropertyGraph:
+    vertices: DataFrame  # uid, label, name, ...
+    edges: DataFrame  # src_uid, dst_uid, rel_type, ...
+
+    def label_counts(self) -> DataFrame:
+        """Per-label node counts (reference: src/db/neo4j_db.py:129-143)."""
+        return self.vertices.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+    def edge_type_counts(self) -> DataFrame:
+        """Per-type relationship counts (reference: src/db/neo4j_db.py:142-148)."""
+        return self.edges.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def hop(
+        self,
+        frontier: DataFrame,
+        rel_types: tuple[str, ...] | None = None,
+        direction: str = "out",
+    ) -> DataFrame:
+        """One traversal step: frontier(uid, root) → neighbors(uid, root).
+
+        `direction='out'` follows src→dst; `'in'` follows dst→src (the
+        reversed patterns in reference etl_implementation.md:253-257)."""
+        e = self.edges
+        if rel_types:
+            e = e.filter(e.rel_type.isin(*rel_types))
+        here, there = ("src_uid", "dst_uid") if direction == "out" else ("dst_uid", "src_uid")
+        return (
+            frontier.join(e, frontier.uid == e[here])
+            .select(e[there].alias("uid"), "root")
+            .distinct()
+        )
+
+    def reachable(
+        self,
+        roots: DataFrame,
+        rel_types: tuple[str, ...] | None = None,
+        direction: str = "out",
+        max_depth: int = 3,
+        checkpoint: bool = True,
+    ) -> DataFrame:
+        """Bounded variable-length traversal (J6 — reference schema.cql:122
+        AVV HAS_PARENT chains, Schema_Doku.pdf §6 NEXT_CHECK chains;
+        hierarchies in the reference are ≤3 deep).
+
+        roots: (uid, root) seed pairs. Returns every (uid, root) reached
+        within max_depth hops, roots included. Each iteration is one
+        distributed join; localCheckpoint truncates the growing lineage so
+        plan size stays constant (SURVEY §7 risk list). The early-exit
+        isEmpty() is one cheap job per level and stops at the graph's true
+        diameter instead of always paying max_depth joins."""
+        visited = roots
+        frontier = roots
+        for _ in range(max_depth):
+            nxt = (
+                self.hop(frontier, rel_types, direction)
+                .join(visited, ["uid", "root"], "left_anti")
+            )
+            if checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return visited
+
+    def orphans(self, label: str, rel_types: tuple[str, ...], direction: str = "in") -> DataFrame:
+        """Nodes of `label` missing a required incident edge (reference:
+        etl_implementation.md:238 — WasteItems with no DISPOSED_IN |
+        DISPOSED_AT edge). Anti-join against the relevant edge endpoint."""
+        e = self.edges.filter(self.edges.rel_type.isin(*rel_types))
+        endpoint = "dst_uid" if direction == "in" else "src_uid"
+        return self.vertices.filter(self.vertices.label == label).join(
+            e, self.vertices.uid == e[endpoint], "left_anti"
+        )

@@ -3,7 +3,11 @@ registry. Add new operator families here as they land."""
 
 from graph_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
+    cleaning,
+    graph_queries,
     joins,
     relational,
+    sinks,
+    sources,
     windows,
 )

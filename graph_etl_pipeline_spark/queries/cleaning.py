@@ -1,0 +1,69 @@
+"""Deduplication / entity-resolution operators (SURVEY.md §2.4 D1-D2) —
+the reference's core competency, re-expressed set-orientedly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup (reference: src/etl/waste_items.py:171 —
+    list(set(targets))). Formulated as min-per-group instead of
+    dropDuplicates so the surviving representative is deterministic —
+    dropDuplicates keeps an arbitrary row, which is a hidden
+    nondeterminism at any scale."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("first_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_merge_most_complete",
+    oracle="""
+    WITH sparse AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS lang_s
+        FROM documents
+    )
+    SELECT source,
+           min_by(lang_s, doc_id) FILTER (WHERE lang_s <> '') AS first_lang,
+           COUNT(*) AS n_records,
+           SUM(CASE WHEN lang_s <> '' THEN 1 ELSE 0 END) AS n_filled
+    FROM sparse
+    GROUP BY source
+    """,
+    tags=("dedup", "er"),
+)
+def dedup_merge_most_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: group-dedup keeping the most complete record (reference:
+    src/etl/facilities.py:59-76 — first entry wins, later entries fill
+    only empty fields). The reference's "first" is implicit file order;
+    the engine makes the ordering column explicit (doc_id — SURVEY §7
+    risk list) and uses min_by with an emptiness filter: the earliest
+    non-empty value per group wins, exactly the prefer-non-empty fill."""
+    d = table(spark, sf_dir, "documents")
+    sparse = d.select(
+        "doc_id",
+        "source",
+        F.when(d.doc_id % 3 == 0, "").otherwise(d.lang).alias("lang_s"),
+    )
+    return sparse.groupBy("source").agg(
+        F.expr("min_by(lang_s, doc_id) FILTER (WHERE lang_s <> '')").alias("first_lang"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(F.col("lang_s") != "", 1).otherwise(0)).alias("n_filled"),
+    )

@@ -1,0 +1,159 @@
+"""Upsert-sink operators as oracle-checkable queries (SURVEY.md §2.1
+S4-S6). Each applies the engine's set-oriented merge TWICE with the same
+incoming batch inside one plan — so the oracle comparison itself proves
+idempotency (the reference's core correctness property, CLAUDE.md:80)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+from graph_etl_pipeline_spark.sinks.upsert import merge_upsert, upsert_edges
+
+_INCOMING_SQL = """
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 1000 AS c_acctbal,
+               'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000,
+               'Customer#new' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 17 = 0
+"""
+
+
+def _incoming_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic update batch derived from the data itself:
+    every 10th customer gets updated, every 17th spawns a new row."""
+    c = table(spark, sf_dir, "customer")
+    updates = c.filter(c.c_custkey % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (c.c_acctbal + 1000).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = c.filter(c.c_custkey % 17 == 0).select(
+        (c.c_custkey + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), c.c_custkey.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+@register(
+    "sink_upsert_node",
+    oracle=f"""
+    WITH incoming AS ({_INCOMING_SQL})
+    SELECT COALESCE(i.c_custkey, e.c_custkey) AS c_custkey,
+           COALESCE(i.c_name, e.c_name) AS c_name,
+           COALESCE(i.c_nationkey, e.c_nationkey) AS c_nationkey,
+           COALESCE(i.c_acctbal, e.c_acctbal) AS c_acctbal,
+           COALESCE(i.c_mktsegment, e.c_mktsegment) AS c_mktsegment
+    FROM customer e FULL OUTER JOIN incoming i ON e.c_custkey = i.c_custkey
+    """,
+    tags=("sink", "upsert"),
+)
+def sink_upsert_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: idempotent node upsert (reference: src/etl/waste_items.py:366-373
+    — MERGE node ON CREATE/ON MATCH). Applied twice with the same batch;
+    matching the single-application oracle proves MERGE idempotency
+    set-orientedly."""
+    existing = table(spark, sf_dir, "customer")
+    incoming = _incoming_customers(spark, sf_dir)
+    once = merge_upsert(existing, incoming, keys=["c_custkey"])
+    twice = merge_upsert(once, incoming, keys=["c_custkey"])
+    return twice
+
+
+@register(
+    "sink_merge_prefer_nonempty",
+    oracle="""
+    WITH incoming AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'updated:' || source END AS source,
+               lang
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+    )
+    SELECT e.doc_id,
+           e.lang,
+           CASE WHEN i.doc_id IS NOT NULL AND i.source <> '' THEN i.source
+                ELSE e.source END AS source,
+           e.n_chars
+    FROM documents e LEFT JOIN incoming i ON e.doc_id = i.doc_id
+    """,
+    tags=("sink", "upsert"),
+)
+def sink_merge_prefer_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: conditional-overwrite upsert (reference: src/etl/facilities.py:119-125
+    — ``ON MATCH SET f.address = CASE WHEN $address <> '' THEN $address
+    ELSE f.address END``). Incoming empty strings must NOT clobber existing
+    values: doc_id%3==0 rows carry source='' (preserved), %3==1 rows carry
+    a real update (applied)."""
+    d = table(spark, sf_dir, "documents")
+    incoming = d.filter(d.doc_id % 3 < 2).select(
+        "doc_id",
+        F.when(d.doc_id % 3 == 0, "")
+        .otherwise(F.concat(F.lit("updated:"), d.source))
+        .alias("source"),
+        "lang",
+    )
+    merged = merge_upsert(
+        d.select("doc_id", "lang", "source", "n_chars"),
+        incoming,
+        keys=["doc_id"],
+        prefer_nonempty_cols=["source"],
+    )
+    return merge_upsert(merged, incoming, keys=["doc_id"], prefer_nonempty_cols=["source"])
+
+
+@register(
+    "sink_upsert_edge",
+    oracle="""
+    SELECT rel_type, COUNT(*) AS n_edges,
+           COUNT(DISTINCT src_uid) AS n_src,
+           COUNT(DISTINCT dst_uid) AS n_dst
+    FROM (
+        SELECT DISTINCT 'PLACED' AS rel_type,
+               CAST(o_custkey AS VARCHAR) AS src_uid,
+               CAST(o_orderkey AS VARCHAR) AS dst_uid
+        FROM orders
+        UNION ALL
+        SELECT DISTINCT 'CONTAINS' AS rel_type,
+               CAST(l_orderkey AS VARCHAR) AS src_uid,
+               CAST(l_partkey AS VARCHAR) AS dst_uid
+        FROM lineitem
+    )
+    GROUP BY rel_type
+    """,
+    tags=("sink", "upsert", "graph"),
+)
+def sink_upsert_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: idempotent edge upsert (reference: src/etl/waste_items.py:383-396
+    — MERGE relationship). Feeds the same edge batch in twice (plus
+    genuine duplicates from lineitem's multi-row orders); the dedup on
+    (src, dst, rel_type) makes re-runs no-ops."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    placed = o.select(
+        F.lit("PLACED").alias("rel_type"),
+        o.o_custkey.cast("string").alias("src_uid"),
+        o.o_orderkey.cast("string").alias("dst_uid"),
+    )
+    contains = li.select(
+        F.lit("CONTAINS").alias("rel_type"),
+        li.l_orderkey.cast("string").alias("src_uid"),
+        li.l_partkey.cast("string").alias("dst_uid"),
+    )
+    edges = upsert_edges(placed, contains)
+    edges = upsert_edges(edges, placed)  # re-run: must be a no-op
+    return edges.groupBy("rel_type").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src_uid").alias("n_src"),
+        F.countDistinct("dst_uid").alias("n_dst"),
+    )
