@@ -1,0 +1,42 @@
+"""Text tokenization / shingling expressions (LLM-pipeline operators).
+
+All built-in higher-order array functions — codegen'd JVM expressions, no
+Python in the hot path. The SQL twins of these expressions live next to
+each query's oracle so both engines compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_tokens(c: Column | str) -> Column:
+    """lowercase, collapse whitespace, split — the canonical token list."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " ")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; short docs fall back to one whole-doc
+    shingle so every document has a non-empty set."""
+    make = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return F.when(F.size(toks) >= k, make).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# SQL twins (DuckDB dialect), used to build oracle strings.
+SQL_TOKS = r"string_split(regexp_replace(lower({col}), '\s+', ' ', 'g'), ' ')"
+
+
+def sql_shingles(toks: str, k: int = 3) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct([array_to_string({toks}[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({toks})-{k - 1})]) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )

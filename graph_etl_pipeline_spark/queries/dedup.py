@@ -1,0 +1,311 @@
+"""Large-scale document deduplication (SURVEY.md §2.4 D5 — driver-mandated
+LLM-data-pipeline operators; reference analogue is the exact-dedup /
+entity-resolution layer in src/etl/waste_items.py:171 and facilities.py:59-76,
+scaled from 548 rows to web-corpus sizes).
+
+Design for 100 TB: every algorithm here is shuffle-bounded by DESIGN —
+  * exact: one hash aggregation on a 16-byte fingerprint, never on raw text;
+  * MinHash+LSH: per-doc signatures (map-side), candidate generation joins
+    on short band signatures (the only shuffle is doc_id×band rows),
+    verification touches only candidate pairs — never the n² cross join;
+  * SimHash: per-doc 16-bit signature via one aggregation, near-dup
+    groups = equal signatures (exchange carries doc_id + 2 bytes);
+  * n-gram Jaccard: inverted-index join on distinct shingles with a
+    pair-count aggregation — cost scales with shared-shingle pairs, not n².
+
+Hash functions are md5-based so the DuckDB oracle can replay them exactly
+(lexicographic MIN over seeded md5 hex = a valid min-hash permutation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, shingles, sql_shingles
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+N_HASHES = 8
+N_BANDS = 4  # 4 bands × 2 rows: P(candidate) ≈ 1-(1-j²)⁴ — 0.93 at j=0.8
+JACCARD_THRESHOLD = 0.5
+
+_SQL_SHINGLE_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    ),
+    doc_shingles AS (
+        SELECT doc_id, {sql_shingles("t")} AS shingles FROM toks
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS s FROM doc_shingles
+    )
+"""
+
+_SQL_MINHASH = ",\n           ".join(
+    f"min(md5('{i}:' || s)) AS mh{i}" for i in range(N_HASHES)
+)
+_SQL_BANDS = ",\n           ".join(
+    f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles"))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → N_BANDS md5 band signatures (2 min-hashes per band)."""
+    ex = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    mhs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return mhs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    mhs AS (
+        SELECT doc_id,
+           {_SQL_MINHASH}
+        FROM exploded GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {_SQL_BANDS}
+    FROM mhs
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation: shingle → 8 seeded min-hashes → 4 LSH
+    band signatures per document. Pure map-side + one aggregation; the
+    signature table is what ships to the band join at scale (signatures
+    are ~128 bytes/doc regardless of document size)."""
+    return _minhash_signatures(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    mhs AS (
+        SELECT doc_id, {_SQL_MINHASH} FROM exploded GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, {_SQL_BANDS} FROM mhs
+    ),
+    unpivoted AS (
+        {" UNION ALL ".join(f"SELECT doc_id, 'b{b}' AS band, band{b} AS sig FROM bands" for b in range(N_BANDS))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM unpivoted a JOIN unpivoted b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    pair_stats AS (
+        SELECT c.doc_a, c.doc_b,
+               COUNT(*) AS n_inter,
+               ANY_VALUE(la.n_sh) AS n_a,
+               ANY_VALUE(lb.n_sh) AS n_b
+        FROM candidates c
+        JOIN exploded ea ON ea.doc_id = c.doc_a
+        JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+        JOIN (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles) la ON la.doc_id = c.doc_a
+        JOIN (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles) lb ON lb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+    FROM pair_stats
+    WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → band-bucket join
+    for candidates → exact-Jaccard verification of candidates only.
+    The verification join is inverted-index shaped (explode distinct
+    shingles, join on shingle restricted to candidate pairs) so no
+    document pair outside the LSH buckets is ever compared."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    unpivoted = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    a, b = unpivoted.alias("a"), unpivoted.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ds = _doc_shingles(spark, sf_dir)
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
+
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    inter = (
+        candidates.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    ),
+    doc_shingles AS (
+        SELECT doc_id, {sql_shingles("t", k=5)} AS shingles FROM toks
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS s FROM doc_shingles
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM exploded a JOIN exploded b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup detection via inverted-index join:
+    5-word shingles are rare enough that unrelated documents almost never
+    share one, so the shingle-equality join IS the candidate generator
+    (cost ∝ true collisions, not n²). With a small-vocabulary corpus use
+    the MinHash path instead — this is the high-precision verifier."""
+    d = table(spark, sf_dir, "documents")
+    ds = d.select("doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles"))
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash -----------------------------------------------------------
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _sql_simhash_bit(j: int) -> str:
+    """SQL for bit j's signed vote: hex digit j//4 of md5(token), bit j%4."""
+    digit = f"(strpos('{_HEX}', substr(md5(tok), {1 + j // 4}, 1)) - 1)"
+    bit = f"(({digit} // {2 ** (3 - j % 4)}) % 2)"
+    return f"SUM(2 * {bit} - 1)"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKS.format(col="text")}) AS tok FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {",".join(f"{_sql_simhash_bit(j)} AS v{j}" for j in range(SIMHASH_BITS))}
+        FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {" || ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS))} AS simhash
+        FROM votes
+    )
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS n_same_sig
+    FROM sigs
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprinting: each token votes ±1 on each of 16
+    signature bits (bit source: md5 of the token); the sign of the summed
+    votes is the bit. Near-identical documents land on equal (or
+    Hamming-close) signatures, so dedup is a groupBy on a 2-byte value —
+    the cheapest of the near-dup family at scale."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("tok"))
+    digit_of = lambda j: (
+        F.instr(F.lit(_HEX), F.substring(F.md5("tok"), 1 + j // 4, 1)) - 1
+    )
+    bit_of = lambda j: F.floor(digit_of(j) / F.lit(2 ** (3 - j % 4))) % 2
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(2 * bit_of(j) - 1).alias(f"v{j}") for j in range(SIMHASH_BITS)]
+    )
+    sig = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    ).alias("simhash")
+    from pyspark.sql import Window
+
+    sigs = votes.select("doc_id", sig)
+    return sigs.withColumn(
+        "n_same_sig", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )

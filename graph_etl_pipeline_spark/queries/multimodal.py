@@ -1,0 +1,102 @@
+"""Multimodal-column operators (driver north-star: image/audio/video as
+opaque binary columns with typed metadata).
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake behind the same interface a real decoder would use
+(see graph_etl_pipeline_spark.multimodal.decode). What IS real and tested
+here: the binary column representation, the metadata struct schema, the
+Arrow-batched mapInPandas plumbing (batch iterator in/out, schema
+declared up front), and the partition behavior — exactly the pieces that
+matter at 100 TB, where the decode UDF is swapped for PIL/ffmpeg and the
+plan around it is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+FEATURE_SCHEMA = "doc_id bigint, blob_len int, head_byte int, tail_byte int, checksum bigint"
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The 'decoder': consumes (doc_id, blob) Arrow batches, emits feature
+    rows. Deterministic fake features — a real deployment replaces the
+    body with PIL/torchvision/ffmpeg calls; signature, schema, and batch
+    shape stay identical."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "blob_len": blobs.map(len),
+                "head_byte": blobs.map(lambda b: b[0] if len(b) else -1),
+                "tail_byte": blobs.map(lambda b: b[-1] if len(b) else -1),
+                "checksum": blobs.map(lambda b: sum(b) % 2_147_483_647),
+            }
+        )
+
+
+@register(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS blob_len,
+           ascii(substr(text, 1, 1)) AS head_byte,
+           ascii(substr(text, length(text), 1)) AS tail_byte,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> a + b) % 2147483647 AS BIGINT) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "udf"),
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: text bytes stand in for an opaque
+    media blob (UTF-8 cast — the oracle recomputes the same features from
+    the string side, proving the bytes survive the Arrow round-trip
+    exactly). mapInPandas = per-partition batch iterator, the pattern for
+    any decoder that needs Python libraries."""
+    d = table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode(d.text, "UTF-8").alias("blob"))
+    return blobs.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "mm_metadata_struct",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           lang AS meta_lang,
+           octet_length(CAST(text AS BLOB)) > 256 AS is_large
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def mm_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata travelling beside the opaque blob: a struct column
+    (mime, n_bytes, lang) built at ingest, then projected/filtered WITHOUT
+    touching blob bytes — the scan reads only the metadata sub-columns
+    (columnar pruning is what makes 100 TB of media browsable)."""
+    d = table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.length(F.encode(d.text, "UTF-8")).cast("bigint").alias("n_bytes"),
+        d.lang.alias("meta_lang"),
+    )
+    enriched = d.select("doc_id", F.encode(d.text, "UTF-8").alias("blob"), meta.alias("meta"))
+    return enriched.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.meta_lang").alias("meta_lang"),
+        (F.col("meta.n_bytes") > 256).alias("is_large"),
+    )

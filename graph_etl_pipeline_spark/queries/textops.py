@@ -1,0 +1,214 @@
+"""Text-analysis operators (driver north-star: language-ID, quality
+scoring, token counting, document fingerprinting over `documents`).
+
+Reference analogue: the per-record string heuristics of
+src/etl/waste_items.py (validity scoring :72-120, pattern extraction
+:174-237) — generalized to corpus-scale text statistics. Everything is
+built-in expressions (codegen); ratios divide exact integers so doubles
+are reproducible bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+# Tiny per-language stopword profiles (n-gram heuristic stand-in; a real
+# deployment swaps in fastText/CLD3 via the multimodal pandas-UDF path).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "los", "y", "que"),
+    "fr": ("le", "les", "et", "une", "est"),
+}
+MOD = 2_147_483_647  # 2^31-1, keeps the rolling hash in exact int64 range
+
+
+def _score(toks, words: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_score(toks: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_declared,
+               {", ".join(f"{_sql_score(SQL_TOKS.format(col='text'), ws)} AS s_{lang}" for lang, ws in LANG_PROFILES.items())}
+        FROM documents
+    )
+    SELECT doc_id, lang_declared,
+           CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           s_en AS score_en
+    FROM scored
+    """,
+    tags=("text", "llm"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-profile scoring: count hits per
+    language profile, argmax with a fixed alphabetical preference order so
+    ties are deterministic. Scores are exact integers — no fp in the
+    decision path."""
+    d = table(spark, sf_dir, "documents")
+    toks = norm_tokens(d.text)
+    scores = {lang: _score(toks, ws) for lang, ws in LANG_PROFILES.items()}
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
+    pred = (
+        F.when(sum(s.values()) == 0, "und")
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select(
+            "doc_id",
+            d.lang.alias("lang_declared"),
+            *[scores[lang].alias(f"s_{lang}") for lang in LANG_PROFILES],
+        )
+        .select(
+            "doc_id",
+            "lang_declared",
+            pred.alias("lang_pred"),
+            F.col("s_en").alias("score_en"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               len({SQL_TOKS.format(col="text")}) AS n_tokens,
+               length(text) AS n_chars_actual,
+               {_sql_score(SQL_TOKS.format(col="text"), LANG_PROFILES["en"])} AS n_stop,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_chars_actual AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE) AS punct_ratio,
+           0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE))
+             AS quality
+    FROM stats
+    """,
+    tags=("text", "llm"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length band, stopword density, punctuation
+    ratio — the classic pretraining-corpus filters, cf. C4/Gopher rules).
+    The score combines integer-derived doubles with one fixed expression
+    tree, so both engines produce identical bits."""
+    d = table(spark, sf_dir, "documents")
+    toks = norm_tokens(d.text)
+    stats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(d.text).alias("n_chars_actual"),
+        _score(toks, LANG_PROFILES["en"]).alias("n_stop"),
+        F.size(F.regexp_extract_all(d.text, F.lit("[^a-z0-9 ]"), 0)).alias("n_punct"),
+    )
+    tokd = F.col("n_tokens").cast("double")
+    chard = F.col("n_chars_actual").cast("double")
+    stopr = F.col("n_stop").cast("double") / tokd
+    punctr = F.col("n_punct").cast("double") / chard
+    in_band = F.when(F.col("n_tokens").between(20, 1000), 1.0).otherwise(0.0)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        (chard / tokd).alias("avg_token_len"),
+        stopr.alias("stopword_ratio"),
+        punctr.alias("punct_ratio"),
+        (0.5 * stopr + 0.3 * in_band + 0.2 * (1.0 - punctr)).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({SQL_TOKS.format(col="text")}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish,
+           n_chars
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish lexer regex
+    (letter runs | digit runs | single symbols) — the cheap proxy used to
+    budget LLM training tokens before running a real tokenizer."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(norm_tokens(d.text)).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(d.text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_ish"),
+        "n_chars",
+    )
+
+
+_SQL_TOKHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {MOD})"
+)
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tokhashes AS (
+        SELECT doc_id, {_SQL_TOKHASH} AS th
+        FROM (
+            SELECT doc_id, unnest({SQL_TOKS.format(col="text")}) AS tok
+            FROM documents
+        )
+    ),
+    hashlists AS (
+        SELECT doc_id, list(th ORDER BY th) AS ths FROM tokhashes GROUP BY doc_id
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), ths),
+                       (a, b) -> (a * 131 + b) % {MOD}) AS fingerprint
+    FROM hashlists
+    """,
+    tags=("text", "llm"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: per-token polynomial hash over
+    character codes, then an order-independent doc hash (tokens sorted
+    before the outer roll, so shingle order/partitioning can't change the
+    fingerprint). Pure int64 modular arithmetic — exact everywhere."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("tok"))
+    codes = F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long"))
+    th = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, b: (a * 31 + b) % MOD
+    ).alias("th")
+    hashlists = (
+        tok.select("doc_id", th)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("th")).alias("ths"))
+    )
+    fp = F.aggregate(
+        F.col("ths"), F.lit(0).cast("long"), lambda a, b: (a * 131 + b) % MOD
+    )
+    return hashlists.select("doc_id", fp.alias("fingerprint"))
