@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end (collect on aggregates / count on wide
+results) so scan→shuffle→agg costs are all measured, not just plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "join_four_hop_chain",  # flagship: fact⋈fact shuffle + broadcast dims
+    "agg_multi_counter",  # TPC-H Q1 shape: scan + hash agg
+    "join_two_hop",  # fact⋈fact⋈dim
+    "agg_group_topn",
+    "win_lag_running_sum",  # window shuffle on user_id
+    "win_session_batch",  # gaps-and-islands
+    "dedup_minhash_lsh",  # shingle explode + band join + verify
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",  # embedding scan + decimal dot products
+    "dedup_embedding_cosine",
+    "text_fingerprint",  # explode + per-token fold + re-agg
+    "graph_reachability",  # iterative frontier joins
+    "sink_upsert_node",  # full-outer merge ×2
+    "mm_binary_features",  # Arrow mapInPandas round-trip
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from graph_etl_pipeline_spark.registry import all_queries
+    from graph_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="graph-etl-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        # Execute fully: small results are collected, wide ones counted.
+        n = df.count()
+        if n <= 10_000:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Schema registry — the engine's analogue of the reference's schema.cql
+ontology DDL (reference: src/db/schema.cql:17-142, applied by
+src/scripts/init_db.py:23-66).
+
+Neo4j enforces uniqueness constraints engine-side; Spark has no constraint
+engine, so the registry carries the SAME declarations (unique keys,
+secondary index columns) and the engine enforces them at write time
+(dedup before merge) plus audit queries (SURVEY.md §4.2). Secondary-index
+declarations become partitioning/bucketing advice for the writers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class LabelSchema:
+    """One node label (reference: one CREATE CONSTRAINT block)."""
+
+    label: str
+    schema: T.StructType
+    unique_keys: tuple[str, ...] = ("uid",)
+    index_columns: tuple[str, ...] = ()  # → partition/Z-order/bucket advice
+
+
+def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+_S, _B, _I, _F, _TS = (
+    T.StringType(),
+    T.BooleanType(),
+    T.IntegerType(),
+    T.DoubleType(),
+    T.TimestampType(),
+)
+
+# Ontology v4.0 (reference: schema.cql:17-101 + Schema_Doku.pdf §4).
+REGISTRY: dict[str, LabelSchema] = {
+    ls.label: ls
+    for ls in [
+        LabelSchema(
+            "WasteItem",
+            _struct(("uid", _S), ("name", _S), ("synonyms", T.ArrayType(_S)),
+                    ("created_at", _TS), ("updated_at", _TS)),
+            unique_keys=("uid", "name"),  # schema.cql:18-19
+            index_columns=("synonyms",),  # schema.cql:20
+        ),
+        LabelSchema("WasteStream", _struct(("uid", _S), ("name", _S)),
+                    unique_keys=("uid", "name")),  # schema.cql:23-24
+        LabelSchema(
+            "AVVCode",
+            _struct(("code", _S), ("name", _S), ("level", _I), ("is_hazardous", _B)),
+            unique_keys=("code",),  # schema.cql:26-57
+            index_columns=("level", "is_hazardous"),
+        ),
+        LabelSchema("DisposalRule", _struct(("uid", _S), ("scope", _S), ("notes", _S))),
+        LabelSchema("Condition", _struct(("key", _S), ("question", _S)),
+                    unique_keys=("key",)),  # schema.cql:68
+        LabelSchema("Instruction", _struct(("uid", _S), ("text", _S))),
+        LabelSchema("Tip", _struct(("uid", _S), ("text", _S), ("type", _S)),
+                    index_columns=("type",)),  # schema.cql:73-76
+        LabelSchema(
+            "Container",
+            _struct(("uid", _S), ("type", _S), ("lid_color", _S),
+                    ("capacity_liters", _F), ("isUnderground", _B),
+                    ("isCampusSpecific", _B)),
+        ),
+        LabelSchema("Building", _struct(("uid", _S), ("name", _S))),
+        LabelSchema("Room", _struct(("uid", _S), ("name", _S))),
+        LabelSchema(
+            "Facility",
+            _struct(("uid", _S), ("name", _S), ("address", _S),
+                    ("opening_hours", _S), ("contact", _S),
+                    ("additional_info", _S), ("link", _S),
+                    ("created_at", _TS), ("updated_at", _TS)),
+            unique_keys=("uid", "name"),  # schema.cql:92-94
+        ),
+        LabelSchema(
+            "Source",
+            _struct(("uid", _S), ("name", _S), ("type", _S), ("file_path", _S),
+                    ("extraction_date", _TS), ("model_id", _S)),
+        ),
+        LabelSchema("Location", _struct(("name", _S)), unique_keys=("name",),
+                    index_columns=("name",)),  # schema.cql:100-101
+    ]
+}
+
+EDGE_SCHEMA = _struct(
+    ("src_uid", _S), ("dst_uid", _S), ("rel_type", _S), ("created_at", _TS)
+)
+
+# Edge vocabulary (reference: schema.cql:104-142 + Schema_Doku.pdf §5).
+REL_TYPES = (
+    "DISPOSED_IN", "DISPOSED_AT", "HAS_RULE", "HAS_CONDITION", "HAS_INSTRUCTION",
+    "ROUTES_TO", "IF_TRUE", "IF_FALSE", "CLASSIFIED_AS", "REQUIRES_AVV",
+    "HAS_PARENT", "HAS_TIP", "DERIVED_FROM", "COLLECTED_IN", "LOCATED_IN",
+    "PART_OF", "LOCATED_AT", "INSTANCE_OF", "MADE_OF", "HAS_HAZARD",
+    "IMPLIES_HAZARD", "HANDLES_HAZARD", "HAS_ORIGIN", "REQUIRES_CHECK",
+    "HAS_OPTION", "IMPLIES_STREAM", "NEXT_CHECK", "MANDATES", "LEADS_TO",
+    "BASED_ON", "OVERRIDES", "ALLOWS_STREAM", "ALLOWS_AVV", "AVAILABLE_AT",
+    "ALLOWED_IN", "OPERATED_BY", "CONTAINS",
+)
+
+
+def apply_schema(spark: SparkSession, warehouse: str) -> dict[str, int]:
+    """S7: idempotent DDL applier (reference: src/scripts/init_db.py:23-66
+    — parses schema.cql, executes CREATE ... IF NOT EXISTS, tolerates
+    'already exists'). Creates one empty partitioned parquet table per
+    label if missing; returns applied/skipped counts like the reference."""
+    stats = {"applied": 0, "skipped": 0, "errors": 0}
+    for ls in REGISTRY.values():
+        path = f"{warehouse}/{ls.label}"
+        try:
+            spark.read.parquet(path).limit(0).collect()
+            stats["skipped"] += 1
+        except Exception:
+            try:
+                empty = spark.createDataFrame([], ls.schema)
+                empty.write.mode("ignore").parquet(path)
+                stats["applied"] += 1
+            except Exception:
+                stats["errors"] += 1
+    edge_path = f"{warehouse}/_edges"
+    try:
+        spark.read.parquet(edge_path).limit(0).collect()
+        stats["skipped"] += 1
+    except Exception:
+        spark.createDataFrame([], EDGE_SCHEMA).write.mode("ignore").parquet(edge_path)
+        stats["applied"] += 1
+    return stats
+
+
+def uniqueness_audit(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Constraint-violation audit (SURVEY §4.2): rows whose declared unique
+    key appears more than once."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )

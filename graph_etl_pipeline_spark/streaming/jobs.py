@@ -1,0 +1,134 @@
+"""Structured Streaming surface (SURVEY.md §2.9 T1-T4).
+
+The reference is batch-only; its notion of incremental processing is
+"re-run the idempotent MERGE import" (reference CLAUDE.md:80). The engine
+lifts exactly that contract into Structured Streaming: the same DataFrame
+transformations run over readStream, watermarks bound state, and the
+incremental sink is the SAME set-oriented merge_upsert via foreachBatch —
+checkpoint + idempotent merge = effectively-exactly-once.
+
+Tests drive these with trigger(availableNow) against the parquet test
+data and assert equality with the batch plans (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.numeric import dec
+from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. ts arrives as raw parquet
+    nanos (see io.table note) and is rebuilt into a proper timestamp —
+    the streaming twin of the batch reader."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory; glob-filter down to the events
+    # file inside the sf_dir.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1000")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+    )
+
+
+def tumbling_aggregate(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """T1+T3: tumbling-window aggregation with a watermark. The watermark
+    bounds state: windows older than (max event time - watermark) are
+    finalized and evicted — the difference between O(stream length) and
+    O(watermark horizon) state at 100 TB/day ingest."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """T4: native streaming sessionization — session_window merges events
+    within `gap` into one growing window per user, state evicted past the
+    watermark (the batch twin is the gaps-and-islands win_session_batch)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def incremental_upsert(
+    stream: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    table_name: str,
+):
+    """T2: incremental idempotent upsert — every micro-batch merges into
+    the target with the SAME set-oriented merge the batch path uses
+    (reference re-run safety, waste_items.py:366-373). Checkpointing makes
+    replayed batches no-ops because the merge is idempotent."""
+    state = {"current": existing}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        state["current"] = merge_upsert(
+            state["current"], batch_df, keys=list(keys)
+        ).localCheckpoint(eager=True)
+
+    query = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(table_name)
+        .start()
+    )
+    query.awaitTermination()
+    return state["current"]
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming aggregation to completion (availableNow) into an
+    in-memory sink; returns the finished batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
