@@ -43,6 +43,11 @@ def main() -> None:
     spark = get_spark(app_name="graph-etl-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, parquet reader, shuffle machinery) so query
+    # timings measure the queries, not class loading.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     specs = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

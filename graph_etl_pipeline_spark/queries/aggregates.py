@@ -175,6 +175,6 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (HLL++ sketch) instead of a shuffle of every distinct value."""
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
     )

@@ -1,0 +1,126 @@
+"""Unit tests for library modules: catalog API, schema registry/audit,
+graph traversal on a hand-built AVV-style hierarchy, upsert edge cases,
+approximate operators' accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.catalog import clear_all, get_stats, query, register_tables
+from graph_etl_pipeline_spark.graph.model import PropertyGraph
+from graph_etl_pipeline_spark.registry import all_queries
+from graph_etl_pipeline_spark.schema import REGISTRY, uniqueness_audit
+from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
+
+
+def test_catalog_query_roundtrip(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    rows = query(spark, "SELECT r_name FROM region ORDER BY r_name")
+    assert [r["r_name"] for r in rows] == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    ]
+    rows = query(
+        spark, "SELECT COUNT(*) AS n FROM customer WHERE c_nationkey = :k", k=3
+    )
+    assert rows[0]["n"] >= 0
+    assert clear_all(spark) >= 10
+
+
+def test_stats(spark, sf_dir):
+    stats = get_stats(spark, sf_dir)
+    assert stats["n_tables"] == 10
+    assert stats["tables"]["region"] == 5
+    assert stats["tables"]["nation"] == 25
+
+
+def test_schema_registry_shapes():
+    assert set(REGISTRY) >= {
+        "WasteItem", "WasteStream", "AVVCode", "Facility", "Container",
+        "Building", "Room", "Condition", "Tip", "Source",
+    }
+    assert REGISTRY["WasteItem"].unique_keys == ("uid", "name")
+    assert REGISTRY["AVVCode"].unique_keys == ("code",)
+
+
+def test_uniqueness_audit(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "name string, v int"
+    )
+    bad = uniqueness_audit(df, ("name",)).collect()
+    assert len(bad) == 1 and bad[0]["name"] == "a" and bad[0]["n"] == 2
+
+
+def _avv_graph(spark) -> PropertyGraph:
+    """AVV parent hierarchy (reference schema.cql:122):
+    '08 01 11*' → '08 01' → '08', plus an unrelated branch."""
+    vertices = spark.createDataFrame(
+        [
+            ("08", "AVVCode", "08"),
+            ("08 01", "AVVCode", "08 01"),
+            ("08 01 11*", "AVVCode", "08 01 11*"),
+            ("08 01 12", "AVVCode", "08 01 12"),
+            ("09", "AVVCode", "09"),
+            ("orphan", "AVVCode", "orphan"),
+        ],
+        "uid string, label string, name string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("08 01 11*", "08 01", "HAS_PARENT"),
+            ("08 01 12", "08 01", "HAS_PARENT"),
+            ("08 01", "08", "HAS_PARENT"),
+        ],
+        "src_uid string, dst_uid string, rel_type string",
+    )
+    return PropertyGraph(vertices=vertices, edges=edges)
+
+
+def test_graph_reachable_hierarchy(spark):
+    g = _avv_graph(spark)
+    roots = spark.createDataFrame([("08", "08")], "uid string, root string")
+    visited = g.reachable(roots, rel_types=("HAS_PARENT",), direction="in", max_depth=3)
+    uids = {r.uid for r in visited.collect()}
+    assert uids == {"08", "08 01", "08 01 11*", "08 01 12"}
+
+
+def test_graph_hop_and_orphans(spark):
+    g = _avv_graph(spark)
+    frontier = spark.createDataFrame([("08 01 11*", "x")], "uid string, root string")
+    nxt = g.hop(frontier, rel_types=("HAS_PARENT",), direction="out").collect()
+    assert [r.uid for r in nxt] == ["08 01"]
+    orphans = {r.uid for r in g.orphans("AVVCode", ("HAS_PARENT",), direction="out").collect()}
+    # nodes with no outgoing HAS_PARENT: the root '08', '09', and 'orphan'
+    assert orphans == {"08", "09", "orphan"}
+
+
+def test_merge_upsert_null_and_missing_columns(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, v double"
+    )
+    incoming = spark.createDataFrame([(2, None), (3, "c")], "id int, name string")
+    out = merge_upsert(existing, incoming, keys=["id"])
+    rows = {r.id: (r.name, r.v) for r in out.collect()}
+    # null incoming preserves existing value; missing column carries over
+    assert rows[2] == ("b", 20.0)
+    assert rows[3] == ("c", None)
+    assert rows[1] == ("a", 10.0)
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    df = all_queries()["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
+    import duckdb
+
+    exact_o, exact_p = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey), COUNT(DISTINCT l_partkey) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    assert abs(df.approx_orders - exact_o) / exact_o < 0.05
+    assert abs(df.approx_parts - exact_p) / exact_p < 0.05
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    exact = {r.vec_id for r in all_queries()["sim_cosine_topk"].fn(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in all_queries()["sim_ann_ivf"].fn(spark, sf_dir).collect()}
+    # nprobe=2 of 10 cells; random embeddings spread neighbors, so demand
+    # a sane floor, not perfection
+    assert len(exact & approx) >= 2
