@@ -7,11 +7,13 @@ from graph_etl_pipeline_spark.queries import (  # noqa: F401
     dedup,
     graph_queries,
     joins,
+    mm_skew,
     multimodal,
     relational,
     similarity,
     sinks,
     sources,
+    streaming_queries,
     textops,
     windows,
 )

@@ -67,3 +67,34 @@ def dedup_merge_most_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.sum(F.when(F.col("lang_s") != "", 1).otherwise(0)).alias("n_filled"),
     )
+
+
+@register(
+    "dedup_docs_exact",
+    oracle=r"""
+    WITH fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM fps
+    GROUP BY fp
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: corpus-scale exact dedup on a normalized fingerprint
+    (lowercase, trim, collapse whitespace → md5). At 100 TB the groupBy
+    shuffles 16-byte digests, never document bodies — the standard
+    first pass of an LLM data pipeline, upstream of MinHash."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(d.text)), r"\s+", " ")).alias("fp")
+    return (
+        d.select("doc_id", fp)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
