@@ -52,13 +52,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        # Execute fully: small results are collected, wide ones counted.
-        n = df.count()
-        if n <= 10_000:
-            df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Two timed runs, report the min: the first execution of a plan
+        # pays whole-stage-codegen compilation (seconds for complex
+        # plans); steady-state throughput is what the engine delivers on
+        # a cluster running the query repeatedly. Each run times
+        # construction AND execution — eager checkpoints inside a query
+        # run at construction time, so timing only the sink would
+        # under-count them. The noop sink executes the full plan (no
+        # column pruning a count() could exploit, no driver transfer).
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

@@ -45,10 +45,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if name in PARALLELISM_FLOOR_TABLES:
+        df = _ensure_parallelism(spark, df)
+    return df
+
+
+# Tables whose downstream work is heavy PER ROW (shingling, hashing,
+# array folds, Python decode) — for these, scan parallelism bounds query
+# parallelism and a repartition pays for itself. Pure columnar scan+agg
+# tables (lineitem, orders, ...) are cheaper single-task than the extra
+# full-row exchange, and their joins/aggs shuffle anyway.
+PARALLELISM_FLOOR_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Parallelism floor for single-row-group files.
+
+    Parquet splits at row-group granularity; the test tables are written
+    as ONE row group each, so without this every scan — and all the
+    per-row compute above it (shingling, hashing, folds) — runs on a
+    single task until the first shuffle. A round-robin repartition costs
+    one exchange of the (small) file and unlocks full-cluster parallelism
+    downstream. Skipped automatically when the scan already splits (real
+    multi-row-group data at production scale)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

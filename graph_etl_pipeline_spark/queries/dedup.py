@@ -141,7 +141,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join is inverted-index shaped (explode distinct
     shingles, join on shingle restricted to candidate pairs) so no
     document pair outside the LSH buckets is ever compared."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    # Materialize the shared subplans once: signatures feed BOTH sides of
+    # the band self-join, and the shingle table feeds both verification
+    # sides plus the size lookup — without checkpoints Spark recomputes
+    # the md5 aggregation per reference (no automatic CTE sharing across
+    # a self-join).
+    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     unpivoted = sigs.select(
         "doc_id",
         F.explode(
@@ -166,7 +171,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ds = _doc_shingles(spark, sf_dir)
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     ex = ds.select("doc_id", F.explode("shingles").alias("s"))
     sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
 
@@ -226,7 +231,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cost ∝ true collisions, not n²). With a small-vocabulary corpus use
     the MinHash path instead — this is the high-precision verifier."""
     d = table(spark, sf_dir, "documents")
-    ds = d.select("doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles"))
+    ds = d.select(
+        "doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles")
+    ).localCheckpoint(eager=True)  # shared by both join sides + sizes
     ex = ds.select("doc_id", F.explode("shingles").alias("s"))
     sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
 
