@@ -88,6 +88,24 @@ class PropertyGraph:
             frontier = nxt
         return visited
 
+    def match(self, src_label: str, rel_type: str, dst_label: str) -> DataFrame:
+        """Tiny pattern API (SURVEY §4.2): the engine's ergonomic analogue
+        of Cypher `MATCH (:Src)-[:REL]->(:Dst)` — a 3-way join returning
+        (src_uid, src_name, rel_type, dst_uid, dst_name). Dimension-sized
+        vertex sides broadcast automatically under AQE."""
+        e = self.edges.filter(self.edges.rel_type == rel_type)
+        src = self.vertices.filter(self.vertices.label == src_label).select(
+            F.col("uid").alias("src_uid"), F.col("name").alias("src_name")
+        )
+        dst = self.vertices.filter(self.vertices.label == dst_label).select(
+            F.col("uid").alias("dst_uid"), F.col("name").alias("dst_name")
+        )
+        return (
+            e.join(src, "src_uid")
+            .join(dst, "dst_uid")
+            .select("src_uid", "src_name", "rel_type", "dst_uid", "dst_name")
+        )
+
     def orphans(self, label: str, rel_types: tuple[str, ...], direction: str = "in") -> DataFrame:
         """Nodes of `label` missing a required incident edge (reference:
         etl_implementation.md:238 — WasteItems with no DISPOSED_IN |

@@ -93,3 +93,25 @@ def graph_orphan_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orphans("Customer", rel_types=("PLACED_BY",), direction="in").select(
         "uid", "name"
     )
+
+
+@register(
+    "graph_pattern_match",
+    oracle="""
+    SELECT n_name AS dst_name, COUNT(*) AS n_edges
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("graph",),
+)
+def graph_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern API (SURVEY §4.2): `MATCH (:Customer)-[:IN_NATION]->(:Nation)`
+    via PropertyGraph.match — edge fan-in per nation (reference
+    etl_implementation.md:249-251 items-per-stream shape, through the
+    graph ergonomics layer instead of raw joins)."""
+    g = star_graph(spark, sf_dir)
+    return (
+        g.match("Customer", "IN_NATION", "Nation")
+        .groupBy(F.col("dst_name").alias("dst_name"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -124,3 +124,18 @@ def test_ann_ivf_recall(spark, sf_dir):
     # nprobe=2 of 10 cells; random embeddings spread neighbors, so demand
     # a sane floor, not perfection
     assert len(exact & approx) >= 2
+
+
+def test_graph_storage_roundtrip(spark, sf_dir, tmp_path):
+    from graph_etl_pipeline_spark.graph.build import star_graph
+    from graph_etl_pipeline_spark.graph.storage import read_graph, write_graph
+
+    g = star_graph(spark, sf_dir)
+    wh = str(tmp_path / "graph_wh")
+    write_graph(g, wh)
+    g2 = read_graph(spark, wh)
+    assert g2.vertices.count() == g.vertices.count()
+    assert g2.edges.count() == g.edges.count()
+    # partition pruning: a rel_type filter reads only that partition
+    plan = g2.edges.filter("rel_type = 'IN_NATION'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "rel_type=IN_NATION" in plan

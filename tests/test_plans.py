@@ -1,0 +1,66 @@
+"""Plan-quality regression tests: assert the physical plans keep the
+properties the 100 TB design depends on (broadcasts on dims, column
+pruning into the scan, no cartesian products, whole-stage codegen)."""
+
+from __future__ import annotations
+
+from graph_etl_pipeline_spark.registry import all_queries
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "join_four_hop_chain", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge at this SF
+    # lineitem scan must read only the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "flt_compound_predicate", sf_dir)
+    assert "PushedFilters" in plan
+    # source non-emptiness can't push, but the scan must prune to the
+    # 4 projected columns + text-free schema
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "agg_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-K
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """BroadcastNestedLoopJoin/CartesianProduct in a hot path is a scale
+    bug. The only sanctioned cross joins are 1-row broadcast query
+    vectors (similarity family)."""
+    allowed_cross = {"sim_cosine_topk", "sim_ann_ivf"}
+    for name, spec in sorted(all_queries().items()):
+        if name in allowed_cross or name == "stream_tumbling_hourly":
+            continue
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_codegen_covers_relational_core(spark, sf_dir):
+    """The relational core must compile to whole-stage codegen stages
+    (explain('codegen') reports 'Found N WholeStageCodegen subtrees')."""
+    import contextlib
+    import io
+
+    # Under AQE the codegen subtrees only appear per-stage at runtime;
+    # disable it for the static compilation check.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["agg_multi_counter", "join_two_hop", "win_row_number_dedup"]:
+            df = all_queries()[name].fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("codegen")
+            out = buf.getvalue()
+            assert "WholeStageCodegen subtrees" in out and "Found 0" not in out, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
