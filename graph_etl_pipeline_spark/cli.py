@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     sc = sub.add_parser("schema", help="apply schema registry (reference --schema)")
     sc.add_argument("--warehouse", required=True)
 
+    sr = sub.add_parser("reset", help="drop all registered views (reference --reset)")
+    sr.add_argument("--yes", action="store_true", help="skip interactive confirm")
+
     sq = sub.add_parser("query", help="run SQL against the registered tables")
     sq.add_argument("sql")
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -66,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
         from graph_etl_pipeline_spark.schema import apply_schema
 
         print(json.dumps(apply_schema(spark, args.warehouse)))
+    elif args.cmd == "reset":
+        # interactive confirm like the reference (init_db.py:149-155)
+        if not args.yes:
+            answer = input("Drop ALL registered views? [y/N] ").strip().lower()
+            if answer != "y":
+                print("aborted")
+                return 1
+        from graph_etl_pipeline_spark.catalog import clear_all
+
+        print(json.dumps({"dropped_views": clear_all(spark)}))
     elif args.cmd == "query":
         from graph_etl_pipeline_spark.catalog import query, register_tables
 
