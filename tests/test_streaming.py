@@ -71,3 +71,80 @@ def test_incremental_upsert_stream(spark, sf_dir):
 
         again = merge_upsert(final, ev, keys=["event_id"])
         assert again.count() == ev.count()
+
+
+def test_watermark_advances_across_micro_batches(spark, sf_dir, tmp_path):
+    """T3: multi-file arrival (one file per micro-batch via
+    maxFilesPerTrigger) — the event-time watermark must start at epoch,
+    advance to (max event time - delay) after batch 0, and bound state:
+    append mode emits each window exactly once (no duplicates), with
+    every batch-0 window finalized once the watermark passes it.
+
+    (Spark 4.1's availableNow pipeline aggregates a fully-late batch and
+    finalizes it in the same micro-batch rather than silently dropping
+    rows — so the cross-version-stable contract asserted here is
+    watermark progression + exactly-once window emission, not row drops.)
+    """
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.count()
+    newest = ev.orderBy(F.desc("ts")).limit(rows // 2)
+    oldest = ev.orderBy(F.asc("ts")).limit(rows // 4)
+
+    src = tmp_path / "stream_src"
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    newest.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    shutil.copy(next((src / "f1").glob("*.parquet")), stream_dir / "a_newest.parquet")
+    oldest.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    shutil.copy(next((src / "f2").glob("*.parquet")), stream_dir / "b_oldest.parquet")
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    agg = (
+        raw.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progress = q.recentProgress
+    assert len(progress) >= 2, "expected one micro-batch per file"
+    wm0 = progress[0]["eventTime"]["watermark"]
+    wm1 = progress[1]["eventTime"]["watermark"]
+    assert wm0.startswith("1970"), "watermark must start at epoch"
+    assert wm1 > wm0, "watermark must advance after the first batch"
+
+    finalized = spark.table(name).collect()
+    # exactly-once emission: no window appears twice across batches
+    starts = [r.ws for r in finalized]
+    assert len(starts) == len(set(starts)), "append mode re-emitted a window"
+    # every batch-0 window except the still-open tail is finalized
+    newest_max = newest.agg(F.max("ts")).collect()[0][0]
+    open_tail = newest_max.replace(minute=0, second=0, microsecond=0)
+    emitted = set(starts)
+    expected = {
+        r.ws
+        for r in newest.select(F.date_trunc("hour", "ts").alias("ws")).distinct().collect()
+        if r.ws < open_tail
+    }
+    assert expected <= emitted, "a closed batch-0 window was never finalized"
