@@ -65,6 +65,11 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _doc_shingles(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("s")
     )
+    return _signatures_from(ex)
+
+
+def _signatures_from(ex: DataFrame) -> DataFrame:
+    """Signatures from an exploded (doc_id, shingle) table."""
     mhs = ex.groupBy("doc_id").agg(
         *[
             F.min(
@@ -152,12 +157,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join is inverted-index shaped (explode distinct
     shingles, join on shingle restricted to candidate pairs) so no
     document pair outside the LSH buckets is ever compared."""
-    # Materialize the shared subplans once: signatures feed BOTH sides of
-    # the band self-join, and the shingle table feeds both verification
-    # sides plus the size lookup — without checkpoints Spark recomputes
-    # the md5 aggregation per reference (no automatic CTE sharing across
-    # a self-join).
-    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    # Materialize the exploded shingle table ONCE: it feeds the signature
+    # aggregation, the per-doc size lookup, and both verification join
+    # sides — Spark has no automatic CTE sharing, so without the
+    # checkpoint the shingle pipeline would re-execute per reference.
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select("doc_id", F.explode(shingles(norm_tokens(d.text))).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    sigs = _signatures_from(ex).localCheckpoint(eager=True)
     unpivoted = sigs.select(
         "doc_id",
         F.explode(
@@ -182,9 +191,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
+    # shingles are array_distinct'd pre-explode, so the per-doc row count
+    # IS the shingle-set size
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     ea, eb = ex.alias("ea"), ex.alias("eb")
     inter = (
