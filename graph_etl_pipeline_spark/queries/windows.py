@@ -178,3 +178,37 @@ def win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("session_value"),
         )
     )
+
+
+@register(
+    "win_rank_frames",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           ) AS VARCHAR) AS DOUBLE) AS neighborhood_bal
+    FROM customer
+    """,
+    tags=("window",),
+)
+def win_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + sliding ROWS frame in one pass: dense_rank per nation and
+    a 3-row neighborhood sum (exact decimal) over the balance ordering —
+    the remaining window shapes (beyond row_number/lag/unbounded) a
+    reference user would reach for."""
+    c = table(spark, sf_dir, "customer")
+    w_rank = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_frame = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(-1, 1)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(w_rank).alias("bal_rank"),
+        F.sum(dec("c_acctbal")).over(w_frame).cast("double").alias("neighborhood_bal"),
+    )
