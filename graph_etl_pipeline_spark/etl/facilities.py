@@ -31,7 +31,10 @@ def load_facilities(spark: SparkSession, filepath: str) -> DataFrame:
         .select("uuid", F.posexplode("recs").alias("pos", "rec"))
         .select("uuid", "pos", *[F.trim(F.col(f"rec.{f}")).alias(f) for f in FIELDS])
         .filter(F.col("name").isNotNull() & (F.col("name") != ""))  # reference :62-64
-        .withColumn("ord", F.concat_ws("#", "uuid", F.col("pos").cast("string")))
+        # zero-pad the array position so the string ordering is numeric
+        # ("#000010" after "#000002"); bare int-to-string would sort
+        # position 10 before 2 and crown the wrong record
+        .withColumn("ord", F.concat_ws("#", "uuid", F.lpad(F.col("pos").cast("string"), 6, "0")))
     )
     first_nonempty = [
         F.expr(f"min_by({f}, ord) FILTER (WHERE {f} IS NOT NULL AND {f} <> '')").alias(f)

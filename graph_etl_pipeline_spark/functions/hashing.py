@@ -19,12 +19,3 @@ def uid_hash(c: Column | str, length: int = 16) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.sha2(c.cast("string"), 256).substr(1, length)
 
-
-def seeded_md5(c: Column, seed: int) -> Column:
-    """Family of independent hash functions h_seed(x) = md5(seed || x).
-
-    Lexicographic MIN over these hex digests is a valid min-hash (the md5
-    output is uniformly distributed, so ordering by hex string is a random
-    permutation of the input set for each seed).
-    """
-    return F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))

@@ -71,8 +71,11 @@ def resolve_streams(
         F.col("dst_uid").alias("next_uid"),
         (F.col("rel_type") == "IF_TRUE").alias("on_true"),
     )
+    # max_depth+1 collection passes so a stream reached on the
+    # max_depth-th branch step is still collected (collect-then-step
+    # inside one loop would silently lose the final level)
     resolved = None
-    for _ in range(max_depth):
+    for _ in range(max_depth + 1):
         done = frontier.join(streams, "node_uid").select(
             "item_uid", F.col("node_uid").alias("stream_uid"), "scope"
         )
@@ -106,6 +109,24 @@ def resolve_streams(
     # rule outcome wins over a direct edge when both exist
     direct_only = direct.join(ruled.select("item_uid"), "item_uid", "left_anti")
     return ruled.unionByName(direct_only)
+
+
+def validate_branch_determinism(g: PropertyGraph) -> DataFrame:
+    """Well-formedness audit for the rule graph: a Condition node with
+    more than one outgoing IF_TRUE (or IF_FALSE) edge is ambiguous — an
+    item answering it would follow BOTH branches, and which outcome wins
+    becomes an accident of tie-breaking. Rules must not share a Condition
+    node unless they also share its routing; model per-rule variants as
+    separate Condition nodes (the reference's unique `Condition.key`,
+    schema.cql:68, makes sharing tempting — this audit catches the
+    conflicting case). Returns (node_uid, rel_type, n_targets) rows."""
+    e = g.edges
+    return (
+        e.filter(e.rel_type.isin("IF_TRUE", "IF_FALSE"))
+        .groupBy(F.col("src_uid").alias("node_uid"), "rel_type")
+        .agg(F.countDistinct("dst_uid").alias("n_targets"))
+        .filter(F.col("n_targets") > 1)
+    )
 
 
 def validate_avv_paths(g: PropertyGraph) -> DataFrame:

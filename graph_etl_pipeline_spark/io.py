@@ -52,6 +52,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     if name in PARALLELISM_FLOOR_TABLES:
         df = _ensure_parallelism(spark, df)
+    if name in BROADCAST_TABLES:
+        from pyspark.sql import functions as F
+
+        # Constant-size dims carry the hint from the reader, so every
+        # join against them is broadcast without per-query annotations.
+        df = F.broadcast(df)
     return df
 
 

@@ -165,8 +165,8 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; exact-count parity is
-    # asserted in tests/test_aggregates.py instead (±5%).
+    oracle=None,  # HLL sketches are engine-specific; accuracy is asserted in
+    # tests/test_library.py::test_approx_distinct_within_bounds (±5%).
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

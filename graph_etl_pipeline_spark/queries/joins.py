@@ -58,9 +58,10 @@ def join_four_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as a chained equi-join over the star schema.
 
     Scale design: the two big tables (lineitem⋈orders) sort-merge/shuffle
-    on orderkey; customer⋈nation⋈region are broadcast so the hierarchy
-    rollup adds ZERO extra shuffles; aggregation is partial (map-side) then
-    final on the 5 region keys.
+    on orderkey; nation/region (constant-size at every SF) are broadcast
+    explicitly; customer grows with SF so its join strategy is left to
+    Catalyst/AQE — broadcast at test scale, shuffle at cluster scale.
+    Aggregation is partial (map-side) then final on the 5 region keys.
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -70,7 +71,7 @@ def join_four_hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", _revenue_col(li))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")

@@ -47,14 +47,18 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_binary_features",
     oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
+        FROM documents
+    )
     SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS blob_len,
-           ascii(substr(text, 1, 1)) AS head_byte,
-           ascii(substr(text, length(text), 1)) AS tail_byte,
+           CAST(octet_length(CAST(t AS BLOB)) AS INTEGER) AS blob_len,
+           ascii(substr(t, 1, 1)) AS head_byte,
+           ascii(substr(t, length(t), 1)) AS tail_byte,
            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
                 (a, b) -> a + b) % 2147483647 AS BIGINT) AS checksum
-    FROM documents
+    FROM ascii_docs
     """,
     tags=("multimodal", "llm", "udf"),
 )
@@ -65,7 +69,11 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly). mapInPandas = per-partition batch iterator, the pattern for
     any decoder that needs Python libraries."""
     d = table(spark, sf_dir, "documents")
-    blobs = d.select("doc_id", F.encode(d.text, "UTF-8").alias("blob"))
+    # Non-ASCII chars are multi-byte in UTF-8 while the oracle's ascii()
+    # is per-codepoint — normalize both sides to pure ASCII ('?') so byte
+    # and char arithmetic agree regardless of corpus content.
+    ascii_text = F.regexp_replace(d.text, r"[^\x00-\x7F]", "?")
+    blobs = d.select("doc_id", F.encode(ascii_text, "UTF-8").alias("blob"))
     return blobs.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
 
 

@@ -127,7 +127,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf",
     oracle=None,  # approximate by construction; recall vs the exact
-    # baseline is asserted in tests/test_similarity.py
+    # baseline is asserted in tests/test_library.py::test_ann_ivf_recall
     tags=("similarity", "llm", "approx"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

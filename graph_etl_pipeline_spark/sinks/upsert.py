@@ -39,7 +39,11 @@ def merge_upsert(
     """
     # Alias-qualified references survive self-joins (incoming derived from
     # existing shares lineage; bare DataFrame[col] would be ambiguous).
-    ex, inc = existing.alias("_ex"), incoming.alias("_inc")
+    # The literal presence marker (not a key-null check) makes "incoming
+    # row matched" detection correct even for NULL join keys, which
+    # eqNullSafe deliberately matches.
+    ex = existing.alias("_ex")
+    inc = incoming.withColumn("_inc_present", F.lit(True)).alias("_inc")
 
     def e(c: str) -> F.Column:
         return F.col(f"_ex.{c}")
@@ -64,10 +68,8 @@ def merge_upsert(
         newv = i(c)
         if c in prefer_nonempty_cols:
             newv = F.nullif(newv, F.lit(""))
-        # "matched → update, else keep": incoming row presence is keyed on
-        # its key column being non-null after the outer join.
         out.append(
-            F.when(i(keys[0]).isNotNull(), F.coalesce(newv, e(c)))
+            F.when(i("_inc_present").isNotNull(), F.coalesce(newv, e(c)))
             .otherwise(e(c))
             .alias(c)
         )

@@ -139,3 +139,45 @@ def test_graph_storage_roundtrip(spark, sf_dir, tmp_path):
     # partition pruning: a rel_type filter reads only that partition
     plan = g2.edges.filter("rel_type = 'IN_NATION'")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "rel_type=IN_NATION" in plan
+
+
+def test_merge_upsert_null_key_incoming(spark):
+    """An incoming row with a NULL join key must still apply its values
+    (eqNullSafe matches NULL keys; presence detection must not rely on
+    key non-nullness)."""
+    existing = spark.createDataFrame(
+        [(None, "old", 1.0), ("k1", "a", 2.0)], "id string, name string, v double"
+    )
+    incoming = spark.createDataFrame(
+        [(None, "new", 9.0)], "id string, name string, v double"
+    )
+    out = merge_upsert(existing, incoming, keys=["id"])
+    rows = {r.id: (r.name, r.v) for r in out.collect()}
+    assert rows[None] == ("new", 9.0)
+    assert rows["k1"] == ("a", 2.0)
+
+
+def test_facility_merge_order_beyond_ten_records(spark, tmp_path):
+    """Array positions must order numerically: position 2 beats 10/11 for
+    first-non-empty-wins (lexicographic '10' < '2' would invert it)."""
+    import json
+
+    recs = []
+    for i in range(12):
+        recs.append(
+            {
+                "name": "BigFac",
+                "address": "" if i != 11 else "addr-from-11",
+                "opening_hours": "" if i < 2 else f"hours-from-{i}",
+                "contact": "",
+                "additional_info": "",
+                "link": "",
+            }
+        )
+    path = tmp_path / "many.json"
+    path.write_text(json.dumps({"u1": recs}))
+    from graph_etl_pipeline_spark.etl.facilities import load_facilities
+
+    row = load_facilities(spark, str(path)).collect()[0]
+    assert row["opening_hours"] == "hours-from-2"  # earliest non-empty wins
+    assert row["address"] == "addr-from-11"

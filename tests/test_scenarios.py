@@ -32,6 +32,7 @@ def rule_graph(spark):
             ("c_empty", "Condition", "Ist der Eimer restentleert?"),
             ("c_dried", "Condition", "Ist die Farbe eingetrocknet?"),
             ("c_battery", "Condition", "Enthält das Gerät einen Akku?"),
+            ("c_battery_campus", "Condition", "Enthält das Gerät einen Akku? (Campus)"),
             # AVV codes
             ("a_0801", "AVVCode", "08 01"),
         ],
@@ -53,10 +54,13 @@ def rule_graph(spark):
             ("r_brush_city", "c_battery", "HAS_CONDITION"),
             ("c_battery", "s_rest", "IF_FALSE"),
             ("c_battery", "s_schad", "IF_TRUE"),
+            # campus rule owns its OWN condition node: sharing c_battery
+            # with a different IF_TRUE target would make the graph
+            # ambiguous (validate_branch_determinism flags that shape)
             ("i_brush", "r_brush_campus", "HAS_RULE"),
-            ("r_brush_campus", "c_battery", "HAS_CONDITION"),
-            # campus routes battery devices to e-waste collection instead
-            ("c_battery", "s_elektro", "IF_TRUE"),
+            ("r_brush_campus", "c_battery_campus", "HAS_CONDITION"),
+            ("c_battery_campus", "s_elektro", "IF_TRUE"),
+            ("c_battery_campus", "s_rest", "IF_FALSE"),
             # AVV validation (§4.10): paint requires 08 01; only
             # Schadstoffsammlung is allowed to take it
             ("i_paint", "a_0801", "REQUIRES_AVV"),
@@ -68,9 +72,11 @@ def rule_graph(spark):
 
 
 def _answers(spark, **by_uid):
-    return spark.createDataFrame(
-        list(by_uid.items()), "condition_uid string, answer boolean"
-    )
+    # the campus twin of c_battery answers identically
+    items = list(by_uid.items())
+    if "c_battery" in by_uid:
+        items.append(("c_battery_campus", by_uid["c_battery"]))
+    return spark.createDataFrame(items, "condition_uid string, answer boolean")
 
 
 def test_banana_peel_direct_route(spark, rule_graph):
@@ -100,6 +106,24 @@ def test_campus_overrides_city(spark, rule_graph):
     out = resolve_streams(rule_graph, _answers(spark, c_empty=True, c_battery=True))
     routes = {r.item_uid: r.stream_uid for r in out.collect()}
     assert routes["i_brush"] == "s_elektro"
+
+
+def test_branch_determinism_audit(spark, rule_graph):
+    from graph_etl_pipeline_spark.graph.reasoning import validate_branch_determinism
+
+    # the fixture graph is well-formed
+    assert validate_branch_determinism(rule_graph).isEmpty()
+    # sharing one condition across rules with conflicting IF_TRUE targets
+    # is flagged
+    bad = rule_graph.edges.sparkSession.createDataFrame(
+        [("c_battery", "s_elektro", "IF_TRUE")],
+        "src_uid string, dst_uid string, rel_type string",
+    )
+    g_bad = PropertyGraph(rule_graph.vertices, rule_graph.edges.unionByName(bad))
+    rows = validate_branch_determinism(g_bad).collect()
+    assert [(r.node_uid, r.rel_type, r.n_targets) for r in rows] == [
+        ("c_battery", "IF_TRUE", 2)
+    ]
 
 
 def test_avv_validation(spark, rule_graph):
