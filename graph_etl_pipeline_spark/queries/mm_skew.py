@@ -20,15 +20,18 @@ N_FRAMES, FRAME_SIZE = 4, 16
     "mm_frame_sample",
     oracle=f"""
     WITH f AS (
-        SELECT doc_id, text, length(text) AS L,
-               greatest(length(text) // {N_FRAMES}, 1) AS stride
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
         FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, length(t) AS L, greatest(length(t) // {N_FRAMES}, 1) AS stride
+        FROM f
     )
     SELECT doc_id,
            CAST(i AS INTEGER) AS frame_idx,
-           length(substr(text, CAST(i * stride + 1 AS INTEGER), {FRAME_SIZE})) AS frame_len,
-           ascii(substr(text, CAST(i * stride + 1 AS INTEGER), 1)) AS frame_head
-    FROM f, generate_series(0, {N_FRAMES - 1}) AS t(i)
+           length(substr(t, CAST(i * stride + 1 AS INTEGER), {FRAME_SIZE})) AS frame_len,
+           ascii(substr(t, CAST(i * stride + 1 AS INTEGER), 1)) AS frame_head
+    FROM sized, generate_series(0, {N_FRAMES - 1}) AS s(i)
     WHERE i * stride < L
     """,
     tags=("multimodal", "llm", "udf"),
@@ -40,7 +43,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII, so byte and char offsets agree). Swap the stub body for
     ffmpeg/av keyframe extraction; stride math and schema stay."""
     d = table(spark, sf_dir, "documents")
-    blobs = d.select("doc_id", F.encode(d.text, "UTF-8").alias("blob"))
+    # same ASCII normalization as mm_binary_features: byte offsets and
+    # char offsets must agree for the oracle's substr windows
+    ascii_text = F.regexp_replace(d.text, r"[^\x00-\x7F]", "?")
+    blobs = d.select("doc_id", F.encode(ascii_text, "UTF-8").alias("blob"))
     return frame_sample_df(blobs, n_frames=N_FRAMES, frame_size=FRAME_SIZE)
 
 

@@ -364,3 +364,32 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
     )
     return c.unionByName(s)
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT p_brand, 'both' AS membership FROM (
+        SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
+        INTERSECT
+        SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+    )
+    UNION ALL
+    SELECT p_brand, 'promo_only' AS membership FROM (
+        SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
+        EXCEPT
+        SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+    )
+    """,
+    tags=("setop",),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond union (SURVEY §2.7 notes intersect/except "come free"
+    — claimed here so the claim is checked): brands sold as both PROMO and
+    ECONOMY vs PROMO-only."""
+    p = table(spark, sf_dir, "part")
+    promo = p.filter(p.p_type == "PROMO").select("p_brand").distinct()
+    econ = p.filter(p.p_type == "ECONOMY").select("p_brand").distinct()
+    both = promo.intersect(econ).select("p_brand", F.lit("both").alias("membership"))
+    only = promo.exceptAll(econ).select("p_brand", F.lit("promo_only").alias("membership"))
+    return both.unionByName(only)
