@@ -33,7 +33,14 @@ def get_stats(spark: SparkSession, sf_dir: str) -> dict:
     reference's 1+N+1 sequential round-trips become N parallel jobs over
     cached metadata; per-table parquet row counts come from footer
     statistics, not scans."""
-    counts = {name: table(spark, sf_dir, name).count() for name in TABLES}
+    # plain reads (no parallelism floor / broadcast hints) so counts come
+    # from parquet footer metadata, not scans; nanosAsLong lets the events
+    # nano-timestamp file load for counting
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    counts = {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+        for name in TABLES
+    }
     return {
         "tables": counts,
         "total_rows": sum(counts.values()),

@@ -31,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     sc = sub.add_parser("schema", help="apply schema registry (reference --schema)")
     sc.add_argument("--warehouse", required=True)
 
-    sr = sub.add_parser("reset", help="drop all registered views (reference --reset)")
+    sr = sub.add_parser("reset", help="wipe a graph warehouse (reference --reset)")
+    sr.add_argument("--warehouse", required=True)
     sr.add_argument("--yes", action="store_true", help="skip interactive confirm")
 
     sq = sub.add_parser("query", help="run SQL against the registered tables")
@@ -70,15 +71,19 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(apply_schema(spark, args.warehouse)))
     elif args.cmd == "reset":
-        # interactive confirm like the reference (init_db.py:149-155)
+        # interactive confirm like the reference (init_db.py:149-155);
+        # CLI state lives in the warehouse (a fresh session has no temp
+        # views to drop — catalog.clear_all covers the in-session case)
         if not args.yes:
-            answer = input("Drop ALL registered views? [y/N] ").strip().lower()
+            answer = input(
+                f"Wipe ALL tables under {args.warehouse}? [y/N] "
+            ).strip().lower()
             if answer != "y":
                 print("aborted")
                 return 1
-        from graph_etl_pipeline_spark.catalog import clear_all
+        from graph_etl_pipeline_spark.schema import clear_warehouse
 
-        print(json.dumps({"dropped_views": clear_all(spark)}))
+        print(json.dumps({"removed_tables": clear_warehouse(args.warehouse)}))
     elif args.cmd == "query":
         from graph_etl_pipeline_spark.catalog import query, register_tables
 

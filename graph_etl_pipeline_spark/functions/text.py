@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 
 
 def norm_tokens(c: Column | str) -> Column:
-    """lowercase, collapse whitespace, split — the canonical token list."""
+    """lowercase, collapse whitespace, trim, split — the canonical token
+    list. The trim matters: without it, leading/trailing whitespace mints
+    empty-string tokens that inflate counts and pollute shingles."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " ")
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
@@ -25,7 +27,12 @@ def shingles(toks: Column, k: int = 3) -> Column:
     total per row) instead of one slice per shingle position (n slices) —
     ~7× faster on the exploding path, identical output. arrays_zip over
     anonymous expressions names its struct fields "0".."k-1"."""
-    shifted = [toks] + [F.slice(toks, i + 1, 1_000_000) for i in range(1, k)]
+    # column-valued slice length: a literal cap would silently truncate
+    # (and corrupt shingles for) documents longer than the cap
+    shifted = [toks] + [
+        F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(1)))
+        for i in range(1, k)
+    ]
     zipped = F.arrays_zip(*shifted)
     n = F.size(toks)
     window = F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(0)))
@@ -39,7 +46,7 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
 
 # SQL twins (DuckDB dialect), used to build oracle strings.
-SQL_TOKS = r"string_split(regexp_replace(lower({col}), '\s+', ' ', 'g'), ' ')"
+SQL_TOKS = r"string_split(trim(regexp_replace(lower({col}), '\s+', ' ', 'g')), ' ')"
 
 
 def sql_shingles(toks: str, k: int = 3) -> str:

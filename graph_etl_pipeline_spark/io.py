@@ -37,6 +37,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy.parquet.nanosAsLong) and rebuild a proper TimestampType column.
     The data is micro-precision (every value ≡ 0 mod 1000 ns) so the
     conversion is lossless.
+
+    NOTE both confs (timeZone=UTC, nanosAsLong=true) are deliberate
+    SESSION-level settings, not scoped to this read: the engine's
+    correctness contract assumes them, and a lazily-executed DataFrame
+    would re-read the conf at run time anyway, so "restore after read"
+    would be unsound. Sessions shared with non-engine code should read
+    nano-timestamp parquet through this function.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"

@@ -76,6 +76,28 @@ def sample_frames(blob: bytes, n_frames: int, frame_size: int) -> list[bytes]:
             if i * stride < len(blob)]
 
 
+def binary_features_df(blobs: DataFrame) -> DataFrame:
+    """blobs(doc_id, blob) → deterministic fake features via an Arrow
+    batch iterator (the single home of the decode stub — the registered
+    mm_binary_features query delegates here). Empty-blob sentinel is 0 to
+    match SQL `ascii('')` so oracles stay comparable on empty inputs."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            b = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob_len": b.map(len),
+                    "head_byte": b.map(lambda x: x[0] if len(x) else 0),
+                    "tail_byte": b.map(lambda x: x[-1] if len(x) else 0),
+                    "checksum": b.map(lambda x: sum(x) % 2_147_483_647),
+                }
+            )
+
+    return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
 def frame_sample_df(blobs: DataFrame, n_frames: int = 4, frame_size: int = 16) -> DataFrame:
     """blobs(doc_id, blob) → one row per sampled frame, via an Arrow batch
     iterator (the video analogue of mm_binary_features)."""

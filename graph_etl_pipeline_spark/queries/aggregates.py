@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.numeric import davg, dec, dsum
+from graph_etl_pipeline_spark.queries.joins import _revenue_col
 from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.queries._sql import REVENUE, oavg, osum, sdec
 from graph_etl_pipeline_spark.registry import register
@@ -67,9 +68,8 @@ def agg_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = (dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))).alias("rev")
     return (
-        li.select("l_orderkey", rev)
+        li.select("l_orderkey", _revenue_col(li))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

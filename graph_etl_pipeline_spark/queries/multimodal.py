@@ -13,35 +13,12 @@ plan around it is unchanged.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.operators.multimodal import binary_features_df
 from graph_etl_pipeline_spark.registry import register
-
-FEATURE_SCHEMA = "doc_id bigint, blob_len int, head_byte int, tail_byte int, checksum bigint"
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """The 'decoder': consumes (doc_id, blob) Arrow batches, emits feature
-    rows. Deterministic fake features — a real deployment replaces the
-    body with PIL/torchvision/ffmpeg calls; signature, schema, and batch
-    shape stay identical."""
-    for pdf in batches:
-        blobs = pdf["blob"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "blob_len": blobs.map(len),
-                "head_byte": blobs.map(lambda b: b[0] if len(b) else -1),
-                "tail_byte": blobs.map(lambda b: b[-1] if len(b) else -1),
-                "checksum": blobs.map(lambda b: sum(b) % 2_147_483_647),
-            }
-        )
 
 
 @register(
@@ -74,7 +51,7 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and char arithmetic agree regardless of corpus content.
     ascii_text = F.regexp_replace(d.text, r"[^\x00-\x7F]", "?")
     blobs = d.select("doc_id", F.encode(ascii_text, "UTF-8").alias("blob"))
-    return blobs.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
+    return binary_features_df(blobs)
 
 
 @register(

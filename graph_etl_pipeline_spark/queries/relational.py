@@ -278,7 +278,7 @@ def fn_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(p_name, ' ')[-1] AS category,
            len(string_split(p_name, ' ')) AS n_words,
            contains(p_type, 'PROMO') AS is_promo,
-           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num
+           TRY_CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num
     FROM part
     """,
     tags=("function",),

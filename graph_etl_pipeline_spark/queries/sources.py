@@ -36,7 +36,12 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    dest = os.path.join(_CSV_CACHE, os.path.basename(os.path.normpath(sf_dir)), "customer")
+    import hashlib
+
+    # key by full-path hash + pid: distinct data roots sharing a basename
+    # must not collide, and concurrent processes must not race on one dir
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(_CSV_CACHE, f"{key}-{os.getpid()}", "customer")
     c.coalesce(1).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(dest)
     return (
         spark.read.schema("c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string")

@@ -136,6 +136,24 @@ def apply_schema(spark: SparkSession, warehouse: str) -> dict[str, int]:
     return stats
 
 
+def clear_warehouse(warehouse: str) -> int:
+    """S8 truncate-all for persistent state (reference:
+    src/db/neo4j_db.py:151-158 — `MATCH (n) DETACH DELETE n`). Removes
+    ONLY the registry's label tables and the edge table under the given
+    warehouse, never arbitrary paths. Returns the number removed."""
+    import shutil
+    from pathlib import Path
+
+    removed = 0
+    root = Path(warehouse)
+    for label in [*REGISTRY, "_edges"]:
+        path = root / label
+        if path.exists():
+            shutil.rmtree(path)
+            removed += 1
+    return removed
+
+
 def uniqueness_audit(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     """Constraint-violation audit (SURVEY §4.2): rows whose declared unique
     key appears more than once."""

@@ -54,9 +54,10 @@ def test_flagship_shape_survives_amplification(spark):
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = table(spark, sf_dir, "region")
-    rev = (dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))).alias("rev")
+    from graph_etl_pipeline_spark.queries.joins import _revenue_col
+
     amplified = (
-        li.select("l_orderkey", rev)
+        li.select("l_orderkey", _revenue_col(li))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
