@@ -4,6 +4,7 @@ registry. Add new operator families here as they land."""
 from graph_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     cleaning,
+    composite,
     dedup,
     graph_queries,
     joins,
