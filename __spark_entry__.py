@@ -12,12 +12,20 @@ in SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graph_etl_pipeline_spark.queries.joins import flagship
-from graph_etl_pipeline_spark.registry import oracle_map, query_map
+# Make the engine package importable even when this module is loaded by
+# file path from a different working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from graph_etl_pipeline_spark.queries.joins import flagship  # noqa: E402
+from graph_etl_pipeline_spark.registry import oracle_map, query_map  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
