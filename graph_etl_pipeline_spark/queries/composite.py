@@ -6,8 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graph_etl_pipeline_spark.functions.numeric import dec
-from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
 from graph_etl_pipeline_spark.graph.build import star_graph
 from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
@@ -88,11 +87,7 @@ _CURATION_SQL = f"""
         SELECT doc_id, {_TOKS} AS t FROM exact_kept
     ),
     sh AS (
-        SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 5
-                    THEN list_distinct([array_to_string(t[i:i+4], ' ')
-                         for i in generate_series(1, len(t)-4)])
-                    ELSE [array_to_string(t, ' ')] END) AS s
+        SELECT doc_id, unnest({sql_shingles("t", k=5)}) AS s
         FROM toks
     ),
     inter AS (
@@ -131,9 +126,10 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     → quality floor (≥ 20 tokens)
     → corpus statistics.
     Every stage is shuffle-bounded (16-byte fingerprints, inverted-index
-    shingle join, per-doc token counts); the whole chain is one lazy plan,
-    so Catalyst prunes columns end-to-end — text never travels past the
-    stage that needs it."""
+    shingle join, per-doc token counts). The exploded shingle table is
+    materialized once (eager localCheckpoint) because it feeds both join
+    sides plus the size lookup; up to that boundary and after it, the
+    chain is lazy and Catalyst prunes columns stage to stage."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
