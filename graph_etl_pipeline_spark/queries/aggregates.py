@@ -117,7 +117,7 @@ def agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            {osum(REVENUE, "sum_disc_price")},
            {oavg(sdec('l_quantity'), "avg_qty")},
            COUNT(*) AS count_order,
-           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_big_discount
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_discount
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,

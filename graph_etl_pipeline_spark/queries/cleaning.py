@@ -43,7 +43,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            min_by(lang_s, doc_id) FILTER (WHERE lang_s <> '') AS first_lang,
            COUNT(*) AS n_records,
-           SUM(CASE WHEN lang_s <> '' THEN 1 ELSE 0 END) AS n_filled
+           CAST(SUM(CASE WHEN lang_s <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
     FROM sparse
     GROUP BY source
     """,

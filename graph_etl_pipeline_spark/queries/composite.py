@@ -18,7 +18,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "agg_pivot",
     oracle=f"""
     SELECT user_id,
-           {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
     FROM events
     GROUP BY user_id
     """,
@@ -110,7 +110,7 @@ _CURATION_SQL = f"""
           AND len({SQL_TOKS.format(col="k.text")}) >= 20
     )
     SELECT COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM curated

@@ -135,10 +135,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

@@ -28,6 +28,85 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Driver-facing registration order. The correctness driver checks the FIRST
+# 50 registered queries, so every SURVEY §2-declared operator must sit inside
+# that window; extras (approximate/no-oracle variants, shapes already covered
+# by an in-cap sibling) come after position 50, best-evidence first in case
+# the cap is larger. Names not listed here (future additions) append at the
+# end in registration order. tests/test_library.py asserts the invariants.
+CORE_ORDER = [
+    # -- previously driver-untested SURVEY-declared queries, promoted first --
+    "sink_upsert_edge",        # S5
+    "src_csv_scan",            # S1
+    "src_json_flatten",        # S2
+    "win_row_number_dedup",    # O3
+    "win_lag_running_sum",     # O5
+    "win_tumbling_hourly",     # T1 (batch-checkable form)
+    "win_session_batch",       # T4
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    # -- previously-green SURVEY core --
+    "join_four_hop_chain",     # J5 (flagship)
+    "join_broadcast_inner",    # J1
+    "join_left_anti",          # J2
+    "join_left_semi",          # J3
+    "join_two_hop",            # J4
+    "join_consistency_antijoin",  # J7
+    "agg_count_by_label",      # A1
+    "agg_global_count",        # A2
+    "agg_group_topn",          # A3
+    "agg_topk",                # A4
+    "agg_multi_counter",       # A5
+    "agg_collect_set",         # A6
+    "dedup_exact",             # D1
+    "dedup_merge_most_complete",  # D2
+    "dedup_docs_exact",        # D5
+    "pipeline_corpus_curation",
+    "dedup_minhash_lsh",       # D5 near-dup
+    "dedup_ngram_jaccard",     # D5 near-dup
+    "graph_count_by_label",    # S9
+    "graph_reachability",      # J6
+    "mm_binary_features",
+    "mm_metadata_struct",
+    "proj_select_alias",       # P1
+    "flt_compound_predicate",  # P2+P3
+    "flt_blocklist_predicate", # P4+F9
+    "fn_hash_uid",             # F1
+    "fn_dict_normalize",       # F2-F4
+    "fn_regexp_extract_all",   # F5
+    "explode_split_targets",   # X2 (P5+F6+F7)
+    "fn_case_classify",        # D3
+    "fn_timestamps",           # F8
+    "fn_code_parse",           # F10
+    "arr_contains_lookup",     # X3
+    "sort_limit",              # O1+O2
+    "set_union",               # O4
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "sink_upsert_node",        # S4
+    "sink_merge_prefer_nonempty",  # S6
+    # ---- position 51+: extras, best-evidence first ----
+    "dedup_simhash",           # D5 sibling; 5 in-cap D5 rows remain
+    "graph_pattern_match",     # J4 covered by join_two_hop
+    "agg_pivot",
+    "dedup_minhash_signatures",  # subsumed by dedup_minhash_lsh
+    "graph_degree_distribution",
+    "set_intersect_except",    # O4 covered by set_union
+    "agg_salted_skew",
+    "mm_frame_sample",
+    "graph_orphan_antijoin",   # anti-join covered by J2/J7
+    "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
+    "win_rank_frames",         # window extra beyond O3/O5
+    "agg_approx_distinct",     # approximate by construction
+    "sim_ann_ivf",             # approximate by construction
+]
+
+# Queries the driver must hard-check — one per SURVEY §2 row. The test
+# suite asserts each sits within the first DRIVER_CAP registrations.
+DRIVER_CAP = 50
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
@@ -47,8 +126,13 @@ def _load_all() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """All registered queries in driver-facing order: CORE_ORDER first
+    (SURVEY-declared inside the driver's check window), then any
+    unlisted additions in registration order."""
     _load_all()
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in CORE_ORDER if n in _REGISTRY}
+    ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
+    return ordered
 
 
 def query_map() -> dict[str, QueryFn]:
