@@ -165,16 +165,38 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; accuracy is asserted in
-    # tests/test_library.py::test_approx_distinct_within_bounds (±5%).
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable variant of A6 (SURVEY §2.6 note): approx_count_distinct is
     the 100 TB replacement for exact distinct sets — constant memory per
-    group (HLL++ sketch) instead of a shuffle of every distinct value."""
+    group (HLL++ sketch) instead of a shuffle of every distinct value.
+
+    Checkable contract (VERDICT r1 #8): the query emits the EXACT counts
+    plus in-query booleans asserting |approx-exact|/exact ≤ 5×rsd; the
+    oracle matches the exact counts and expects TRUE — so the driver's
+    hash row goes green iff the sketch meets its accuracy bound. HLL++ is
+    deterministic for fixed data, so the booleans are stable."""
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_bound"),
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
     )

@@ -24,6 +24,9 @@ from graph_etl_pipeline_spark.registry import register
 DIM = 64
 QUERY_VEC_ID = 0
 PAIR_THRESHOLD = 0.4  # testdata has no planted embedding dups; 0.4 yields real pairs
+CHUNK_CAP = 32  # max vectors per triangle-join tile side (bounds task size to CAP²;
+# small enough that every test SF exceeds one chunk, so the tiling path is
+# always the one under test — at real scale tune toward 1-10k)
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -106,12 +109,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join is per-block instead of n² (the label column stands in for
     an IVF/LSH bucket assignment — at 100 TB the block key comes from
     sim_ann_ivf's coarse quantizer). One fused dot per pair; norms come
-    precomputed from the per-vector side input."""
+    precomputed from the per-vector side input.
+
+    Straggler control (VERDICT r1 #5): within a block the all-pairs join
+    is TRIANGLE-TILED — vectors are chunked into runs of ≤ CHUNK_CAP by
+    vec_id order, and the join shuffles on (label, tile_i, tile_j), so a
+    block of n vectors becomes (n/CAP)² independent tiles of ≤ CAP² pair
+    candidates each instead of one n² task. The emitted pair set is
+    IDENTICAL to the naive per-label self-join (each (a,b) pair lands in
+    exactly one tile: (chunk_a, chunk_b)); only the work distribution
+    changes. Replication cost: each row is shipped to ~nchunks/2 tiles —
+    linear in block size, vs the quadratic straggler it removes."""
+    from pyspark.sql import Window
+
     e = _norms(table(spark, sf_dir, "embeddings"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    w = Window.partitionBy("label").orderBy("vec_id")
+    chunked = e.withColumn(
+        "chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(CHUNK_CAP)).cast("int")
+    )
+    # One row per label — broadcast side input for the tile fan-out.
+    max_chunks = F.broadcast(chunked.groupBy("label").agg(F.max("chunk").alias("max_chunk")))
+    # A pair (a, b) with vec_id_a < vec_id_b has chunk_a <= chunk_b (chunks
+    # follow vec_id order). Left fans out to tiles (chunk, j) for j >= chunk;
+    # right to tiles (i, chunk) for i <= chunk; they meet exactly once, at
+    # tile (chunk_a, chunk_b).
+    left = (
+        chunked.join(max_chunks, "label")
+        .withColumn("tile_j", F.explode(F.sequence(F.col("chunk"), F.col("max_chunk"))))
+        .select(
+            "label", "vec_id", "embedding", "nrm",
+            F.col("chunk").alias("tile_i"), "tile_j",
+        )
+    )
+    right = chunked.withColumn(
+        "tile_i", F.explode(F.sequence(F.lit(0), F.col("chunk")))
+    ).select(
+        "label", "vec_id", "embedding", "nrm",
+        "tile_i", F.col("chunk").alias("tile_j"),
+    )
+    pairs = left.alias("a").join(right.alias("b"), ["label", "tile_i", "tile_j"]).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
     cosine = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -119,7 +156,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
+        F.col("label"),
         cosine.alias("cosine"),
     ).filter(F.col("cosine") >= PAIR_THRESHOLD)
 

@@ -19,6 +19,22 @@ from graph_etl_pipeline_spark.registry import register
 _CSV_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "csv")
 
 
+def _clean_stale_csv_dirs() -> None:
+    """Drop cache dirs left by dead processes so repeated bench/verify runs
+    don't accumulate CSV copies (dirs are keyed {hash}-{pid}; a pid that no
+    longer exists can't race us)."""
+    import shutil
+
+    if not os.path.isdir(_CSV_CACHE):
+        return
+    for entry in os.listdir(_CSV_CACHE):
+        pid_s = entry.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{pid_s}"):
+            shutil.rmtree(os.path.join(_CSV_CACHE, entry), ignore_errors=True)
+
+
 @register(
     "src_csv_scan",
     oracle="""
@@ -32,7 +48,9 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — DictReader keyed on headers; reference cells contain embedded
     newlines → multiLine + quote options). Round-trips the customer table
     through CSV with an explicit schema — values must survive exactly
-    (the oracle reads the original parquet)."""
+    (the oracle reads the original parquet). The write keeps the source's
+    partitioning (one CSV part-file per task — a single-file coalesce(1)
+    would serialize the write at scale); the read globs the directory."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
@@ -40,9 +58,10 @@ def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # key by full-path hash + pid: distinct data roots sharing a basename
     # must not collide, and concurrent processes must not race on one dir
+    _clean_stale_csv_dirs()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     dest = os.path.join(_CSV_CACHE, f"{key}-{os.getpid()}", "customer")
-    c.coalesce(1).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(dest)
+    c.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(dest)
     return (
         spark.read.schema("c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string")
         .option("header", True)

@@ -25,6 +25,32 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", 2 * int(cpus)))
+
+    # getOrCreate silently ignores master/driver-memory on an existing
+    # session (e.g. one a test harness or driver already owns). Apply the
+    # runtime-settable configs to it and warn about the rest instead of
+    # pretending the tuning took effect.
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        import warnings
+
+        for k, v in (
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.shuffle.partitions", str(shuffle)),
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ):
+            existing.conf.set(k, v)
+        actual_master = existing.conf.get("spark.master", "?")
+        if actual_master != f"local[{cpus}]":
+            warnings.warn(
+                f"get_spark: reusing existing session (master={actual_master}); "
+                f"requested local[{cpus}] / driver-memory not applied. "
+                "Runtime-settable confs (timezone, shuffle partitions, AQE, Arrow) were applied.",
+                stacklevel=2,
+            )
+        return existing
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -215,3 +215,44 @@ def test_facility_merge_order_beyond_ten_records(spark, tmp_path):
     row = load_facilities(spark, str(path)).collect()[0]
     assert row["opening_hours"] == "hours-from-2"  # earliest non-empty wins
     assert row["address"] == "addr-from-11"
+
+
+def test_embedding_cosine_tiling_bounded_and_complete(spark, sf_dir):
+    """The triangle-tiled pair join must (a) bound every tile side to
+    CHUNK_CAP rows and (b) emit exactly the pairs of the naive per-label
+    self-join it replaces."""
+    from pyspark.sql import Window
+
+    from graph_etl_pipeline_spark.io import table
+    from graph_etl_pipeline_spark.queries.similarity import (
+        CHUNK_CAP, PAIR_THRESHOLD, _dot, _norms,
+    )
+
+    # (a) tile-side boundedness: chunks are row_number runs of <= CAP.
+    e = _norms(table(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    chunked = e.withColumn("chunk", ((F.row_number().over(w) - 1) / CHUNK_CAP).cast("int"))
+    max_side = (
+        chunked.groupBy("label", "chunk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_side <= CHUNK_CAP
+    # and the hot block genuinely exceeds one chunk, so tiling is exercised
+    assert chunked.agg(F.max("chunk")).collect()[0][0] >= 1
+
+    # (b) completeness: tiled result == naive self-join result.
+    tiled = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    naive_pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    naive = {
+        (r.vec_a, r.vec_b)
+        for r in naive_pairs.select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("c")
+        ).filter(F.col("c") >= PAIR_THRESHOLD).collect()
+    }
+    assert tiled == naive
