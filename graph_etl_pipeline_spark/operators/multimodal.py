@@ -1,15 +1,13 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary columns (driver north-star).
 
-The execution pattern is the REAL deliverable: Arrow-batched
-mapInPandas iterators with schemas declared up front, operating on
-`binary` blobs + typed metadata structs. The codec bodies are gated —
-`PIL`/`av` are not in this container, so decode raises a clearly-marked
-NotImplementedError unless the library is importable, while
-`fake_features`/`sample_frames` are deterministic stand-ins that keep the
-plumbing testable end-to-end. Swapping a stub for the real codec changes
-only the function body; the Spark plan, partitioning, and schema are
-already production-shaped.
+The execution pattern is the deliverable: Arrow-batched mapInPandas
+iterators with schemas declared up front, operating on `binary` blobs +
+typed metadata structs. Image decode is REAL for 24-bit BMP and binary
+PPM (pure-stdlib codecs below — no PIL needed); PIL, when importable,
+extends coverage to other formats. `sample_frames` remains a
+deterministic stand-in for video (`av`/ffmpeg is not in this container)
+with identical stride math and output shape.
 
 Batch sizing note for 100 TB: media blobs are large — set
 spark.sql.execution.arrow.maxRecordsPerBatch (and files.maxPartitionBytes)
@@ -36,32 +34,135 @@ except ImportError:
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_head int"
 FEATURE_SCHEMA = "doc_id bigint, blob_len int, head_byte int, tail_byte int, checksum bigint"
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, img_format string, width int, height int, "
+    "n_pixels bigint, sum_pixels bigint, sum_r bigint"
+)
 
 
-def decode_image(blob: bytes):
-    """Decode an image blob. STUB: requires PIL, which this environment
-    does not ship — the call site (mapInPandas iterator) is the tested,
-    production-shaped part."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; this environment has no codecs. "
-            "The mapInPandas plumbing around this call is real and tested."
-        )
-    import io
+class DecodedImage:
+    """Decoded raster: RGB bytes, row-major, top-down (the interchange
+    shape every codec path normalizes to)."""
 
-    return Image.open(io.BytesIO(blob))
+    __slots__ = ("format", "width", "height", "rgb")
+
+    def __init__(self, format: str, width: int, height: int, rgb: bytes):
+        self.format = format
+        self.width = width
+        self.height = height
+        self.rgb = rgb  # len == width * height * 3
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB bytes as a 24-bit uncompressed (BI_RGB) BMP —
+    bottom-up rows, BGR channel order, rows padded to 4 bytes, as the
+    format demands. Pure stdlib; used to synthesize real decodable blobs
+    in tests and the mm_image_decode query."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + pad)
+    pixels = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def _decode_bmp(blob: bytes) -> DecodedImage:
+    import struct
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    dib_size, width, height, _planes, bpp, compression = struct.unpack_from("<IiiHHI", blob, 14)
+    if dib_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (dib={dib_size}, bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for i in range(height):
+        src_row = i if top_down else height - 1 - i
+        start = offset + src_row * row_size
+        bgr = blob[start : start + width * 3]
+        if len(bgr) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        dst = memoryview(out)[i * width * 3 : (i + 1) * width * 3]
+        dst[0::3], dst[1::3], dst[2::3] = bgr[2::3], bgr[1::3], bgr[0::3]
+    return DecodedImage("bmp", width, height, bytes(out))
+
+
+def _decode_ppm(blob: bytes) -> DecodedImage:
+    """PPM P6 (binary) — header is whitespace-separated ASCII with
+    # comments, then maxval and raw RGB bytes."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM blob")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    rgb = blob[pos : pos + width * height * 3]
+    if len(rgb) < width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return DecodedImage("ppm", width, height, rgb)
+
+
+def decode_image(blob: bytes) -> DecodedImage:
+    """Decode an image blob to top-down RGB. Pure-Python decoders for
+    24-bit BMP and binary PPM (always available); PIL, when importable,
+    handles everything else. Raises NotImplementedError only for formats
+    neither path covers."""
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    if _HAS_PIL:
+        import io
+
+        img = Image.open(io.BytesIO(blob)).convert("RGB")
+        return DecodedImage((img.format or "unknown").lower(), img.width, img.height, img.tobytes())
+    raise NotImplementedError(
+        f"no decoder for magic {blob[:2]!r}: built-in codecs cover BMP/PPM; "
+        "other formats need PIL (not in this container)"
+    )
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Resize stub — same gating contract as decode_image."""
-    if not _HAS_PIL:
-        raise NotImplementedError("image resize requires PIL (not in this container)")
-    import io
-
+    """Nearest-neighbor resize, re-encoded as BMP. Pure Python over the
+    decoded RGB matrix — a real implementation of the reference's planned
+    image transform, not a stub."""
     img = decode_image(blob)
-    out = io.BytesIO()
-    img.resize((width, height)).save(out, format=img.format or "PNG")
-    return out.getvalue()
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        sy = y * img.height // height
+        row_base = sy * img.width * 3
+        for x in range(width):
+            sx = x * img.width // width
+            s = row_base + sx * 3
+            d = (y * width + x) * 3
+            out[d : d + 3] = img.rgb[s : s + 3]
+    return encode_bmp(width, height, bytes(out))
 
 
 def sample_frames(blob: bytes, n_frames: int, frame_size: int) -> list[bytes]:
@@ -96,6 +197,34 @@ def binary_features_df(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+def image_stats_df(blobs: DataFrame) -> DataFrame:
+    """blobs(doc_id, blob) → decoded raster stats via the real decoder
+    (header-parsed dimensions, pixel-byte sums from the normalized RGB
+    matrix — sum_r is channel-0 only, so a BGR/RGB swap in the codec
+    would be caught by the oracle). Arrow batch iterator; the decoder is
+    pure Python per blob, which is the production shape for any codec
+    UDF — the parallelism comes from partitions, not the codec."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "img_format", "width", "height",
+                "n_pixels", "sum_pixels", "sum_r",
+            )}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_image(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["img_format"].append(img.format)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["n_pixels"].append(img.width * img.height)
+                out["sum_pixels"].append(sum(img.rgb))
+                out["sum_r"].append(sum(img.rgb[0::3]))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 def frame_sample_df(blobs: DataFrame, n_frames: int = 4, frame_size: int = 16) -> DataFrame:

@@ -99,7 +99,8 @@ CORE_ORDER = [
     "graph_orphan_antijoin",   # anti-join covered by J2/J7
     "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
     "win_rank_frames",         # window extra beyond O3/O5
-    "agg_approx_distinct",     # approximate by construction
+    "agg_approx_distinct",     # exact-count + in-query accuracy contract
+    "mm_image_decode",         # real BMP codec round-trip
     "sim_ann_ivf",             # approximate by construction
 ]
 

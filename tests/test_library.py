@@ -256,3 +256,57 @@ def test_embedding_cosine_tiling_bounded_and_complete(spark, sf_dir):
         ).filter(F.col("c") >= PAIR_THRESHOLD).collect()
     }
     assert tiled == naive
+
+
+def test_bmp_codec_roundtrip():
+    """encode→decode must be identity for odd widths (row padding) and
+    both spatial axes (bottom-up un-flip, BGR un-swap)."""
+    from graph_etl_pipeline_spark.operators.multimodal import decode_image, encode_bmp
+
+    for w, h in ((1, 1), (3, 2), (5, 4), (7, 3)):  # odd widths exercise padding
+        rgb = bytes((11 * i + 3) % 256 for i in range(w * h * 3))
+        img = decode_image(encode_bmp(w, h, rgb))
+        assert (img.format, img.width, img.height) == ("bmp", w, h)
+        assert img.rgb == rgb
+
+
+def test_bmp_decode_top_down_variant():
+    """Negative-height BMPs store rows top-down; the decoder must not flip."""
+    import struct
+
+    from graph_etl_pipeline_spark.operators.multimodal import decode_image, encode_bmp
+
+    rgb = bytes(range(2 * 2 * 3))
+    blob = bytearray(encode_bmp(2, 2, rgb))
+    # rewrite height to -2 and flip the stored row order to top-down
+    struct.pack_into("<i", blob, 22, -2)
+    row = 8  # 2 px * 3 B, padded to 4-byte multiple
+    px = blob[54:]
+    blob[54:] = px[row:] + px[:row]
+    img = decode_image(bytes(blob))
+    assert (img.width, img.height) == (2, 2)
+    assert img.rgb == rgb
+
+
+def test_ppm_decode_with_comment():
+    from graph_etl_pipeline_spark.operators.multimodal import decode_image
+
+    rgb = bytes(range(2 * 3 * 3))
+    blob = b"P6\n# a comment\n2 3\n255\n" + rgb
+    img = decode_image(blob)
+    assert (img.format, img.width, img.height) == ("ppm", 2, 3)
+    assert img.rgb == rgb
+
+
+def test_resize_nearest_neighbor():
+    from graph_etl_pipeline_spark.operators.multimodal import decode_image, encode_bmp, resize_image
+
+    rgb = bytes((7 * i) % 256 for i in range(4 * 2 * 3))
+    up = decode_image(resize_image(encode_bmp(4, 2, rgb), 8, 4))
+    assert (up.width, up.height) == (8, 4)
+    # every 2x2 output block replicates its source pixel
+    for y in range(4):
+        for x in range(8):
+            s = ((y // 2) * 4 + (x // 2)) * 3
+            d = (y * 8 + x) * 3
+            assert up.rgb[d : d + 3] == rgb[s : s + 3]
