@@ -94,3 +94,44 @@ def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
+
+
+# Scratch root for materialized shared subplans (keyed by pid; stale pid
+# dirs are reaped on next use).
+import os as _os
+
+SCRATCH_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".cache", "scratch")
+
+
+def _reap_stale_pid_dirs(root: str) -> None:
+    """Remove '{name}-{pid}' dirs whose owning process is gone — bounds the
+    on-disk footprint of repeated bench/verify runs without racing live
+    processes."""
+    import shutil
+
+    if not _os.path.isdir(root):
+        return
+    for entry in _os.listdir(root):
+        pid_s = entry.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == _os.getpid():
+            continue
+        if not _os.path.exists(f"/proc/{pid_s}"):
+            shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+
+
+def materialize(df: DataFrame, name: str) -> DataFrame:
+    """Write-then-read parquet materialization for subplans consumed by
+    several downstream operators (Spark has no automatic CTE sharing).
+
+    This is the production shape at 100 TB: the shared table (e.g. the
+    exploded shingle index or the MinHash signature table) is written ONCE
+    to storage and every consumer scans it with column pruning and
+    predicate pushdown — unlike ``localCheckpoint``, which pins the blocks
+    to executor storage (lost on executor death, evicts the block cache,
+    and is not column-prunable). Paths are pid-keyed so concurrent runs
+    don't race; dirs of dead pids are reaped lazily."""
+    spark = df.sparkSession
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    dest = _os.path.join(SCRATCH_DIR, f"{name}-{_os.getpid()}")
+    df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)

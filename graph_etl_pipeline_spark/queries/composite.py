@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
 from graph_etl_pipeline_spark.graph.build import star_graph
-from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.io import materialize, table
 from graph_etl_pipeline_spark.registry import register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -127,9 +127,9 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     → corpus statistics.
     Every stage is shuffle-bounded (16-byte fingerprints, inverted-index
     shingle join, per-doc token counts). The exploded shingle table is
-    materialized once (eager localCheckpoint) because it feeds both join
-    sides plus the size lookup; up to that boundary and after it, the
-    chain is lazy and Catalyst prunes columns stage to stage."""
+    materialized once (write-then-read, io.materialize) because it feeds
+    both join sides plus the size lookup; up to that boundary and after
+    it, the chain is lazy and Catalyst prunes columns stage to stage."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
@@ -144,10 +144,15 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graph_etl_pipeline_spark.functions.text import shingles
 
-    ds = exact_kept.select(
-        "doc_id", F.explode(shingles(norm_tokens(F.col("text")), k=5)).alias("s")
-    ).localCheckpoint(eager=True)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ds_arr = materialize(
+        exact_kept.select(
+            "doc_id", shingles(norm_tokens(F.col("text")), k=5).alias("shingles")
+        ),
+        "curation_shingles",
+    )
+    ds = ds_arr.select("doc_id", F.explode("shingles").alias("s"))
+    # arrays are distinct by construction → size() replaces the count agg
+    sizes = ds_arr.select("doc_id", F.size("shingles").alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

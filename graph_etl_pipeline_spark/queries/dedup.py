@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, shingles, sql_shingles
-from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.io import materialize, table
 from graph_etl_pipeline_spark.registry import register
 
 N_HASHES = 8
@@ -60,27 +60,27 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles"))
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → N_BANDS md5 band signatures (2 min-hashes per band)."""
-    ex = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    return _signatures_from(ex)
-
-
-def _signatures_from(ex: DataFrame) -> DataFrame:
-    """Signatures from an exploded (doc_id, shingle) table."""
-    mhs = ex.groupBy("doc_id").agg(
+def _signatures_from_arrays(ds: DataFrame) -> DataFrame:
+    """Signatures from a per-doc (doc_id, shingles array) table — fully
+    MAP-SIDE: min-hash = array_min(transform(...)) over the array, so the
+    signature table needs NO shuffle at all (the exploded GROUP BY
+    formulation pays an exchange of every (doc_id, shingle) row for the
+    same result). Equivalent to MIN over the exploded rows because
+    shingle arrays are distinct and non-empty by construction
+    (functions.text.shingles: whole-doc fallback for short docs)."""
+    mhs = ds.select(
+        "doc_id",
         *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("s"))),
-                    8 * (i % 4) + 1,
-                    8,
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.substring(
+                        F.md5(F.concat(F.lit(f"{i // 4}:"), s)), 8 * (i % 4) + 1, 8
+                    ),
                 )
             ).alias(f"mh{i}")
             for i in range(N_HASHES)
-        ]
+        ],
     )
     return mhs.select(
         "doc_id",
@@ -108,10 +108,10 @@ def _signatures_from(ex: DataFrame) -> DataFrame:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation: shingle → 8 seeded min-hashes → 4 LSH
-    band signatures per document. Pure map-side + one aggregation; the
-    signature table is what ships to the band join at scale (signatures
-    are ~128 bytes/doc regardless of document size)."""
-    return _minhash_signatures(spark, sf_dir)
+    band signatures per document. Pure map-side (zero shuffles — see
+    _signatures_from_arrays); the signature table is what ships to the
+    band join at scale (~128 bytes/doc regardless of document size)."""
+    return _signatures_from_arrays(_doc_shingles(spark, sf_dir))
 
 
 @register(
@@ -157,16 +157,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join is inverted-index shaped (explode distinct
     shingles, join on shingle restricted to candidate pairs) so no
     document pair outside the LSH buckets is ever compared."""
-    # Materialize the exploded shingle table ONCE: it feeds the signature
-    # aggregation, the per-doc size lookup, and both verification join
-    # sides — Spark has no automatic CTE sharing, so without the
-    # checkpoint the shingle pipeline would re-execute per reference.
+    # Materialize the per-doc shingle table ONCE: the tokenize+shingle
+    # computation feeds the signature projection, the per-doc size lookup,
+    # and both verification join sides — Spark has no automatic CTE
+    # sharing, so without this the shingle pipeline would re-execute per
+    # reference. Write-then-read (io.materialize) is the 100 TB shape: a
+    # persisted shingles/signatures table every consumer scans, instead of
+    # localCheckpoint pinning blocks to executor storage. The COMPACT
+    # array form is what's written (one doc_id per row); consumers explode
+    # lazily — exploding a scanned array is cheap, re-tokenizing isn't.
     d = table(spark, sf_dir, "documents")
-    ex = (
-        d.select("doc_id", F.explode(shingles(norm_tokens(d.text))).alias("s"))
-        .localCheckpoint(eager=True)
+    ds = materialize(
+        d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
+        "lsh_doc_shingles",
     )
-    sigs = _signatures_from(ex).localCheckpoint(eager=True)
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    # map-side from the array table, persisted tiny (~128 B/doc), consumed
+    # by both sides of the band self-join
+    sigs = materialize(_signatures_from_arrays(ds), "lsh_signatures")
     unpivoted = sigs.select(
         "doc_id",
         F.explode(
@@ -191,9 +199,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # shingles are array_distinct'd pre-explode, so the per-doc row count
-    # IS the shingle-set size
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingles are array_distinct'd, so the array size IS the shingle-set
+    # size — a projection off the materialized table, not an aggregation
+    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
 
     ea, eb = ex.alias("ea"), ex.alias("eb")
     inter = (
@@ -251,9 +259,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cost ∝ true collisions, not n²). With a small-vocabulary corpus use
     the MinHash path instead — this is the high-precision verifier."""
     d = table(spark, sf_dir, "documents")
-    ds = d.select(
-        "doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles")
-    ).localCheckpoint(eager=True)  # shared by both join sides + sizes
+    ds = materialize(
+        d.select("doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles")),
+        "jaccard_shingles",
+    )  # shared by both join sides + sizes (write-then-read, see io.materialize)
     ex = ds.select("doc_id", F.explode("shingles").alias("s"))
     sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
 
