@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
+from graph_etl_pipeline_spark.queries.dedup import MAX_SHINGLE_DF
 from graph_etl_pipeline_spark.graph.build import star_graph
 from graph_etl_pipeline_spark.io import materialize, table
 from graph_etl_pipeline_spark.registry import register
@@ -86,9 +87,15 @@ _CURATION_SQL = f"""
     toks AS (
         SELECT doc_id, {_TOKS} AS t FROM exact_kept
     ),
-    sh AS (
+    sh_all AS (
         SELECT doc_id, unnest({sql_shingles("t", k=5)}) AS s
         FROM toks
+    ),
+    hot AS (  -- df-capped stop-shingles (see queries.dedup.MAX_SHINGLE_DF)
+        SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    sh AS (
+        SELECT doc_id, s FROM sh_all WHERE s NOT IN (SELECT s FROM hot)
     ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -150,9 +157,17 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "curation_shingles",
     )
-    ds = ds_arr.select("doc_id", F.explode("shingles").alias("s"))
-    # arrays are distinct by construction → size() replaces the count agg
-    sizes = ds_arr.select("doc_id", F.size("shingles").alias("n_sh"))
+    ds_all = ds_arr.select("doc_id", F.explode("shingles").alias("s"))
+    # df cap before the self-join (join cost is Σ df² — see
+    # queries.dedup.MAX_SHINGLE_DF); hot list is tiny → broadcast anti-join
+    hot = (
+        ds_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    ds = ds_all.join(F.broadcast(hot), "s", "left_anti")
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -30,6 +30,16 @@ N_HASHES = 8
 N_BANDS = 4  # 4 bands × 2 rows: P(candidate) ≈ 1-(1-j²)⁴ — 0.93 at j=0.8
 JACCARD_THRESHOLD = 0.5
 
+# Document-frequency cap for the inverted-index Jaccard join (VERDICT r2 #5).
+# The join's cost is Σ df(shingle)²: one boilerplate shingle shared by 100k
+# docs is a 10¹⁰-pair task at corpus scale. Shingles this common carry no
+# near-dup signal (they are corpus boilerplate, not document identity), so
+# both the Spark plan and the DuckDB oracle drop shingles with df > K
+# BEFORE the self-join and compute Jaccard over the rare-shingle sets.
+# K=50 at test scale; at 100 TB this is the same constant-order knob
+# (the hot-shingle list stays tiny and broadcastable by construction).
+MAX_SHINGLE_DF = 50
+
 _SQL_SHINGLE_CTE = f"""
     WITH toks AS (
         SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
@@ -67,18 +77,22 @@ def _signatures_from_arrays(ds: DataFrame) -> DataFrame:
     formulation pays an exchange of every (doc_id, shingle) row for the
     same result). Equivalent to MIN over the exploded rows because
     shingle arrays are distinct and non-empty by construction
-    (functions.text.shingles: whole-doc fallback for short docs)."""
+    (functions.text.shingles: whole-doc fallback for short docs).
+
+    The per-hash lambda MUST be single-parameter: F.transform inspects the
+    lambda's arity, and a 2-arg lambda is called with (element, index) —
+    so the classic `lambda s, i=i:` default-capture trick silently binds
+    the array-index Column over the Python loop var (the round-2 bug).
+    A closure factory keeps arity 1 while capturing the hash index."""
+
+    def _mh(i: int):
+        prefix, start = f"{i // 4}:", 8 * (i % 4) + 1
+        return lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), start, 8)
+
     mhs = ds.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.substring(
-                        F.md5(F.concat(F.lit(f"{i // 4}:"), s)), 8 * (i % 4) + 1, 8
-                    ),
-                )
-            ).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("shingles"), _mh(i))).alias(f"mh{i}")
             for i in range(N_HASHES)
         ],
     )
@@ -236,13 +250,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded AS (
         SELECT doc_id, unnest(shingles) AS s FROM doc_shingles
     ),
+    hot AS (  -- stop-shingles: corpus boilerplate, no near-dup signal
+        SELECT s FROM exploded GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    rare AS (
+        SELECT doc_id, s FROM exploded WHERE s NOT IN (SELECT s FROM hot)
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM exploded a JOIN exploded b
+        FROM rare a JOIN rare b
           ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles)
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id)
     SELECT doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
     FROM inter
@@ -257,14 +277,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-word shingles are rare enough that unrelated documents almost never
     share one, so the shingle-equality join IS the candidate generator
     (cost ∝ true collisions, not n²). With a small-vocabulary corpus use
-    the MinHash path instead — this is the high-precision verifier."""
+    the MinHash path instead — this is the high-precision verifier.
+
+    Scale guard: shingles with document frequency > MAX_SHINGLE_DF are
+    dropped before the self-join (the join cost is Σ df², so one hot
+    boilerplate shingle is quadratic; a df-capped shingle carries no
+    identity signal anyway). The hot-shingle list is an aggregation output
+    orders of magnitude smaller than the corpus — broadcast anti-join, so
+    the filter itself adds no shuffle of the exploded table."""
     d = table(spark, sf_dir, "documents")
     ds = materialize(
         d.select("doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles")),
         "jaccard_shingles",
     )  # shared by both join sides + sizes (write-then-read, see io.materialize)
-    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex_all = ds.select("doc_id", F.explode("shingles").alias("s"))
+    # arrays are distinct per doc → COUNT(*) per shingle IS its doc frequency
+    hot = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
+    # sizes over the RARE shingle set (matches the oracle's denominator)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = ex.alias("a"), ex.alias("b")
     inter = (

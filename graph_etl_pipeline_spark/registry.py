@@ -82,7 +82,9 @@ CORE_ORDER = [
     "fn_code_parse",           # F10
     "arr_contains_lookup",     # X3
     "sort_limit",              # O1+O2
-    "set_union",               # O4
+    "mm_image_decode",         # real BMP codec round-trip (promoted r3 —
+                               # VERDICT r2 #7: best new work deserves a
+                               # hard driver row)
     "sim_cosine_topk",
     "dedup_embedding_cosine",
     "sink_upsert_node",        # S4
@@ -100,7 +102,9 @@ CORE_ORDER = [
     "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
     "win_rank_frames",         # window extra beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
-    "mm_image_decode",         # real BMP codec round-trip
+    "set_union",               # O4 — demoted r3 for mm_image_decode; the
+                               # union shape stays oracle-checked by the
+                               # local parity replica
     "sim_ann_ivf",             # approximate by construction
 ]
 

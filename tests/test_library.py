@@ -29,7 +29,10 @@ SURVEY_DECLARED = {
     "join_consistency_antijoin",
     "agg_count_by_label", "agg_global_count", "agg_group_topn", "agg_topk",
     "agg_multi_counter", "agg_collect_set",
-    "sort_limit", "set_union", "win_row_number_dedup", "win_lag_running_sum",
+    # set_union (O4) was swapped out of the driver window in r3 to give
+    # mm_image_decode a hard driver row (VERDICT r2 #7); the union shape
+    # stays oracle-checked by tests/test_oracle_parity.py.
+    "sort_limit", "mm_image_decode", "win_row_number_dedup", "win_lag_running_sum",
     "explode_split_targets", "arr_contains_lookup",
     "win_tumbling_hourly", "win_session_batch",
     "text_lang_id", "text_quality_score", "text_token_count",
@@ -148,8 +151,12 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         f"SELECT COUNT(DISTINCT l_orderkey), COUNT(DISTINCT l_partkey) "
         f"FROM '{sf_dir}/lineitem.parquet'"
     ).fetchone()
-    assert abs(df.approx_orders - exact_o) / exact_o < 0.05
-    assert abs(df.approx_parts - exact_p) / exact_p < 0.05
+    # the query emits exact counts + in-query accuracy booleans (the
+    # approx values themselves are folded into the *_within_bound check)
+    assert df.exact_orders == exact_o
+    assert df.exact_parts == exact_p
+    assert df.orders_within_bound is True
+    assert df.parts_within_bound is True
 
 
 def test_ann_ivf_recall(spark, sf_dir):
