@@ -7,9 +7,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
-from graph_etl_pipeline_spark.queries.dedup import MAX_SHINGLE_DF
+from graph_etl_pipeline_spark.queries.dedup import (
+    MAX_SHINGLE_DF,
+    _jaccard_pairs,
+    _rare_shingle_index,
+)
 from graph_etl_pipeline_spark.graph.build import star_graph
-from graph_etl_pipeline_spark.io import materialize, table
+from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -151,38 +155,17 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graph_etl_pipeline_spark.functions.text import shingles
 
-    ds_arr = materialize(
+    # df-capped inverted shingle index, ONE write job shared by both join
+    # sides; index rows carry n_sh so the pair aggregation needs no size
+    # joins (see dedup._rare_shingle_index / _jaccard_pairs)
+    ds = _rare_shingle_index(
         exact_kept.select(
             "doc_id", shingles(norm_tokens(F.col("text")), k=5).alias("shingles")
         ),
-        "curation_shingles",
+        "curation_rare",
     )
-    ds_all = ds_arr.select("doc_id", F.explode("shingles").alias("s"))
-    # df cap before the self-join (join cost is Σ df² — see
-    # queries.dedup.MAX_SHINGLE_DF); hot list is tiny → broadcast anti-join
-    hot = (
-        ds_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("s")
-    )
-    ds = ds_all.join(F.broadcast(hot), "s", "left_anti")
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ds.alias("a"), ds.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
     losers = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        _jaccard_pairs(ds)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

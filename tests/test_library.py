@@ -225,31 +225,36 @@ def test_facility_merge_order_beyond_ten_records(spark, tmp_path):
 
 
 def test_embedding_cosine_tiling_bounded_and_complete(spark, sf_dir):
-    """The triangle-tiled pair join must (a) bound every tile side to
-    CHUNK_CAP rows and (b) emit exactly the pairs of the naive per-label
-    self-join it replaces."""
+    """The triangle-tiled pair join must (a) bound every tile side to the
+    cap and (b) emit exactly the pairs of the naive per-label self-join it
+    replaces. Uses a deliberately SMALL cap (16 ≪ production CHUNK_CAP) so
+    every test SF genuinely fans blocks out into multiple tiles — the
+    production cap is sized so typical blocks stay single-tile."""
     from pyspark.sql import Window
 
     from graph_etl_pipeline_spark.io import table
     from graph_etl_pipeline_spark.queries.similarity import (
-        CHUNK_CAP, PAIR_THRESHOLD, _dot, _norms,
+        PAIR_THRESHOLD, _dot, _label_pair_cosines, _norms,
     )
 
-    # (a) tile-side boundedness: chunks are row_number runs of <= CAP.
+    cap = 16
+    # (a) tile-side boundedness: chunks are row_number runs of <= cap.
     e = _norms(table(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("label").orderBy("vec_id")
-    chunked = e.withColumn("chunk", ((F.row_number().over(w) - 1) / CHUNK_CAP).cast("int"))
+    chunked = e.withColumn("chunk", ((F.row_number().over(w) - 1) / cap).cast("int"))
     max_side = (
         chunked.groupBy("label", "chunk").count().agg(F.max("count")).collect()[0][0]
     )
-    assert max_side <= CHUNK_CAP
+    assert max_side <= cap
     # and the hot block genuinely exceeds one chunk, so tiling is exercised
     assert chunked.agg(F.max("chunk")).collect()[0][0] >= 1
 
     # (b) completeness: tiled result == naive self-join result.
     tiled = {
         (r.vec_a, r.vec_b)
-        for r in all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+        for r in _label_pair_cosines(e, cap)
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+        .collect()
     }
     a, b = e.alias("a"), e.alias("b")
     naive_pairs = a.join(
