@@ -103,11 +103,29 @@ import os as _os
 SCRATCH_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".cache", "scratch")
 
 
+STALE_DIR_MAX_AGE_SEC = 24 * 3600
+
+
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe: signal 0 (no /proc dependency)."""
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def _reap_stale_pid_dirs(root: str) -> None:
     """Remove '{name}-{pid}' dirs whose owning process is gone — bounds the
     on-disk footprint of repeated bench/verify runs without racing live
-    processes."""
+    processes. A dir older than STALE_DIR_MAX_AGE_SEC is reaped even if
+    its pid answers: a recycled pid belonging to an unrelated long-lived
+    process would otherwise pin the dir forever (scratch outputs are
+    consumed within one run, so age is a safe second signal)."""
     import shutil
+    import time
 
     if not _os.path.isdir(root):
         return
@@ -115,8 +133,13 @@ def _reap_stale_pid_dirs(root: str) -> None:
         pid_s = entry.rsplit("-", 1)[-1]
         if not pid_s.isdigit() or int(pid_s) == _os.getpid():
             continue
-        if not _os.path.exists(f"/proc/{pid_s}"):
-            shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+        path = _os.path.join(root, entry)
+        try:
+            too_old = time.time() - _os.path.getmtime(path) > STALE_DIR_MAX_AGE_SEC
+        except OSError:
+            too_old = False
+        if too_old or not _pid_alive(int(pid_s)):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def materialize(df: DataFrame, name: str) -> DataFrame:

@@ -110,6 +110,8 @@ def _decode_ppm(blob: bytes) -> DecodedImage:
     while len(fields) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(blob):
+            raise ValueError("truncated PPM header")
         if blob[pos : pos + 1] == b"#":  # comment to end of line
             while pos < len(blob) and blob[pos] != 0x0A:
                 pos += 1

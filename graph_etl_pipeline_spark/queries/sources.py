@@ -22,17 +22,11 @@ _CSV_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pat
 def _clean_stale_csv_dirs() -> None:
     """Drop cache dirs left by dead processes so repeated bench/verify runs
     don't accumulate CSV copies (dirs are keyed {hash}-{pid}; a pid that no
-    longer exists can't race us)."""
-    import shutil
+    longer exists can't race us). Shares io.py's portable liveness + age
+    logic so recycled pids can't pin dirs forever."""
+    from graph_etl_pipeline_spark.io import _reap_stale_pid_dirs
 
-    if not os.path.isdir(_CSV_CACHE):
-        return
-    for entry in os.listdir(_CSV_CACHE):
-        pid_s = entry.rsplit("-", 1)[-1]
-        if not pid_s.isdigit() or int(pid_s) == os.getpid():
-            continue
-        if not os.path.exists(f"/proc/{pid_s}"):
-            shutil.rmtree(os.path.join(_CSV_CACHE, entry), ignore_errors=True)
+    _reap_stale_pid_dirs(_CSV_CACHE)
 
 
 @register(

@@ -6,14 +6,18 @@ itself, not a batch stand-in."""
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.queries._sql import osum, sdec
 from graph_etl_pipeline_spark.registry import register
 from graph_etl_pipeline_spark.streaming.jobs import (
     events_stream,
+    incremental_upsert,
     run_to_memory,
     tumbling_aggregate,
 )
@@ -41,4 +45,71 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         tumbling_aggregate(stream, window="1 hour", watermark="2 hours"),
         name=f"stream_tumbling_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@register(
+    "stream_incremental_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS user_id, c.c_name,
+           l.last_event_id, l.last_ts, l.last_value
+    FROM customer c LEFT JOIN latest l ON l.user_id = c.c_custkey
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 executed through the streaming engine (VERDICT r2 #8): readStream
+    over events → foreachBatch merge into a customer-keyed state table via
+    the SAME set-oriented merge_upsert the batch sinks use
+    (sinks/upsert.py; reference re-run contract, waste_items.py:366-373).
+    Each micro-batch is reduced to its latest event per user
+    (deterministic tiebreak: ts DESC, event_id DESC) before merging;
+    matched users take the incoming state, users with no events keep
+    their NULL state — the keep-unmatched-existing leg of MERGE.
+
+    The single-file source arrives as one availableNow micro-batch, so
+    the final state equals the batch latest-event-per-user oracle exactly;
+    multi-batch arrival and replay idempotency are exercised in
+    tests/test_streaming.py."""
+    existing = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_name",
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+        F.lit(None).cast("double").alias("last_value"),
+    )
+
+    def latest_per_user(batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    return incremental_upsert(
+        events_stream(spark, sf_dir),
+        existing,
+        keys=["user_id"],
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_upsert_ckpt_"),
+        table_name=f"stream_upsert_{uuid.uuid4().hex[:8]}",
+        prepare=latest_per_user,
     )

@@ -100,6 +100,7 @@ CORE_ORDER = [
     "mm_frame_sample",
     "graph_orphan_antijoin",   # anti-join covered by J2/J7
     "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
+    "stream_incremental_upsert",  # T2 foreachBatch merge, oracle-checked (r3)
     "win_rank_frames",         # window extra beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
     "set_union",               # O4 — demoted r3 for mm_image_decode; the

@@ -29,8 +29,15 @@ def get_spark(
     # getOrCreate silently ignores master/driver-memory on an existing
     # session (e.g. one a test harness or driver already owns). Apply the
     # runtime-settable configs to it and warn about the rest instead of
-    # pretending the tuning took effect.
-    existing = SparkSession.getActiveSession()
+    # pretending the tuning took effect. getActiveSession is THREAD-LOCAL,
+    # so also check the process-wide default session — a session created
+    # on another thread must get the same conf treatment instead of being
+    # silently reused untouched by builder.getOrCreate().
+    # (PySpark exposes no public getDefaultSession; _instantiatedSession is
+    # its process-wide slot, present across 3.x/4.x — guarded anyway.)
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if existing is not None:
         import warnings
 

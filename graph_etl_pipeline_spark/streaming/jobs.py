@@ -97,14 +97,24 @@ def incremental_upsert(
     keys: Sequence[str],
     checkpoint_dir: str,
     table_name: str,
+    prepare=None,
 ):
     """T2: incremental idempotent upsert — every micro-batch merges into
     the target with the SAME set-oriented merge the batch path uses
     (reference re-run safety, waste_items.py:366-373). Checkpointing makes
-    replayed batches no-ops because the merge is idempotent."""
+    replayed batches no-ops because the merge is idempotent.
+
+    ``prepare`` (optional) maps each micro-batch DataFrame to the rows to
+    merge — e.g. a row_number dedup to one row per key. It runs inside
+    foreachBatch where the batch is an ordinary DataFrame, so operations
+    the streaming planner rejects (non-time windows, arbitrary joins) are
+    legal. merge_upsert requires key-unique incoming rows; a batch with
+    duplicate keys MUST be reduced here."""
     state = {"current": existing}
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         state["current"] = merge_upsert(
             state["current"], batch_df, keys=list(keys)
         ).localCheckpoint(eager=True)

@@ -88,11 +88,12 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple], dict[str,
     try:
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # One execution: schema types AND row tuples both come off the
+        # Arrow table (running the SQL twice doubled oracle cost).
         tbl = con.execute(sql).arrow()
         cols = list(tbl.schema.names)
         types = {f.name: _canon_arrow(f.type) for f in tbl.schema}
-        cur = con.execute(sql)
-        rows = cur.fetchall()
+        rows = [tuple(r) for r in zip(*[c.to_pylist() for c in tbl.columns])]
         return cols, rows, types
     finally:
         con.close()
