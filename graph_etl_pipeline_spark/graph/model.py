@@ -88,6 +88,54 @@ class PropertyGraph:
             frontier = nxt
         return visited
 
+    def connected_components(self, max_iter: int = 20, checkpoint: bool = True) -> DataFrame:
+        """Distributed connected components via hash-min propagation:
+        every vertex starts as its own component (its uid), and each
+        round every vertex adopts the minimum component id among itself
+        and its neighbors (one join + one min-aggregation over the
+        undirected edge set). Converges in O(component diameter) rounds;
+        the per-round change check is one cheap anti-filter job and exits
+        at the true diameter instead of always paying max_iter rounds.
+        localCheckpoint truncates lineage so plan size stays constant
+        across iterations (same harness discipline as `reachable`).
+
+        Returns (uid, component) where component = the lexicographically
+        smallest uid in the vertex's component — a deterministic
+        representative. Isolated vertices keep their own uid.
+
+        Scale note: hash-min's round count is the component diameter,
+        which is fine for the shallow containment graphs this engine
+        models (≤3 hops) but slow on long chains at web scale; there,
+        swap the propagation step for alternating small-star/large-star
+        contraction (Kiveris et al., 'Connected Components in MapReduce
+        and Beyond') — O(log n) rounds, same loop harness, same output
+        contract."""
+        und = self.edges.select("src_uid", "dst_uid").unionByName(
+            self.edges.select(
+                F.col("dst_uid").alias("src_uid"), F.col("src_uid").alias("dst_uid")
+            )
+        )
+        comp = self.vertices.select("uid", F.col("uid").alias("component"))
+        for _ in range(max_iter):
+            nbr = und.join(comp, und.src_uid == comp.uid).select(
+                F.col("dst_uid").alias("uid"), "component"
+            )
+            cand = (
+                comp.unionByName(nbr)
+                .groupBy("uid")
+                .agg(F.min("component").alias("component"))
+            )
+            if checkpoint:
+                cand = cand.localCheckpoint(eager=True)
+            changed = (
+                cand.join(comp.withColumnRenamed("component", "prev"), "uid")
+                .filter(F.col("component") != F.col("prev"))
+            )
+            comp = cand
+            if changed.isEmpty():
+                break
+        return comp
+
     def match(self, src_label: str, rel_type: str, dst_label: str) -> DataFrame:
         """Tiny pattern API (SURVEY §4.2): the engine's ergonomic analogue
         of Cypher `MATCH (:Src)-[:REL]->(:Dst)` — a 3-way join returning

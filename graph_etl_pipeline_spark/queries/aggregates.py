@@ -200,3 +200,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("approx_orders", "exact_orders").alias("orders_within_bound"),
         within("approx_parts", "exact_parts").alias("parts_within_bound"),
     )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {osum(sdec('l_quantity'), "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag → flag+status → grand
+    total) — the OLAP reporting shape the per-group aggregates (A1-A5)
+    don't cover. Spark expands rollup into grouping sets inside ONE
+    hash aggregation over one exchange — same shuffle cost as the plain
+    groupBy, with subtotal rows marked by NULL group keys identically
+    to the SQL standard (and DuckDB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -115,3 +115,38 @@ def graph_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dst_name").alias("dst_name"))
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    SELECT uid, component FROM (
+        SELECT 'C' || CAST(c_custkey AS VARCHAR) AS uid,
+               'C' || CAST(c_custkey AS VARCHAR) AS component
+        FROM customer
+        UNION ALL
+        SELECT 'O' || CAST(o_orderkey AS VARCHAR),
+               'C' || CAST(o_custkey AS VARCHAR)
+        FROM orders
+    )
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (hash-min label propagation, see
+    PropertyGraph.connected_components) over the PLACED_BY subgraph:
+    customers ∪ their orders. Ground truth is closed-form — each
+    component is one customer plus their orders, and since 'C…' sorts
+    before 'O…' the min-uid representative is always the customer's uid —
+    so the ITERATIVE algorithm must converge to exactly the static
+    answer (same oracle discipline as graph_reachability). Customers
+    with no orders stay singleton components. Multi-hop convergence on a
+    long planted chain is exercised in tests/test_library.py."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+
+    g = star_graph(spark, sf_dir)
+    sub = PropertyGraph(
+        vertices=g.vertices.filter(F.col("label").isin("Customer", "Order")),
+        edges=g.edges.filter(F.col("rel_type") == "PLACED_BY"),
+    )
+    return sub.connected_components()

@@ -212,3 +212,72 @@ def win_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_rank).alias("bal_rank"),
         F.sum(dec("c_acctbal")).over(w_frame).cast("double").alias("neighborhood_bal"),
     )
+
+
+@register(
+    "win_asof_last_click",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    filled AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts,
+               last_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_click_ts, last_click_id
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    tags=("window", "asof"),
+)
+def win_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, Spark-first: attach to every purchase the user's most
+    recent click at or before it (attribution — the canonical as-of
+    lookup). Spark has no ASOF JOIN operator; the naive translation is a
+    non-equi range join (quadratic per user). This instead UNIONS both
+    event roles into one stream and fill-forwards the click columns with
+    last(..., ignorenulls) over (user_id, ts) — as-of semantics from ONE
+    window over ONE shuffle on user_id, no join at all. At 100 TB the
+    exchange carries each event exactly once, and skew follows user
+    activity (bounded, saltable) rather than candidate-pair counts.
+
+    Tie discipline: ordering is (ts, event_id) — a click at the exact
+    purchase timestamp counts as "before" iff its event_id is lower,
+    identically in both engines, so the row hash is deterministic."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    filled = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        "last_click_id",
+    )

@@ -107,6 +107,9 @@ CORE_ORDER = [
                                # union shape stays oracle-checked by the
                                # local parity replica
     "sim_ann_ivf",             # approximate by construction
+    "win_asof_last_click",     # as-of join via fill-forward window (r3)
+    "agg_rollup",              # hierarchical subtotals, one exchange (r3)
+    "graph_connected_components",  # iterative hash-min CC vs closed-form oracle (r3)
 ]
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test

@@ -322,3 +322,25 @@ def test_resize_nearest_neighbor():
             s = ((y // 2) * 4 + (x // 2)) * 3
             d = (y * 8 + x) * 3
             assert up.rgb[d : d + 3] == rgb[s : s + 3]
+
+
+def test_connected_components_chain_convergence(spark):
+    """Hash-min CC must propagate across a long path (one hop per round):
+    a planted 10-node chain plus an isolated vertex — the chain collapses
+    to its min uid, the singleton keeps its own."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+
+    n = 10
+    vertices = spark.createDataFrame(
+        [(f"n{i:02d}", "X", f"node {i}") for i in range(n)] + [("z99", "X", "lonely")],
+        "uid string, label string, name string",
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}", "LINK") for i in range(n - 1)],
+        "src_uid string, dst_uid string, rel_type string",
+    )
+    comp = {
+        r.uid: r.component
+        for r in PropertyGraph(vertices, edges).connected_components().collect()
+    }
+    assert comp == {f"n{i:02d}": "n00" for i in range(n)} | {"z99": "z99"}
