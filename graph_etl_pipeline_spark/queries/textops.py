@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
 from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
 
@@ -212,3 +212,106 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ths"), F.lit(0).cast("long"), lambda a, b: (a * 131 + b) % MOD
     )
     return hashlists.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS distinct_ratio,
+           list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)])
+               AS top_token_freq,
+           CAST(list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)]) AS DOUBLE)
+               / CAST(len(t) AS DOUBLE) AS top_ratio
+    FROM toks
+    """,
+    tags=("text", "llm"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (the Gopher-rules family): the
+    distinct-token ratio and the most-frequent-token share expose
+    boilerplate and degenerate/repetitive generations that length or
+    stopword ratios miss. Entirely map-side higher-order array
+    expressions — per-document work is O(distinct × tokens) with no
+    shuffle at all, so the operator scales linearly with corpus size.
+    Ratios divide exact integers, so the doubles hash identically across
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = norm_tokens(d.text)
+    distinct = F.array_distinct(toks)
+    top_freq = F.array_max(
+        F.transform(distinct, lambda u: F.size(F.filter(toks, lambda x: x == u)))
+    )
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(distinct).alias("n_distinct"),
+        (F.size(distinct).cast("double") / n.cast("double")).alias("distinct_ratio"),
+        top_freq.alias("top_token_freq"),
+        (top_freq.cast("double") / n.cast("double")).alias("top_ratio"),
+    )
+
+
+# Benchmark decontamination: docs 0-2 stand in for a held-out eval set.
+DECONTAM_K = 8
+DECONTAM_BENCH_DOCS = 3
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    ),
+    ds AS (
+        SELECT doc_id, {sql_shingles("t", k=DECONTAM_K)} AS shingles FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM ds
+        WHERE doc_id < {DECONTAM_BENCH_DOCS}
+    ),
+    hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ds) e
+        JOIN bench USING (s)
+    )
+    SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+    FROM documents d
+    """,
+    tags=("text", "llm", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag every training document sharing an
+    8-gram (DECONTAM_K) with the held-out eval set (here: docs 0-2, a deterministic
+    stand-in; production swaps in the real benchmark corpus). The eval
+    shingle set is SMALL by construction (benchmarks are thousands of
+    documents, not billions), so it broadcasts: the check is a broadcast
+    left-semi join against each doc's exploded shingles — one pass over
+    the corpus, zero shuffles of corpus data, the canonical
+    contamination-check shape at 100 TB."""
+    from graph_etl_pipeline_spark.functions.text import shingles
+
+    d = table(spark, sf_dir, "documents")
+    ds = d.select("doc_id", shingles(norm_tokens(d.text), k=DECONTAM_K).alias("sh"))
+    bench = (
+        ds.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    ex = ds.select("doc_id", F.explode("sh").alias("s"))
+    hits = (
+        ex.join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return d.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )

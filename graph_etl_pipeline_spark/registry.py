@@ -110,6 +110,8 @@ CORE_ORDER = [
     "win_asof_last_click",     # as-of join via fill-forward window (r3)
     "agg_rollup",              # hierarchical subtotals, one exchange (r3)
     "graph_connected_components",  # iterative hash-min CC vs closed-form oracle (r3)
+    "text_repetition_ratio",   # Gopher-style repetition quality signal (r3)
+    "text_decontaminate",      # benchmark 8-gram contamination flag (r3)
 ]
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test
