@@ -112,6 +112,7 @@ CORE_ORDER = [
     "graph_connected_components",  # iterative hash-min CC vs closed-form oracle (r3)
     "text_repetition_ratio",   # Gopher-style repetition quality signal (r3)
     "text_decontaminate",      # benchmark 8-gram contamination flag (r3)
+    "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable (r3)
 ]
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test

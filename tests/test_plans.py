@@ -64,3 +64,34 @@ def test_codegen_covers_relational_core(spark, sf_dir):
             assert "WholeStageCodegen subtrees" in out and "Found 0" not in out, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_is_one_window_no_join(spark, sf_dir):
+    """The as-of operator must stay a single-window fill-forward — any
+    Join in the plan means it regressed to a range-join formulation."""
+    plan = _plan(spark, "win_asof_last_click", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # the one user_id window shuffle
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast (semi-join) — a shuffled
+    join here would move the corpus for a KB-sized blocklist."""
+    plan = _plan(spark, "text_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_ratio_no_join_no_agg_exchange(spark, sf_dir):
+    """Repetition stats are per-row array math: no joins; the only
+    exchange allowed is io.table's parallelism-floor repartition."""
+    plan = _plan(spark, "text_repetition_ratio", sf_dir)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rollup_single_aggregation_exchange(spark, sf_dir):
+    """ROLLUP must expand grouping sets inside one aggregation pipeline:
+    exactly one hash-partitioned exchange, with an Expand node."""
+    plan = _plan(spark, "agg_rollup", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
