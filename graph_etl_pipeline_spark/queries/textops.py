@@ -315,3 +315,86 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
     )
+
+
+# Sequence packing: training-sequence capacity and offset-bucket width.
+PACK_SEQ_LEN = 2048
+PACK_BUCKET = 256  # docs per offset bucket (two-level prefix sum)
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({SQL_TOKS.format(col="text")}) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS global_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id
+    FROM tok
+    """,
+    tags=("text", "llm", "pack"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid out
+    in doc_id order, each doc gets its global token offset, and seq_id =
+    offset DIV {seq} assigns it to a fixed-capacity training sequence.
+
+    The naive formulation is a running sum over ONE global window — a
+    single-partition sort of the whole corpus, the canonical scale
+    bottleneck. This plan is the scalable TWO-LEVEL prefix sum instead:
+      1. per-row counts bucket by doc_id DIV {b} (deterministic key,
+         not spark_partition_id — results are partitioning-independent);
+      2. per-bucket subtotals get their exclusive prefix via a window
+         over the BUCKET table (corpus/{b} rows — at 100 TB pick {b} so
+         bucket count stays one comfortable task);
+      3. each row's offset = its bucket's prefix (broadcast join) + the
+         exclusive running sum INSIDE its bounded bucket partition.
+    No unbounded window partition ever exceeds {b} rows, and every
+    number is exact integer arithmetic (hash-identical across engines
+    and cluster sizes)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(norm_tokens(d.text)).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"),
+    )
+    from pyspark.sql import Window
+
+    bucket_prefix = (
+        tok.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bkt_total"))
+        .withColumn(
+            "bkt_prefix",
+            F.coalesce(
+                F.sum("bkt_total").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "bkt_prefix")
+    )
+    within = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("bkt")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offset = (F.col("bkt_prefix") + within).alias("global_offset")
+    out = tok.join(F.broadcast(bucket_prefix), "bkt").select(
+        "doc_id", "n_tokens", offset
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "global_offset",
+        F.floor(F.col("global_offset") / PACK_SEQ_LEN).cast("long").alias("seq_id"),
+    )
