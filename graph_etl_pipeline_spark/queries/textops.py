@@ -219,17 +219,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_token_freq FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
     )
-    SELECT doc_id,
-           len(t) AS n_tokens,
-           len(list_distinct(t)) AS n_distinct,
-           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           len(list_distinct(t.t)) AS n_distinct,
+           CAST(len(list_distinct(t.t)) AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
                AS distinct_ratio,
-           list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)])
-               AS top_token_freq,
-           CAST(list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)]) AS DOUBLE)
-               / CAST(len(t) AS DOUBLE) AS top_ratio
-    FROM toks
+           top.top_token_freq,
+           CAST(top.top_token_freq AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+               AS top_ratio
+    FROM toks t JOIN top USING (doc_id)
     """,
     tags=("text", "llm"),
 )
@@ -237,16 +243,41 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signal (the Gopher-rules family): the
     distinct-token ratio and the most-frequent-token share expose
     boilerplate and degenerate/repetitive generations that length or
-    stopword ratios miss. Entirely map-side higher-order array
-    expressions — per-document work is O(distinct × tokens) with no
-    shuffle at all, so the operator scales linearly with corpus size.
-    Ratios divide exact integers, so the doubles hash identically across
+    stopword ratios miss.
+
+    Entirely map-side, no shuffle: the top-token frequency is the longest
+    equal-run in the SORTED token array, computed as one structural fold
+    (array_sort + aggregate with (prev, run, best) state) — O(n log n)
+    per document. The tempting transform(distinct, count-in-array)
+    formulation is O(distinct × tokens) per doc, quadratic exactly on
+    long high-entropy documents. The oracle states the same value as the
+    naive per-token GROUP BY — simpler SQL, identical integers (DuckDB
+    1.0's list_reduce mutates the accumulator between struct_pack field
+    evaluations, so the fold formulation is Spark-side only). Ratios
+    divide exact integers, so the doubles hash identically across
     engines."""
     d = table(spark, sf_dir, "documents")
     toks = norm_tokens(d.text)
     distinct = F.array_distinct(toks)
-    top_freq = F.array_max(
-        F.transform(distinct, lambda u: F.size(F.filter(toks, lambda x: x == u)))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, x):
+        run = (
+            F.when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top_freq = F.aggregate(
+        F.array_sort(toks), zero, _step, lambda acc: acc.getField("best")
     )
     n = F.size(toks)
     return d.select(
