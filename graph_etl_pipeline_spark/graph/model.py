@@ -116,6 +116,7 @@ class PropertyGraph:
             )
         )
         comp = self.vertices.select("uid", F.col("uid").alias("component"))
+        converged = False
         for _ in range(max_iter):
             nbr = und.join(comp, und.src_uid == comp.uid).select(
                 F.col("dst_uid").alias("uid"), "component"
@@ -133,7 +134,18 @@ class PropertyGraph:
             )
             comp = cand
             if changed.isEmpty():
+                converged = True
                 break
+        if not converged:
+            # Silent wrong answers are worse than a loud budget failure:
+            # labels after an exhausted budget are intermediate values,
+            # not components (unlike reachable(), where max_depth is a
+            # semantic bound rather than a convergence budget).
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter={max_iter} "
+                "rounds (component diameter exceeds the budget); raise max_iter or "
+                "switch to star-contraction for long-chain graphs"
+            )
         return comp
 
     def match(self, src_label: str, rel_type: str, dst_label: str) -> DataFrame:

@@ -103,9 +103,6 @@ import os as _os
 SCRATCH_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".cache", "scratch")
 
 
-STALE_DIR_MAX_AGE_SEC = 24 * 3600
-
-
 def _pid_alive(pid: int) -> bool:
     """Portable liveness probe: signal 0 (no /proc dependency)."""
     try:
@@ -117,15 +114,36 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _pid_started_after(pid: int, mtime: float) -> bool:
+    """True when the live process with `pid` started AFTER `mtime` — i.e.
+    the pid was RECYCLED and cannot be the process that wrote a dir
+    modified at `mtime`. Uses /proc (field 22 of /proc/pid/stat, clock
+    ticks since boot) where available; returns False (assume original
+    owner) when it can't tell, so reaping stays conservative."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # fields after the parenthesized comm (which may contain spaces)
+        fields = stat[stat.rindex(b")") + 2 :].split()
+        ticks = int(fields[19])  # starttime is field 22 overall
+        hz = _os.sysconf("SC_CLK_TCK")
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        import time
+
+        start_epoch = time.time() - uptime + ticks / hz
+        return start_epoch > mtime + 5  # 5s slack for clock fuzz
+    except (OSError, ValueError, IndexError):
+        return False
+
+
 def _reap_stale_pid_dirs(root: str) -> None:
     """Remove '{name}-{pid}' dirs whose owning process is gone — bounds the
-    on-disk footprint of repeated bench/verify runs without racing live
-    processes. A dir older than STALE_DIR_MAX_AGE_SEC is reaped even if
-    its pid answers: a recycled pid belonging to an unrelated long-lived
-    process would otherwise pin the dir forever (scratch outputs are
-    consumed within one run, so age is a safe second signal)."""
+    on-disk footprint of repeated bench/verify runs WITHOUT ever racing a
+    live owner: liveness gates reaping, and an answering pid is only
+    treated as stale when /proc proves it started after the dir was
+    written (pid recycling — the original owner must be dead)."""
     import shutil
-    import time
 
     if not _os.path.isdir(root):
         return
@@ -134,11 +152,15 @@ def _reap_stale_pid_dirs(root: str) -> None:
         if not pid_s.isdigit() or int(pid_s) == _os.getpid():
             continue
         path = _os.path.join(root, entry)
+        pid = int(pid_s)
+        if not _pid_alive(pid):
+            shutil.rmtree(path, ignore_errors=True)
+            continue
         try:
-            too_old = time.time() - _os.path.getmtime(path) > STALE_DIR_MAX_AGE_SEC
+            mtime = _os.path.getmtime(path)
         except OSError:
-            too_old = False
-        if too_old or not _pid_alive(int(pid_s)):
+            continue
+        if _pid_started_after(pid, mtime):
             shutil.rmtree(path, ignore_errors=True)
 
 

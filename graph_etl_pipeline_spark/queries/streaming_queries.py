@@ -6,7 +6,6 @@ itself, not a batch stand-in."""
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,10 +75,13 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched users take the incoming state, users with no events keep
     their NULL state — the keep-unmatched-existing leg of MERGE.
 
-    The single-file source arrives as one availableNow micro-batch, so
-    the final state equals the batch latest-event-per-user oracle exactly;
-    multi-batch arrival and replay idempotency are exercised in
-    tests/test_streaming.py."""
+    State precedence is RECENCY, not batch-arrival order: each batch is
+    reduced to its latest event per user, and the cross-batch merge
+    (_newer_wins) only overwrites when the incoming (ts, event_id) is
+    strictly newer — a late-arriving micro-batch carrying older events
+    can never regress a user's state, so the final table equals the
+    global latest-per-user oracle under ANY batch split. Multi-batch
+    out-of-order arrival is exercised in tests/test_streaming.py."""
     existing = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         "c_name",
@@ -88,28 +90,69 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("last_value"),
     )
 
-    def latest_per_user(batch_df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
+    import os
 
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        return (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id",
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").alias("last_ts"),
-                F.col("value").alias("last_value"),
-            )
-        )
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
 
+    # pid-keyed checkpoint under the reaped scratch root (not a leaked
+    # tempfile.mkdtemp): dead-process checkpoints get collected like
+    # every other scratch dir.
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    ckpt = os.path.join(
+        SCRATCH_DIR, f"stream_ckpt_{uuid.uuid4().hex[:8]}-{os.getpid()}"
+    )
     return incremental_upsert(
         events_stream(spark, sf_dir),
         existing,
         keys=["user_id"],
-        checkpoint_dir=tempfile.mkdtemp(prefix="stream_upsert_ckpt_"),
+        checkpoint_dir=ckpt,
         table_name=f"stream_upsert_{uuid.uuid4().hex[:8]}",
-        prepare=latest_per_user,
+        prepare=latest_per_user_batch,
+        merge=newer_wins_user_state,
+    )
+
+
+def latest_per_user_batch(batch_df: DataFrame) -> DataFrame:
+    """Reduce one micro-batch to its newest event per user (deterministic
+    tiebreak ts DESC, event_id DESC) in the state-table column shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        batch_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def newer_wins_user_state(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Recency-aware MERGE for the per-user state table: the incoming row
+    wins only when its (last_ts, last_event_id) is strictly newer than
+    the held state (NULL state always loses to a real event). Full-outer
+    on the key, so users outside the seed table would still be inserted;
+    one shuffle per side, same cost shape as merge_upsert."""
+    e, i = current.alias("e"), incoming.alias("i")
+    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "full_outer")
+    inc_newer = F.col("i.last_ts").isNotNull() & (
+        F.col("e.last_ts").isNull()
+        | (F.col("i.last_ts") > F.col("e.last_ts"))
+        | (
+            (F.col("i.last_ts") == F.col("e.last_ts"))
+            & (F.col("i.last_event_id") > F.col("e.last_event_id"))
+        )
+    )
+    pick = lambda c: (  # noqa: E731
+        F.when(inc_newer, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+    )
+    return j.select(
+        F.coalesce(F.col("i.user_id"), F.col("e.user_id")).alias("user_id"),
+        F.col("e.c_name").alias("c_name"),
+        pick("last_event_id"),
+        pick("last_ts"),
+        pick("last_value"),
     )

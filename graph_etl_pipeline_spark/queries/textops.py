@@ -235,8 +235,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            top.top_token_freq,
            CAST(top.top_token_freq AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
                AS top_ratio
-    FROM toks t JOIN top USING (doc_id)
+    FROM toks t LEFT JOIN top USING (doc_id)
     """,
+    # LEFT join: a NULL-text doc has no unnested rows (so no `top` entry)
+    # but the Spark side still emits its row with NULL stats — the joins
+    # must agree on row count.
     tags=("text", "llm"),
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,7 @@ def incremental_upsert(
     checkpoint_dir: str,
     table_name: str,
     prepare=None,
+    merge=None,
 ):
     """T2: incremental idempotent upsert — every micro-batch merges into
     the target with the SAME set-oriented merge the batch path uses
@@ -109,15 +110,24 @@ def incremental_upsert(
     foreachBatch where the batch is an ordinary DataFrame, so operations
     the streaming planner rejects (non-time windows, arbitrary joins) are
     legal. merge_upsert requires key-unique incoming rows; a batch with
-    duplicate keys MUST be reduced here."""
+    duplicate keys MUST be reduced here.
+
+    ``merge`` (optional) replaces the default last-batch-wins
+    merge_upsert with a custom (current, prepared_batch) -> DataFrame
+    combiner. Use it whenever batch ARRIVAL order is not the desired
+    precedence — e.g. a recency-aware merge that keeps the row with the
+    larger event time regardless of which micro-batch delivered it
+    (late-arriving batches must not regress state)."""
     state = {"current": existing}
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if prepare is not None:
             batch_df = prepare(batch_df)
-        state["current"] = merge_upsert(
-            state["current"], batch_df, keys=list(keys)
-        ).localCheckpoint(eager=True)
+        if merge is not None:
+            merged = merge(state["current"], batch_df)
+        else:
+            merged = merge_upsert(state["current"], batch_df, keys=list(keys))
+        state["current"] = merged.localCheckpoint(eager=True)
 
     query = (
         stream.writeStream.foreachBatch(_merge)

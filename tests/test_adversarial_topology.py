@@ -37,7 +37,8 @@ spark = (SparkSession.builder.master("local[3]")
 spark.sparkContext.setLogLevel("ERROR")
 from graph_etl_pipeline_spark.registry import all_queries
 from parity import compare
-SF = "/root/testdata/sf0.001"
+import os
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 qs = all_queries()
 fails = 0
 for name in {QUERIES!r}:

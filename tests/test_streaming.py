@@ -148,3 +148,56 @@ def test_watermark_advances_across_micro_batches(spark, sf_dir, tmp_path):
         if r.ws < open_tail
     }
     assert expected <= emitted, "a closed batch-0 window was never finalized"
+
+
+def test_incremental_upsert_late_batch_cannot_regress_state(spark, tmp_path):
+    """Recency merge across micro-batches: a LATER-arriving batch holding
+    an OLDER event must not overwrite newer held state. Two single-row
+    parquet files arrive as separate availableNow micro-batches
+    (maxFilesPerTrigger=1), the newer event's file first."""
+    import time
+
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        latest_per_user_batch,
+        newer_wins_user_state,
+    )
+
+    src = tmp_path / "ooo_events"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    newer = spark.createDataFrame(
+        [(2, __import__("datetime").datetime(2024, 1, 1, 10, 0), 7, 2.0)], schema
+    )
+    older = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1, 9, 0), 7, 1.0)], schema
+    )
+    # file mod-time ordering decides batch order: the NEWER event lands
+    # in the earlier batch, the OLDER event arrives late
+    newer.coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(1.1)
+    older.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    existing = spark.createDataFrame(
+        [(7, "cust7", None, None, None)],
+        "user_id long, c_name string, last_event_id long, "
+        "last_ts timestamp, last_value double",
+    )
+    final = incremental_upsert(
+        stream,
+        existing,
+        keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_name=f"ooo_{uuid.uuid4().hex[:8]}",
+        prepare=latest_per_user_batch,
+        merge=newer_wins_user_state,
+    )
+    (row,) = final.collect()
+    # newest event (id=2, 10:00) must survive the late 09:00 batch
+    assert row.last_event_id == 2
+    assert row.last_value == 2.0
+    assert row.c_name == "cust7"
