@@ -228,3 +228,41 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT quantile_cont(l_quantity, 0.5) AS exact_p50,
+           quantile_cont(l_quantity, 0.9) AS exact_p90,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family contract #3 (alongside HLL agg_approx_distinct and
+    ANN sim_ann_recall_contract): percentile_approx is the 100 TB
+    replacement for exact percentiles — bounded-memory quantile sketch
+    per group vs a full sort/collect of every value. The query computes
+    BOTH, emits the exact quantiles plus in-query booleans asserting the
+    sketch lands within 1 quantity unit, and the oracle checks the exact
+    values and expects TRUE — green iff the sketch meets its bound.
+    Exactness across engines: l_quantity is integer-valued, and Spark
+    percentile() and DuckDB quantile_cont() share the same linear
+    interpolation, so the exact doubles hash identically."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.percentile("l_quantity", 0.5).alias("exact_p50"),
+        F.percentile("l_quantity", 0.9).alias("exact_p90"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90"),
+    )
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= F.lit(1.0)  # noqa: E731
+    return agg.select(
+        "exact_p50",
+        "exact_p90",
+        within("approx_p50", "exact_p50").alias("p50_within_bound"),
+        within("approx_p90", "exact_p90").alias("p90_within_bound"),
+    )

@@ -114,6 +114,7 @@ CORE_ORDER = [
     "text_decontaminate",      # benchmark 8-gram contamination flag (r3)
     "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable (r3)
     "text_pack_sequences",     # two-level prefix-sum sequence packing (r3)
+    "agg_approx_quantiles",    # quantile-sketch accuracy contract (r3)
 ]
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test

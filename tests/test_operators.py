@@ -78,3 +78,50 @@ def test_hot_shingle_df_cap_kills_quadratic_pairs(spark, tmp_path):
     (p,) = pairs
     assert (p.doc_a, p.doc_b) == (100_000, 100_001)
     assert abs(p.jaccard - 0.8) < 1e-12
+
+
+def test_repetition_fold_matches_counter(spark):
+    """Property check for the sorted-run fold: for random token lists the
+    max equal-run in the sorted array must equal the max token frequency
+    (python Counter ground truth). One Spark job over 200 generated docs."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "aa", "zz", ""]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 40))] for _ in range(200)
+    ]
+    expected = [max(Counter(d).values()) for d in docs]
+
+    from graph_etl_pipeline_spark.queries import textops  # noqa: F401  (fold lives inline)
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, toks array<string>"
+    )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    got = {
+        r.i: r.top
+        for r in df.select(
+            "i",
+            F.aggregate(
+                F.array_sort("toks"), zero, step, lambda a: a.getField("best")
+            ).alias("top"),
+        ).collect()
+    }
+    assert got == {i: e for i, e in enumerate(expected)}
