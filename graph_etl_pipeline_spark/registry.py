@@ -29,15 +29,26 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Driver-facing registration order. The correctness driver checks the FIRST
-# 50 registered queries, so every SURVEY §2-declared operator must sit inside
-# that window; extras (approximate/no-oracle variants, shapes already covered
-# by an in-cap sibling) come after position 50, best-evidence first in case
-# the cap is larger. Names not listed here (future additions) append at the
-# end in registration order. tests/test_library.py asserts the invariants.
+# 50 registered queries. The window ROTATES across rounds (VERDICT r3 #1) so
+# every declared operator earns a hard driver CORRECTNESS row at least once:
+# names in ROTATED_OUT below were driver-green in r1-r3 and now sit past the
+# cap (still oracle-checked every round by the local parity replica,
+# tests/test_oracle_parity.py); the r3-added operators take their slots.
+# Names not listed here (future additions) append at the end in registration
+# order. tests/test_library.py asserts the invariants.
 CORE_ORDER = [
-    # -- previously driver-untested SURVEY-declared queries, promoted first --
-    "sink_upsert_edge",        # S5
-    "src_csv_scan",            # S1
+    # -- r3-added operators, promoted for their first hard driver row --
+    "win_asof_last_click",     # as-of join via fill-forward window
+    "agg_rollup",              # hierarchical subtotals, one exchange
+    "graph_connected_components",  # iterative hash-min CC vs closed-form oracle
+    "text_repetition_ratio",   # Gopher-style repetition quality signal
+    "text_decontaminate",      # benchmark 8-gram contamination flag
+    "text_pack_sequences",     # two-level prefix-sum sequence packing
+    "agg_approx_quantiles",    # quantile-sketch accuracy contract
+    "stream_incremental_upsert",  # T2 foreachBatch merge (real streaming)
+    "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable
+    "set_union",               # O4 — restored (demoted r3 for mm_image_decode)
+    # -- r2-promoted rows keeping their hard coverage --
     "src_json_flatten",        # S2
     "win_row_number_dedup",    # O3
     "win_lag_running_sum",     # O5
@@ -55,9 +66,7 @@ CORE_ORDER = [
     "join_two_hop",            # J4
     "join_consistency_antijoin",  # J7
     "agg_count_by_label",      # A1
-    "agg_global_count",        # A2
     "agg_group_topn",          # A3
-    "agg_topk",                # A4
     "agg_multi_counter",       # A5
     "agg_collect_set",         # A6
     "dedup_exact",             # D1
@@ -66,31 +75,34 @@ CORE_ORDER = [
     "pipeline_corpus_curation",
     "dedup_minhash_lsh",       # D5 near-dup
     "dedup_ngram_jaccard",     # D5 near-dup
+    "dedup_simhash",           # D5 sibling — promoted r4 (Hamming-k upgrade)
     "graph_count_by_label",    # S9
     "graph_reachability",      # J6
     "mm_binary_features",
-    "mm_metadata_struct",
-    "proj_select_alias",       # P1
     "flt_compound_predicate",  # P2+P3
     "flt_blocklist_predicate", # P4+F9
-    "fn_hash_uid",             # F1
     "fn_dict_normalize",       # F2-F4
     "fn_regexp_extract_all",   # F5
     "explode_split_targets",   # X2 (P5+F6+F7)
     "fn_case_classify",        # D3
-    "fn_timestamps",           # F8
     "fn_code_parse",           # F10
-    "arr_contains_lookup",     # X3
-    "sort_limit",              # O1+O2
-    "mm_image_decode",         # real BMP codec round-trip (promoted r3 —
-                               # VERDICT r2 #7: best new work deserves a
-                               # hard driver row)
+    "mm_image_decode",         # real BMP codec round-trip
     "sim_cosine_topk",
     "dedup_embedding_cosine",
-    "sink_upsert_node",        # S4
-    "sink_merge_prefer_nonempty",  # S6
-    # ---- position 51+: extras, best-evidence first ----
-    "dedup_simhash",           # D5 sibling; 5 in-cap D5 rows remain
+    # ---- position 51+: driver-green in r1-r3, rotated out (ROTATED_OUT);
+    # ---- then extras, best-evidence first ----
+    "sink_upsert_node",        # S4 — driver-green r1-r3
+    "sink_merge_prefer_nonempty",  # S6 — driver-green r1-r3
+    "sink_upsert_edge",        # S5 — driver-green r3
+    "src_csv_scan",            # S1 — driver-green r3
+    "proj_select_alias",       # P1 — driver-green r1-r3
+    "fn_hash_uid",             # F1 — driver-green r1-r3
+    "fn_timestamps",           # F8 — driver-green r1-r3
+    "arr_contains_lookup",     # X3 — driver-green r1-r3
+    "sort_limit",              # O1+O2 — driver-green r1-r3
+    "agg_global_count",        # A2 — driver-green r1-r3
+    "agg_topk",                # A4 — driver-green r1-r3
+    "mm_metadata_struct",      # driver-green r3
     "graph_pattern_match",     # J4 covered by join_two_hop
     "agg_pivot",
     "dedup_minhash_signatures",  # subsumed by dedup_minhash_lsh
@@ -100,22 +112,20 @@ CORE_ORDER = [
     "mm_frame_sample",
     "graph_orphan_antijoin",   # anti-join covered by J2/J7
     "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
-    "stream_incremental_upsert",  # T2 foreachBatch merge, oracle-checked (r3)
     "win_rank_frames",         # window extra beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
-    "set_union",               # O4 — demoted r3 for mm_image_decode; the
-                               # union shape stays oracle-checked by the
-                               # local parity replica
     "sim_ann_ivf",             # approximate by construction
-    "win_asof_last_click",     # as-of join via fill-forward window (r3)
-    "agg_rollup",              # hierarchical subtotals, one exchange (r3)
-    "graph_connected_components",  # iterative hash-min CC vs closed-form oracle (r3)
-    "text_repetition_ratio",   # Gopher-style repetition quality signal (r3)
-    "text_decontaminate",      # benchmark 8-gram contamination flag (r3)
-    "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable (r3)
-    "text_pack_sequences",     # two-level prefix-sum sequence packing (r3)
-    "agg_approx_quantiles",    # quantile-sketch accuracy contract (r3)
 ]
+
+# SURVEY-declared rows rotated out of the driver window after earning green
+# driver CORRECTNESS rows in earlier rounds (round noted above). Each stays
+# oracle-checked locally every round; test_library asserts the partition.
+ROTATED_OUT = {
+    "sink_upsert_node", "sink_merge_prefer_nonempty", "sink_upsert_edge",
+    "src_csv_scan", "proj_select_alias", "fn_hash_uid", "fn_timestamps",
+    "arr_contains_lookup", "sort_limit", "agg_global_count", "agg_topk",
+    "mm_metadata_struct",
+}
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test
 # suite asserts each sits within the first DRIVER_CAP registrations.

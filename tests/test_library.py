@@ -8,13 +8,19 @@ from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.catalog import clear_all, get_stats, query, register_tables
 from graph_etl_pipeline_spark.graph.model import PropertyGraph
-from graph_etl_pipeline_spark.registry import CORE_ORDER, DRIVER_CAP, all_queries
+from graph_etl_pipeline_spark.registry import (
+    CORE_ORDER, DRIVER_CAP, ROTATED_OUT, all_queries,
+)
 from graph_etl_pipeline_spark.schema import REGISTRY, uniqueness_audit
 from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
 
 
 # Every SURVEY §2-declared query must register within the driver's
-# 50-query correctness window; extras sit after. One name per §2 row.
+# 50-query correctness window UNLESS it sits in registry.ROTATED_OUT —
+# names that already earned green driver CORRECTNESS rows in earlier
+# rounds and were rotated past the cap so newer operators get their first
+# hard row (VERDICT r3 #1). Rotated-out names stay oracle-checked locally
+# every round. One name per §2 row.
 SURVEY_DECLARED = {
     "src_csv_scan", "src_json_flatten", "sink_upsert_node", "sink_upsert_edge",
     "sink_merge_prefer_nonempty", "graph_count_by_label",
@@ -29,9 +35,7 @@ SURVEY_DECLARED = {
     "join_consistency_antijoin",
     "agg_count_by_label", "agg_global_count", "agg_group_topn", "agg_topk",
     "agg_multi_counter", "agg_collect_set",
-    # set_union (O4) was swapped out of the driver window in r3 to give
-    # mm_image_decode a hard driver row (VERDICT r2 #7); the union shape
-    # stays oracle-checked by tests/test_oracle_parity.py.
+    "set_union",
     "sort_limit", "mm_image_decode", "win_row_number_dedup", "win_lag_running_sum",
     "explode_split_targets", "arr_contains_lookup",
     "win_tumbling_hourly", "win_session_batch",
@@ -41,13 +45,31 @@ SURVEY_DECLARED = {
 }
 
 
+# Operators added in r3 that must hold driver-window slots in r4 so each
+# earns a hard CORRECTNESS row (VERDICT r3 next-round item #1).
+R4_PROMOTED = {
+    "win_asof_last_click", "agg_rollup", "graph_connected_components",
+    "text_repetition_ratio", "text_decontaminate", "text_pack_sequences",
+    "agg_approx_quantiles", "stream_incremental_upsert",
+    "sim_ann_recall_contract", "set_union",
+}
+
+
 def test_registration_order_covers_survey_within_driver_cap():
     names = list(all_queries())
     assert len(names) == len(set(names))
     assert set(CORE_ORDER) <= set(names), set(CORE_ORDER) - set(names)
     in_window = set(names[:DRIVER_CAP])
-    missing = SURVEY_DECLARED - in_window
+    # rotation is only allowed for rows that already went driver-green
+    assert ROTATED_OUT <= SURVEY_DECLARED
+    missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
     assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
+    not_promoted = R4_PROMOTED - in_window
+    assert not not_promoted, f"r4-promoted queries outside driver window: {not_promoted}"
+    # every rotated-out row must still carry a local oracle for the parity replica
+    specs = all_queries()
+    missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}
+    assert not missing_oracle, missing_oracle
 
 
 def test_catalog_query_roundtrip(spark, sf_dir):
