@@ -119,14 +119,23 @@ def _decode_ppm(blob: bytes) -> DecodedImage:
         start = pos
         while pos < len(blob) and not blob[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(blob[start:pos]))
+        token = blob[start:pos]
+        if not token.isdigit():
+            raise ValueError(
+                f"malformed PPM header: expected decimal "
+                f"width/height/maxval, got {token[:16]!r} at byte {start}"
+            )
+        fields.append(int(token))
     pos += 1  # single whitespace after maxval
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     rgb = blob[pos : pos + width * height * 3]
     if len(rgb) < width * height * 3:
-        raise ValueError("truncated PPM pixel data")
+        raise ValueError(
+            f"truncated PPM pixel data: header promises {width}x{height} "
+            f"({width * height * 3} bytes), blob carries {len(rgb)} after the header"
+        )
     return DecodedImage("ppm", width, height, rgb)
 
 

@@ -155,17 +155,17 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graph_etl_pipeline_spark.functions.text import shingles
 
-    # df-capped inverted shingle index, ONE write job shared by both join
-    # sides; index rows carry n_sh so the pair aggregation needs no size
-    # joins (see dedup._rare_shingle_index / _jaccard_pairs)
-    ds = _rare_shingle_index(
+    # df-capped inverted shingle index off a materialized array table;
+    # the cap is a broadcast anti-join against the tiny hot-shingle list
+    # (see dedup._rare_shingle_index / _jaccard_pairs)
+    ds, sizes = _rare_shingle_index(
         exact_kept.select(
             "doc_id", shingles(norm_tokens(F.col("text")), k=5).alias("shingles")
         ),
         "curation_rare",
     )
     losers = (
-        _jaccard_pairs(ds)
+        _jaccard_pairs(ds, sizes)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

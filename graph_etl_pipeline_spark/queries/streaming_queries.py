@@ -133,11 +133,16 @@ def latest_per_user_batch(batch_df: DataFrame) -> DataFrame:
 def newer_wins_user_state(current: DataFrame, incoming: DataFrame) -> DataFrame:
     """Recency-aware MERGE for the per-user state table: the incoming row
     wins only when its (last_ts, last_event_id) is strictly newer than
-    the held state (NULL state always loses to a real event). Full-outer
-    on the key, so users outside the seed table would still be inserted;
-    one shuffle per side, same cost shape as merge_upsert."""
+    the held state (NULL state always loses to a real event). The state
+    table is CUSTOMER-KEYED: the seed defines the key universe, so the
+    merge is a LEFT join from held state to the incoming batch and events
+    for users outside the seed are dropped — matching the oracle's
+    ``customer LEFT JOIN latest`` exactly (the previous full-outer
+    inserted orphan-event users the oracle never emits; it only passed
+    because the testdata is referentially intact). One shuffle per side,
+    same cost shape as merge_upsert."""
     e, i = current.alias("e"), incoming.alias("i")
-    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "full_outer")
+    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "left")
     inc_newer = F.col("i.last_ts").isNotNull() & (
         F.col("e.last_ts").isNull()
         | (F.col("i.last_ts") > F.col("e.last_ts"))
@@ -150,7 +155,7 @@ def newer_wins_user_state(current: DataFrame, incoming: DataFrame) -> DataFrame:
         F.when(inc_newer, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
     )
     return j.select(
-        F.coalesce(F.col("i.user_id"), F.col("e.user_id")).alias("user_id"),
+        F.col("e.user_id").alias("user_id"),
         F.col("e.c_name").alias("c_name"),
         pick("last_event_id"),
         pick("last_ts"),

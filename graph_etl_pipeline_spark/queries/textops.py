@@ -393,10 +393,15 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     number is exact integer arithmetic (hash-identical across engines
     and cluster sizes)."""
     d = table(spark, sf_dir, "documents")
+    # integer floor-div for the bucket key (the `/` operator widens to
+    # double — exactness lost past 2^53, and truncation ≠ floor for
+    # negative doc_ids; pmod-then-div keeps it pure int64 and floor-like)
     tok = d.select(
         "doc_id",
         F.size(norm_tokens(d.text)).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"),
+        F.expr(
+            f"(doc_id - pmod(doc_id, {PACK_BUCKET})) div {PACK_BUCKET}"
+        ).alias("bkt"),
     )
     from pyspark.sql import Window
 
@@ -430,5 +435,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "global_offset",
-        F.floor(F.col("global_offset") / PACK_SEQ_LEN).cast("long").alias("seq_id"),
+        # int64 div, not floor(double /): offsets are non-negative so
+        # div == floor, and exactness survives past 2^53
+        F.expr(f"global_offset div {PACK_SEQ_LEN}").alias("seq_id"),
     )

@@ -34,7 +34,10 @@ def get_spark(
     # on another thread must get the same conf treatment instead of being
     # silently reused untouched by builder.getOrCreate().
     # (PySpark exposes no public getDefaultSession; _instantiatedSession is
-    # its process-wide slot, present across 3.x/4.x — guarded anyway.)
+    # its process-wide slot, present across 3.x/4.x — guarded anyway, and
+    # tests/test_library.py::test_default_session_slot_pin fails loudly if
+    # a PySpark upgrade drops the attribute so the fallback can't rot
+    # silently into never-firing.)
     existing = SparkSession.getActiveSession() or getattr(
         SparkSession, "_instantiatedSession", None
     )

@@ -72,6 +72,19 @@ def test_registration_order_covers_survey_within_driver_cap():
     assert not missing_oracle, missing_oracle
 
 
+def test_default_session_slot_pin(spark):
+    """session.py falls back to the private SparkSession._instantiatedSession
+    slot when getActiveSession() misses (thread-local). The guard there is
+    getattr-based, so if a PySpark upgrade removes the attribute the
+    fallback would silently revert to thread-local-miss behavior — this
+    pin makes that removal a loud test failure instead."""
+    from pyspark.sql import SparkSession
+
+    assert hasattr(SparkSession, "_instantiatedSession")
+    # with the fixture session live, the slot must actually be populated
+    assert SparkSession._instantiatedSession is not None
+
+
 def test_catalog_query_roundtrip(spark, sf_dir):
     register_tables(spark, sf_dir)
     rows = query(spark, "SELECT r_name FROM region ORDER BY r_name")
