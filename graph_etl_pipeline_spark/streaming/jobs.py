@@ -91,6 +91,20 @@ def session_aggregate(
     )
 
 
+def _state_versions(target_dir: str) -> list[int]:
+    """Complete (``_SUCCESS``-marked) state-table versions, ascending."""
+    import os
+
+    if not os.path.isdir(target_dir):
+        return []
+    out = []
+    for entry in os.listdir(target_dir):
+        if entry.startswith("v") and entry[1:].lstrip("-").isdigit():
+            if os.path.exists(os.path.join(target_dir, entry, "_SUCCESS")):
+                out.append(int(entry[1:]))
+    return sorted(out)
+
+
 def incremental_upsert(
     stream: DataFrame,
     existing: DataFrame,
@@ -99,11 +113,26 @@ def incremental_upsert(
     table_name: str,
     prepare=None,
     merge=None,
+    target_dir: str | None = None,
 ):
     """T2: incremental idempotent upsert — every micro-batch merges into
-    the target with the SAME set-oriented merge the batch path uses
-    (reference re-run safety, waste_items.py:366-373). Checkpointing makes
-    replayed batches no-ops because the merge is idempotent.
+    a STORAGE-BACKED state table with the SAME set-oriented merge the
+    batch path uses (reference re-run safety, waste_items.py:366-373).
+
+    State lives in versioned parquet under ``target_dir`` (default:
+    ``{checkpoint_dir}/state_table``), one complete ``v{batch_id}`` dir
+    per committed batch — the plain-parquet equivalent of a Delta
+    ``MERGE INTO`` target (VERDICT r3 #4: state must not ride executor
+    memory as chained localCheckpoints, which dies with the executor and
+    is not restart-recoverable). Batch b reads the newest version BELOW
+    b, merges, and writes ``v{b}``; version selection makes replay
+    self-healing — a crash after the write but before the checkpoint
+    commit leaves a ``v{b}`` that the replayed batch deterministically
+    overwrites from the same ``v{<b}`` input, so effectively-exactly-once
+    falls out of checkpoint + versioned idempotent rewrite. On restart
+    the persisted state is resumed: ``existing`` only seeds a target
+    with no versions yet (it is deliberately ignored otherwise).
+    Versions older than the merge input are pruned after each commit.
 
     ``prepare`` (optional) maps each micro-batch DataFrame to the rows to
     merge — e.g. a row_number dedup to one row per key. It runs inside
@@ -117,17 +146,34 @@ def incremental_upsert(
     combiner. Use it whenever batch ARRIVAL order is not the desired
     precedence — e.g. a recency-aware merge that keeps the row with the
     larger event time regardless of which micro-batch delivered it
-    (late-arriving batches must not regress state)."""
-    state = {"current": existing}
+    (late-arriving batches must not regress state).
+
+    Directory bookkeeping uses driver-local filesystem calls (foreachBatch
+    runs on the driver); on an object store, swap ``_state_versions`` /
+    pruning for the Hadoop FileSystem API or use a Delta table outright.
+    """
+    import os
+    import shutil
+
+    spark = stream.sparkSession
+    target = target_dir or os.path.join(checkpoint_dir, "state_table")
+    if not _state_versions(target):
+        # first ever run: seed version v-1 (batch ids start at 0)
+        existing.write.mode("overwrite").parquet(os.path.join(target, "v-1"))
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev = max(v for v in _state_versions(target) if v < batch_id)
+        current = spark.read.parquet(os.path.join(target, f"v{prev}"))
         if prepare is not None:
             batch_df = prepare(batch_df)
         if merge is not None:
-            merged = merge(state["current"], batch_df)
+            merged = merge(current, batch_df)
         else:
-            merged = merge_upsert(state["current"], batch_df, keys=list(keys))
-        state["current"] = merged.localCheckpoint(eager=True)
+            merged = merge_upsert(current, batch_df, keys=list(keys))
+        merged.write.mode("overwrite").parquet(os.path.join(target, f"v{batch_id}"))
+        for v in _state_versions(target):
+            if v < prev:
+                shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
 
     query = (
         stream.writeStream.foreachBatch(_merge)
@@ -137,7 +183,7 @@ def incremental_upsert(
         .start()
     )
     query.awaitTermination()
-    return state["current"]
+    return spark.read.parquet(os.path.join(target, f"v{_state_versions(target)[-1]}"))
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
