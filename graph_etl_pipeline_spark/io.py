@@ -221,7 +221,10 @@ def materialize(df: DataFrame, name: str) -> DataFrame:
     plan = re.sub(
         r"\bx_\d+\b", lambda m: seen.setdefault(m.group(0), f"x_{len(seen)}"), plan
     )
-    digest = hashlib.md5(plan.encode()).hexdigest()[:12]
+    # the plan string renders a parquet relation WITHOUT its path — the
+    # same query over two scale factors would collide; key the inputs in
+    files = "\n".join(sorted(df.inputFiles()))
+    digest = hashlib.md5(f"{plan}\0{files}".encode()).hexdigest()[:12]
     dest = _os.path.join(SCRATCH_DIR, f"{name}-{digest}-{_os.getpid()}")
     if not _os.path.exists(_os.path.join(dest, "_SUCCESS")):
         df.write.mode("overwrite").parquet(dest)

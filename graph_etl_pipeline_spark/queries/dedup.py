@@ -425,3 +425,124 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.withColumn(
         "n_same_sig", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     )
+
+
+# --- SimHash with Hamming-neighborhood candidates (VERDICT r3 #5) -------
+
+HAMMING_BITS = 48  # bits in the near-dup signature (fits BIGINT sign-free)
+HAMMING_K = 2      # emit pairs at Hamming distance <= K
+N_HAM_BANDS = 3    # pigeonhole: <= K differing bits touch <= K bands, so a
+#                    true pair collides on >= N_HAM_BANDS - K = 1 band
+_BAND_BITS = HAMMING_BITS // N_HAM_BANDS  # 16-bit bands
+
+
+def _sig48_sql() -> str:
+    """DuckDB: assemble the 48-bit signature as a BIGINT sum of distinct
+    powers of two (equivalent to OR; stays positive, no sign games)."""
+    return " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << (HAMMING_BITS - 1 - j)} ELSE 0 END"
+        for j in range(HAMMING_BITS)
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    # The oracle is deliberately ALGORITHM-INDEPENDENT: brute-force
+    # all-pairs popcount over the signatures, no band trick — so it
+    # checks the pigeonhole candidate generation for completeness, not
+    # just for agreement with itself. Quadratic is fine at oracle scale.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKS.format(col="text")}) AS tok FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               {",".join(f"{_sql_simhash_bit(j)} AS v{j}" for j in range(HAMMING_BITS))}
+        FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_sig48_sql()} AS BIGINT) AS sig FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_K}
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 2 (VERDICT r3 #5 —
+    the plain dedup_simhash only groups EQUAL signatures; near-identical
+    docs that flip a bit or two need neighborhood search).
+
+    48-bit signature (16-bit sigs saturate at web-corpus sizes; 48 keeps
+    the BIGINT positive so both engines' bit ops agree), split into 3
+    bands of 16 bits. Pigeonhole: a pair differing in <= 2 bits differs
+    in <= 2 bands, so it MUST collide on at least one band — candidate
+    generation is 3 equality self-joins on (band_idx, band_value), never
+    an all-pairs scan. Candidates are then verified by exact popcount of
+    the XORed signatures. At scale each band join shuffles only
+    (doc_id, 2-byte value) rows and hot band-buckets shrink as bits/band
+    grows — the standard multi-index Hamming search layout (e.g.
+    Manku et al., WWW'07, the Google simhash-dedup paper)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("tok"))
+    digit_of = lambda j: (  # noqa: E731
+        F.instr(F.lit(_HEX), F.substring(F.md5("tok"), 1 + j // 4, 1)) - 1
+    )
+    bit_of = lambda j: F.floor(digit_of(j) / F.lit(2 ** (3 - j % 4))) % 2  # noqa: E731
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(2 * bit_of(j) - 1).alias(f"v{j}") for j in range(HAMMING_BITS)]
+    )
+    sig = sum(
+        (
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << (HAMMING_BITS - 1 - j)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(HAMMING_BITS)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    sigs = materialize(
+        votes.select("doc_id", sig.alias("sig")), "simhash48_sigs"
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(sig div {1 << (b * _BAND_BITS)}) % {1 << _BAND_BITS}"
+                        ).alias("val"),
+                    )
+                    for b in range(N_HAM_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_K)
+    )

@@ -89,6 +89,7 @@ CORE_ORDER = [
     "mm_image_decode",         # real BMP codec round-trip
     "sim_cosine_topk",
     "dedup_embedding_cosine",
+    "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
     # ---- position 51+: driver-green in r1-r3, rotated out (ROTATED_OUT);
     # ---- then extras, best-evidence first ----
     "sink_upsert_node",        # S4 — driver-green r1-r3

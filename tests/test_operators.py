@@ -125,3 +125,51 @@ def test_repetition_fold_matches_counter(spark):
         ).collect()
     }
     assert got == {i: e for i, e in enumerate(expected)}
+
+
+def test_materialize_content_addressing(spark, tmp_path):
+    """materialize() reuses a completed scratch dir for the SAME plan over
+    the SAME inputs, but must NOT collide across different input files:
+    the analyzed-plan string renders parquet relations without their
+    paths, so the digest keys the input file list explicitly (regression:
+    sf0.001 results were served for a sf0.01 query)."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, materialize
+
+    p1, p2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame([(1,)], "x long").write.parquet(p1)
+    spark.createDataFrame([(2,)], "x long").write.parquet(p2)
+
+    before = {d for d in os.listdir(SCRATCH_DIR)} if os.path.isdir(SCRATCH_DIR) else set()
+    m1 = materialize(spark.read.parquet(p1).select(F.col("x") * 10), "ca_test")
+    m2 = materialize(spark.read.parquet(p2).select(F.col("x") * 10), "ca_test")
+    assert [r[0] for r in m1.collect()] == [10]
+    assert [r[0] for r in m2.collect()] == [20]  # no cross-input reuse
+    created = {d for d in os.listdir(SCRATCH_DIR) if d.startswith("ca_test")} - before
+    assert len(created) == 2  # distinct digests
+
+    # identical plan + input a second time: no third dir (reuse hit)
+    materialize(spark.read.parquet(p1).select(F.col("x") * 10), "ca_test")
+    again = {d for d in os.listdir(SCRATCH_DIR) if d.startswith("ca_test")} - before
+    assert again == created
+
+
+def test_simhash_hamming_exact_dup_distance_zero(spark, tmp_path):
+    """Planted corpus: two byte-identical docs must surface as a
+    Hamming-0 pair via the band join; an unrelated doc must not pair
+    with them within distance 2 (48 random-ish bits apart)."""
+    from graph_etl_pipeline_spark.queries.dedup import dedup_simhash_hamming
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different subject matter about parquet row groups and shuffles"),
+    ]
+    sf = str(tmp_path / "planted")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_hamming(spark, sf).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in pairs), pairs
