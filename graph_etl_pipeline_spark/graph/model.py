@@ -88,7 +88,12 @@ class PropertyGraph:
             frontier = nxt
         return visited
 
-    def connected_components(self, max_iter: int = 20, checkpoint: bool = True) -> DataFrame:
+    def connected_components(
+        self,
+        max_iter: int = 20,
+        checkpoint: bool = True,
+        algorithm: str = "hash_min",
+    ) -> DataFrame:
         """Distributed connected components via hash-min propagation:
         every vertex starts as its own component (its uid), and each
         round every vertex adopts the minimum component id among itself
@@ -105,11 +110,20 @@ class PropertyGraph:
 
         Scale note: hash-min's round count is the component diameter,
         which is fine for the shallow containment graphs this engine
-        models (≤3 hops) but slow on long chains at web scale; there,
-        swap the propagation step for alternating small-star/large-star
+        models (≤3 hops) but slow on long chains at web scale; pass
+        ``algorithm="star"`` for the alternating small-star/large-star
         contraction (Kiveris et al., 'Connected Components in MapReduce
-        and Beyond') — O(log n) rounds, same loop harness, same output
-        contract."""
+        and Beyond') — O(log² n) rounds worst-case and ~log n in
+        practice, same output contract. The default stays hash-min
+        because on shallow graphs it converges in 2-3 rounds with fewer
+        jobs per round."""
+        if algorithm == "star":
+            labels, _ = star_contraction_components(
+                self.vertices, self.edges, max_iter=max_iter, checkpoint=checkpoint
+            )
+            return labels
+        if algorithm != "hash_min":
+            raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
         und = self.edges.select("src_uid", "dst_uid").unionByName(
             self.edges.select(
                 F.col("dst_uid").alias("src_uid"), F.col("src_uid").alias("dst_uid")
@@ -175,3 +189,96 @@ class PropertyGraph:
         return self.vertices.filter(self.vertices.label == label).join(
             e, self.vertices.uid == e[endpoint], "left_anti"
         )
+
+
+def star_contraction_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 30,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond', SoCC'14) — the long-chain/web-scale alternative to hash-min
+    (VERDICT r3 #6). Returns ``(labels, rounds)``: the (uid, component)
+    DataFrame under the same contract as PropertyGraph.connected_components
+    (component = lexicographically smallest uid; isolated vertices keep
+    their own uid), and the number of alternation rounds to the fixed
+    point.
+
+    Each round over the current undirected neighbor view Γ:
+      * large-star: every node u links its LARGER neighbors to
+        m(u) = min(Γ(u) ∪ {u}) — long chains halve;
+      * small-star: every node u links its smaller-or-equal neighbors
+        and itself to m(u) — stars flatten onto their roots.
+    The edge set reaches a fixed point of directed star edges
+    (v → component root) in O(log² n) rounds worst-case (~log n in
+    practice), vs O(diameter) for hash-min — a 10k-node path needs ~12
+    rounds here and 10k there. Every step is joins/aggregations (min is
+    map-combined); nothing is collected to the driver; localCheckpoint
+    truncates the per-round lineage exactly as in the other iterative
+    harnesses."""
+    pair = (
+        edges.select(F.col("src_uid").alias("u"), F.col("dst_uid").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _und(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def _mins(und: DataFrame) -> DataFrame:
+        return und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    rounds = 0
+    converged = False
+    cur = pair
+    for _ in range(max_iter):
+        rounds += 1
+        und = _und(cur)
+        mins = _mins(und)
+        large = (
+            und.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        und2 = _und(large)
+        mins2 = _mins(und2)
+        small = (
+            und2.filter(F.col("v") <= F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if checkpoint:
+            small = small.localCheckpoint(eager=True)
+        stable = (
+            small.join(cur, ["u", "v"], "left_anti").isEmpty()
+            and cur.join(small, ["u", "v"], "left_anti").isEmpty()
+        )
+        cur = small
+        if stable:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star_contraction_components did not reach a fixed point within "
+            f"max_iter={max_iter} rounds (O(log^2 n) expected; this graph "
+            "would need a larger budget)"
+        )
+    # fixed point: every edge is (member -> component root)
+    roots = cur.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        vertices.select("uid")
+        .join(roots, vertices.uid == roots.u, "left")
+        .select("uid", F.coalesce("component", "uid").alias("component")),
+        rounds,
+    )
