@@ -404,9 +404,10 @@ def _sql_simhash_bit(j: int) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprinting: each token votes ±1 on each of 16
     signature bits (bit source: md5 of the token); the sign of the summed
-    votes is the bit. Near-identical documents land on equal (or
-    Hamming-close) signatures, so dedup is a groupBy on a 2-byte value —
-    the cheapest of the near-dup family at scale."""
+    votes is the bit. This query groups EQUAL signatures — dedup as a
+    groupBy on a 2-byte value, the cheapest of the near-dup family at
+    scale; Hamming-neighborhood search (distance ≤ 2 over a 48-bit
+    signature) is the sibling ``dedup_simhash_hamming``."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("tok"))
     digit_of = lambda j: (

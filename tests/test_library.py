@@ -106,12 +106,17 @@ def test_stats(spark, sf_dir):
 
 
 def test_schema_registry_shapes():
+    from graph_etl_pipeline_spark.schema import PDF_ONLY_LABELS
+
     assert set(REGISTRY) >= {
         "WasteItem", "WasteStream", "AVVCode", "Facility", "Container",
         "Building", "Room", "Condition", "Tip", "Source",
     }
+    # PDF-spec-only ontology labels (Schema_Doku §4.2-4.12) are registered
+    assert PDF_ONLY_LABELS <= set(REGISTRY)
     assert REGISTRY["WasteItem"].unique_keys == ("uid", "name")
     assert REGISTRY["AVVCode"].unique_keys == ("code",)
+    assert REGISTRY["ConditionValue"].unique_keys == ("key", "value")
 
 
 def test_uniqueness_audit(spark):
