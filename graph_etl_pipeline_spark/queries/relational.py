@@ -393,3 +393,48 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = promo.intersect(econ).select("p_brand", F.lit("both").alias("membership"))
     only = promo.exceptAll(econ).select("p_brand", F.lit("promo_only").alias("membership"))
     return both.unionByName(only)
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "profile_table_stats",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"COUNT({c}) AS n_non_null, COUNT(DISTINCT {c}) AS n_distinct "
+        f"FROM documents"
+        for c in _PROFILE_COLS
+    ),
+    tags=("profile", "api"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality verb every ingest pipeline runs
+    before trusting a new source (reference analogue: the row-count /
+    validity stats waste_items.py prints after each import, generalized
+    to per-column completeness + cardinality).
+
+    ONE scan for all columns: a single aggregate computes rows /
+    non-nulls / distincts for every column (Spark plans the multiple
+    COUNT(DISTINCT)s via one Expand — still a single pass over the
+    table, factor-of-columns rows into a map-combined agg, no join of
+    per-column jobs), then stack() unpivots the 1-row result into the
+    (column_name, n_rows, n_non_null, n_distinct) report. At 100 TB the
+    expand factor is the knob: profile column GROUPS in batches if the
+    5x row inflation ever outweighs re-scanning."""
+    d = table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nn, {c}__nd" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_rows, n_non_null, n_distinct)"
+    )

@@ -439,3 +439,46 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # div == floor, and exactness survives past 2^53
         F.expr(f"global_offset div {PACK_SEQ_LEN}").alias("seq_id"),
     )
+
+
+# --- PII scrubbing ------------------------------------------------------
+
+# Java regex (Spark) and RE2 (DuckDB) agree on these constructs: plain
+# character classes, bounded repetition, no lookaround/backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d .()/-]{7,}\d"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: replace emails then phone-like
+    digit runs with typed placeholder tokens and count the redactions
+    (audit columns — pipelines alert when a source's PII density jumps).
+    Pure map-side expression work, no shuffle, scales linearly; the
+    redaction ORDER (emails first) is part of the contract since email
+    local parts can contain digit runs. DuckDB needs the 'g' flag where
+    Spark's regexp_replace is global by default — both engines run RE2/
+    Java-compatible patterns (no lookaround) so redactions align
+    byte-for-byte. Planted-corpus behavior is unit-tested; the driver
+    corpus is PII-free so counts there are legitimately zero."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+    )

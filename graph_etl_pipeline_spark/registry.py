@@ -116,6 +116,8 @@ CORE_ORDER = [
     "win_rank_frames",         # window extra beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
     "sim_ann_ivf",             # approximate by construction
+    "text_pii_scrub",          # typed-placeholder redaction + audit counts (r4)
+    "profile_table_stats",     # one-pass per-column completeness/cardinality (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -173,3 +173,28 @@ def test_simhash_hamming_exact_dup_distance_zero(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_hamming(spark, sf).collect()}
     assert pairs.get((1, 2)) == 0
     assert all(k == (1, 2) for k in pairs), pairs
+
+
+def test_pii_scrub_planted_corpus(spark, tmp_path):
+    """Redaction must replace every email/phone occurrence with its typed
+    placeholder, count them, and leave clean text untouched. Email pass
+    runs FIRST (contract): digit-bearing email local parts must come out
+    as <EMAIL>, never <PHONE>."""
+    from graph_etl_pipeline_spark.queries.textops import text_pii_scrub
+
+    rows = [
+        (1, "contact jane.doe99@example.org or call +49 (0)30 1234-5678 now"),
+        (2, "two mails: a@b.io c@d.museum"),
+        (3, "no pii here at all"),
+    ]
+    sf = str(tmp_path / "pii")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in text_pii_scrub(spark, sf).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].clean_text and "<PHONE>" in out[1].clean_text
+    assert "jane" not in out[1].clean_text and "5678" not in out[1].clean_text
+    assert out[2].n_emails == 2 and out[2].clean_text == "two mails: <EMAIL> <EMAIL>"
+    assert out[3].clean_text == "no pii here at all"
+    assert (out[3].n_emails, out[3].n_phones) == (0, 0)
