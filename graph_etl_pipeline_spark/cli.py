@@ -8,6 +8,7 @@ Usage:
     python -m graph_etl_pipeline_spark.cli schema --warehouse DIR
     python -m graph_etl_pipeline_spark.cli query  "SELECT ..." [--sf-dir DIR]
     python -m graph_etl_pipeline_spark.cli explain NAME [--sf-dir DIR]
+    python -m graph_etl_pipeline_spark.cli profile TABLE [--sf-dir DIR]
     python -m graph_etl_pipeline_spark.cli import-facilities --file F [--dry-run]
     python -m graph_etl_pipeline_spark.cli import-waste-items --file F --facilities-file J [--dry-run]
 """
@@ -42,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     se = sub.add_parser("explain", help="print a registered query's physical plan")
     se.add_argument("name")
     se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    pf = sub.add_parser(
+        "profile", help="per-column completeness/cardinality report (one scan)"
+    )
+    pf.add_argument("table", help="table name under --sf-dir")
+    pf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     fi = sub.add_parser("import-facilities")
     fi.add_argument("--file", required=True)
@@ -95,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
 
         spec = all_queries()[args.name]
         spec.fn(spark, args.sf_dir).explain("formatted")
+    elif args.cmd == "profile":
+        from graph_etl_pipeline_spark.io import table
+        from graph_etl_pipeline_spark.queries.relational import profile_columns
+
+        for row in profile_columns(table(spark, args.sf_dir, args.table)).collect():
+            print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "import-facilities":
         from graph_etl_pipeline_spark.etl.facilities import import_facilities
 

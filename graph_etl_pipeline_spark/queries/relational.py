@@ -422,19 +422,24 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column_name, n_rows, n_non_null, n_distinct) report. At 100 TB the
     expand factor is the knob: profile column GROUPS in batches if the
     5x row inflation ever outweighs re-scanning."""
-    d = table(spark, sf_dir, "documents")
+    return profile_columns(table(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """One-pass per-column profile of any DataFrame (library form, also
+    exposed as the CLI ``profile`` verb). See profile_table_stats for the
+    plan shape and the 100 TB batching note."""
+    cols = cols or tuple(df.columns)
     aggs = []
-    for c in _PROFILE_COLS:
+    for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.count(c).alias(f"{c}__nn"),
             F.countDistinct(c).alias(f"{c}__nd"),
         ]
-    one = d.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nn, {c}__nd" for c in _PROFILE_COLS
-    )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', {c}__rows, {c}__nn, {c}__nd" for c in cols)
     return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        f"stack({len(cols)}, {stack_args}) "
         "AS (column_name, n_rows, n_non_null, n_distinct)"
     )

@@ -23,6 +23,7 @@ QUERIES = [
     "text_fingerprint",         # order-independent rolling hash
     "graph_connected_components",  # iterative convergence
     "text_pack_sequences",      # two-level prefix sum (partitioning-sensitive by construction)
+    "dedup_simhash_hamming",    # band-join candidates + popcount verify (r4)
 ]
 
 _SCRIPT = f"""
