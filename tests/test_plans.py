@@ -95,3 +95,29 @@ def test_rollup_single_aggregation_exchange(spark, sf_dir):
     plan = _plan(spark, "agg_rollup", sf_dir)
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_jaccard_common_case_has_no_window(spark, sf_dir):
+    """r4 regression guard: the df-cap must never reintroduce WindowExec
+    over the exploded index (the r3 2.6x regression shape). With no hot
+    shingles (all test SFs) the adaptive guard also drops the anti-join,
+    so the plan is scan -> explode -> self-join -> aggregations only."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "Window" not in plan
+    assert "LeftAnti" not in plan  # hot list empty => guard not engaged
+
+
+def test_embedding_cosine_common_case_has_no_window(spark, sf_dir):
+    """r4 regression guard: with every label block under CHUNK_CAP the
+    pair join must be the plain per-label self-join — zero WindowExecs,
+    zero tile replication (the r3 3.1x regression paid both always)."""
+    plan = _plan(spark, "dedup_embedding_cosine", sf_dir)
+    assert "Window" not in plan
+
+
+def test_profile_single_scan_single_expand(spark, sf_dir):
+    """Column profiling must stay one pass: one Expand for the grouped
+    COUNT(DISTINCT)s, exactly one scan of the profiled table."""
+    plan = _plan(spark, "profile_table_stats", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
