@@ -73,11 +73,17 @@ def test_hot_shingle_df_cap_kills_quadratic_pairs(spark, tmp_path):
         f"{sf}/documents.parquet"
     )
 
-    pairs = dedup_ngram_jaccard(spark, sf).collect()
+    out = dedup_ngram_jaccard(spark, sf)
+    pairs = out.collect()
     assert len(pairs) == 1, f"expected only the rare-shingle pair, got {pairs}"
     (p,) = pairs
     assert (p.doc_a, p.doc_b) == (100_000, 100_001)
     assert abs(p.jaccard - 0.8) < 1e-12
+    # engaged-guard plan shape: the cap must be a broadcast anti-join,
+    # never a window over the exploded index (r3 regression shape)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
 
 
 def test_repetition_fold_matches_counter(spark):
