@@ -5,6 +5,7 @@ from graph_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     cleaning,
     composite,
+    curation,
     dedup,
     graph_queries,
     joins,

@@ -1,0 +1,225 @@
+"""Corpus curation operators: deterministic splitting, domain-mix
+sampling, and token-budget selection (driver-mandated LLM-data-pipeline
+surface; the reference's nearest analogue is the validity filtering in
+src/etl/waste_items.py:77-94, scaled from row predicates to corpus-level
+selection policies).
+
+Design for 100 TB — selection must be a MAP-SIDE decision wherever the
+policy allows:
+  * hash-split and hash-threshold sampling read one row and emit a
+    verdict from a seeded md5 — zero shuffles, zero coordination, stable
+    under reruns/partitioning (the split a doc lands in is a pure
+    function of its id, so incremental corpus refreshes never migrate
+    documents between train and holdout);
+  * exact-fraction stratified sampling and per-source token budgets are
+    inherently rank-based, so they pay exactly ONE shuffle (the window
+    partition key), never a global sort; skew is bounded by group count.
+
+All hashes are seeded md5 hex prefixes compared LEXICOGRAPHICALLY —
+both engines compare lowercase-hex ASCII identically, so no hex→int
+conversion is needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+# Train/holdout boundary on the first two hex chars of the seeded md5:
+# 'e6' = 230/256 ≈ 89.8% train. Two hex chars give 256 buckets — granular
+# enough for split ratios, and the comparison stays a 2-char string op.
+SPLIT_THRESHOLD = "e6"
+
+# Per-language keep thresholds (first-2-hex-chars < threshold ⇒ keep) for
+# domain mixing: downsample the dominant language, keep rare ones whole.
+# None ⇒ keep everything. Unlisted languages are DROPPED (a mixture
+# policy is a whitelist; silently passing unknown domains through would
+# corrupt the mix).
+MIX_THRESHOLDS: dict[str, str | None] = {
+    "en": "80",  # 128/256 = 50% — dominant language, halve it
+    "de": None,  # rare: keep all
+    "fr": "c0",  # 192/256 = 75%
+    "es": "80",  # 50%
+    "zh": "40",  # 64/256 = 25%
+}
+
+STRATIFIED_FRACTION = 0.2  # exact per-language sample fraction
+
+TOKEN_BUDGET = 800  # per-source token budget for greedy selection
+
+
+def _hex_bucket(seed: str, id_col: str) -> F.Column:
+    """First two hex chars of md5('<seed>:' || id) — a uniform 256-bucket
+    assignment both engines compute identically. Each policy uses its own
+    seed so split/sample decisions are statistically independent."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 2
+    )
+
+
+def _sql_hex_bucket(seed: str, id_col: str) -> str:
+    return f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 2)"
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_hex_bucket("split", "doc_id")} AS bucket,
+           CASE WHEN {_sql_hex_bucket("split", "doc_id")} < '{SPLIT_THRESHOLD}'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+    tags=("curation", "llm"),
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by seeded content-id hash.
+
+    The split is a pure per-row function — no shuffle, no sampling state,
+    no ordering dependence — so it holds under corpus growth: re-running
+    after ingesting new documents never moves an old document across the
+    split boundary (the property that keeps a holdout set uncontaminated
+    across pipeline runs). At 100 TB this is a map-only pass fused into
+    whatever scan precedes it."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _hex_bucket("split", "doc_id")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_THRESHOLD, "train").otherwise("holdout").alias("split"),
+    )
+
+
+@register(
+    "sample_domain_mix",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE lang
+        {" ".join(
+            f"WHEN '{lang}' THEN " + (
+                "TRUE" if thr is None
+                else f"{_sql_hex_bucket('mix', 'doc_id')} < '{thr}'"
+            )
+            for lang, thr in MIX_THRESHOLDS.items()
+        )}
+        ELSE FALSE END
+    """,
+    tags=("curation", "llm"),
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-language keep rates applied as seeded
+    hash thresholds (downsample the dominant language, keep rare ones).
+
+    Still a MAP-SIDE decision — the mixture policy is a constant-size
+    CASE over the domain column, so reweighting a 100 TB corpus is one
+    scan with zero shuffles, and the kept subset is deterministic (reruns
+    and backfills select the same documents). Exact-count stratified
+    sampling (when the policy demands precise counts, not rates) is the
+    sibling ``sample_stratified_exact``."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _hex_bucket("mix", "doc_id")
+    keep = F.lit(False)
+    for lang, thr in MIX_THRESHOLDS.items():
+        cond = F.lit(True) if thr is None else bucket < thr
+        keep = F.when(F.col("lang") == lang, cond).otherwise(keep)
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_sql_hex_bucket("strat", "doc_id")}, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang
+    FROM ranked
+    WHERE rn <= CEIL({STRATIFIED_FRACTION} * n)
+    """,
+    tags=("curation", "llm"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction stratified sample: precisely ceil(f·n) documents
+    per language, chosen by seeded-hash rank (deterministic, uniform).
+
+    Rank-based selection needs the group on one side of an exchange, so
+    this pays exactly ONE shuffle — both window functions share the same
+    partition key and Catalyst plans a single Exchange+Sort (asserted in
+    tests/test_curation.py). Skew is bounded by the language distribution;
+    a pathologically hot stratum would switch to the hash-threshold
+    sibling (approximate rate, zero shuffle) or per-stratum salting."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_hex_bucket("strat", "doc_id"), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.lit(STRATIFIED_FRACTION) * F.col("n"))
+    ).select("doc_id", "lang")
+
+
+@register(
+    "text_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, n_chars,
+               len({SQL_TOKS.format(col="text")}) AS n_tok
+        FROM documents
+    ),
+    running AS (
+        SELECT source, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tok
+        FROM toks
+    )
+    SELECT source, doc_id, n_tok, cum_tok
+    FROM running
+    WHERE cum_tok <= {TOKEN_BUDGET}
+    """,
+    tags=("curation", "llm"),
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: per source, admit documents in
+    priority order (longest first, id tiebreak) while the running token
+    total stays within the budget — the "fill each domain's quota"
+    primitive of training-mix construction.
+
+    One shuffle (the per-source window); the running sum is a streaming
+    frame (ROWS UNBOUNDED PRECEDING), so each partition is a single
+    ordered pass. Parallelism is bounded by source count — at 100 TB
+    sources number in the thousands (web crawls, code repos, books), so
+    group-level parallelism saturates the cluster; a single monster
+    source would use the two-level prefix-sum layout of
+    ``text_pack_sequences`` (textops.py) instead of one task."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(norm_tokens(d.text)).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.select("source", "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum_tok"))
+        .filter(F.col("cum_tok") <= TOKEN_BUDGET)
+    )

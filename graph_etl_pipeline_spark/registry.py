@@ -118,6 +118,10 @@ CORE_ORDER = [
     "sim_ann_ivf",             # approximate by construction
     "text_pii_scrub",          # typed-placeholder redaction + audit counts (r4)
     "profile_table_stats",     # one-pass per-column completeness/cardinality (r4)
+    "split_train_holdout",     # deterministic hash split, map-side (r4)
+    "sample_domain_mix",       # per-domain hash-threshold mixing, map-side (r4)
+    "sample_stratified_exact", # exact per-stratum fraction, one exchange (r4)
+    "text_token_budget",       # per-source greedy token budget, one exchange (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green
