@@ -205,3 +205,70 @@ def join_consistency_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_nationkey", "n_name")
         .agg(F.count("c_custkey").alias("n_customers"))
     )
+
+
+# --- Interval (range) join ---------------------------------------------
+
+RANGE_W_SEC = 3600  # window width == bucket width (each anchor spans 2 buckets)
+
+
+@register(
+    "join_time_range",
+    # The oracle is the DECLARATIVE form — a plain theta join. Quadratic
+    # is fine at oracle scale; the Spark side must produce identical
+    # results from the bucketed equi-join plan.
+    oracle=f"""
+    SELECT a.event_id AS anchor_id,
+           COUNT(*) AS n_in_window
+    FROM events a
+    JOIN events e
+      ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL {RANGE_W_SEC} SECOND
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every error event, count ALL events (any user)
+    inside the hour starting at it — the "activity around an incident"
+    shape. Spark has no native range-join optimization, and the naive
+    formulation (`e.ts BETWEEN a.ts AND a.ts + W`) plans a
+    BroadcastNestedLoopJoin: every probe row tested against every anchor,
+    O(n·m) at any scale.
+
+    The scale-correct plan is BUCKETED: both sides are keyed by
+    floor(epoch / W); an anchor's [t, t+W) interval spans exactly two
+    buckets (W == bucket width), so anchors are exploded into those two
+    bucket keys and the join becomes a pure EQUI-join on the bucket,
+    with the exact range predicate applied as a post-join filter. Each
+    side shuffles once on the bucket key; per-task work is bounded by
+    event density × window, not by table size. Hot buckets (traffic
+    spikes) split under AQE skew handling; a wider window at constant
+    bucket width explodes to ceil(W/bucket)+1 keys — fanout grows with
+    the RATIO, never with the data. (tests/test_plans.py asserts no
+    nested-loop join survives in the physical plan.)"""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(RANGE_W_SEC)).cast("long")
+    anchors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("a_ts"),
+            bucket.alias("b0"),
+        )
+        .select(
+            "anchor_id",
+            "a_ts",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
+    )
+    probes = ev.select(F.col("ts").alias("e_ts"), bucket.alias("bucket"))
+    return (
+        anchors.join(probes, "bucket")
+        .filter(
+            (F.col("e_ts") >= F.col("a_ts"))
+            & (F.col("e_ts") < F.col("a_ts") + F.expr(f"INTERVAL {RANGE_W_SEC} SECOND"))
+        )
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )

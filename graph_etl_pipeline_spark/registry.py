@@ -122,6 +122,7 @@ CORE_ORDER = [
     "sample_domain_mix",       # per-domain hash-threshold mixing, map-side (r4)
     "sample_stratified_exact", # exact per-stratum fraction, one exchange (r4)
     "text_token_budget",       # per-source greedy token budget, one exchange (r4)
+    "join_time_range",         # interval join via bucketed equi-join (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -28,6 +28,16 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "text" not in plan.split("ReadSchema")[1][:200]
 
 
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval join must plan as an equi-join on the time bucket —
+    a nested-loop/cartesian plan here is the exact scale bug the
+    bucketing exists to prevent."""
+    plan = _plan(spark, "join_time_range", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan  # the equi-join key is the derived bucket
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = _plan(spark, "agg_topk", sf_dir)
     assert "TakeOrderedAndProject" in plan  # no global sort for top-K
