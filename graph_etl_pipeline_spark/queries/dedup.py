@@ -40,8 +40,7 @@ JACCARD_THRESHOLD = 0.5
 # (the hot-shingle list stays tiny and broadcastable by construction).
 MAX_SHINGLE_DF = 50
 
-_SQL_SHINGLE_CTE = f"""
-    WITH toks AS (
+_SQL_SHINGLE_BODY = f"""toks AS (
         SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
     ),
     doc_shingles AS (
@@ -51,6 +50,9 @@ _SQL_SHINGLE_CTE = f"""
         SELECT doc_id, unnest(shingles) AS s FROM doc_shingles
     )
 """
+
+_SQL_SHINGLE_CTE = f"""
+    WITH {_SQL_SHINGLE_BODY}"""
 
 # Hash-family economy: one md5 yields 32 hex chars = four independent
 # 8-hex (32-bit) hash values; two seeded md5 calls per shingle give all
@@ -167,11 +169,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from_arrays(_doc_shingles(spark, sf_dir))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    {_SQL_SHINGLE_CTE},
-    mhs AS (
+# The full LSH pair pipeline as reusable CTE text: shingles → signatures
+# → band buckets → candidates → verified `pairs(doc_a, doc_b, jaccard)`.
+# Shared by the pair query and the cluster-retention query so both
+# oracles verify the SAME pair semantics.
+_SQL_LSH_PAIRS_BODY = f"""mhs AS (
         SELECT doc_id, {_SQL_MINHASH} FROM exploded GROUP BY doc_id
     ),
     bands AS (
@@ -196,11 +198,21 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles) la ON la.doc_id = c.doc_a
         JOIN (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles) lb ON lb.doc_id = c.doc_b
         GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
-    FROM pair_stats
-    WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+        FROM pair_stats
+        WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    {_SQL_LSH_PAIRS_BODY}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     tags=("dedup", "llm"),
 )
@@ -210,6 +222,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verification join is inverted-index shaped (explode distinct
     shingles, join on shingle restricted to candidate pairs) so no
     document pair outside the LSH buckets is ever compared."""
+    return _lsh_pairs(spark, sf_dir)
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified LSH pair plan (doc_a, doc_b, jaccard) — shared by the
+    pair query and the cluster-retention query (identical plan text ⇒ the
+    content-addressed shingle materialization is built once per corpus
+    and reused by both, exactly the production amortization shape)."""
     # Materialize the per-doc shingle table ONCE: the tokenize+shingle
     # computation feeds the signature projection, the per-doc size lookup,
     # and both verification join sides — Spark has no automatic CTE
@@ -546,4 +566,74 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_K)
+    )
+
+
+# --- Near-dup cluster retention ----------------------------------------
+
+
+@register(
+    "dedup_cluster_keep",
+    # Transitive closure by recursive CTE: every node's reachable set
+    # over the undirected pair graph, MIN = canonical representative.
+    # Independent of the Spark side's iterative hash-min algorithm, and
+    # exact at oracle scale (the pair graph is sparse by construction).
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    undirected AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(anc) AS canonical_id,
+           (node = MIN(anc)) AS keep
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "llm"),
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RETENTION: LSH pairs are only half of dedup — near-dup
+    similarity is not transitive, so naive pairwise deletion either
+    over-deletes (both sides of every pair) or under-deletes
+    (order-dependent keeps). The standard resolution (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") is to
+    take CONNECTED COMPONENTS of the pair graph and keep one canonical
+    document per cluster.
+
+    Pipeline: verified LSH pairs (the `dedup_minhash_lsh` plan — its
+    materialized shingle table is content-addressed, so it is built once
+    and shared) → hash-min connected components over the pair graph →
+    canonical = component minimum, keep = (doc == canonical). Documents
+    in no pair never enter the edge set — the CC iteration runs on the
+    SPARSE near-dup graph (≪ corpus size at any scale), not the corpus.
+    Cluster diameters are small (near-dup balls), so hash-min converges
+    in 2-3 rounds; the star-contraction variant stands by for
+    pathological chain clusters (graph/model.py)."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    verts = (
+        pairs.select(F.col("doc_a").alias("uid"))
+        .unionByName(pairs.select(F.col("doc_b").alias("uid")))
+        .distinct()
+    )
+    g = PropertyGraph(
+        vertices=verts,
+        edges=pairs.select(
+            F.col("doc_a").alias("src_uid"), F.col("doc_b").alias("dst_uid")
+        ),
+    )
+    comp = g.connected_components()
+    return comp.select(
+        F.col("uid").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("uid") == F.col("component")).alias("keep"),
     )

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.graph.build import star_graph
+from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
 
 
@@ -150,3 +151,102 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges=g.edges.filter(F.col("rel_type") == "PLACED_BY"),
     )
     return sub.connected_components()
+
+
+@register(
+    "graph_triangle_count",
+    # Oracle counts triangles with plain ID-ordered edges (u < v) and a
+    # three-way self-join — orientation-invariant, so it checks the Spark
+    # side's degree-oriented algorithm against an INDEPENDENT formulation.
+    oracle="""
+    WITH per_user_hour AS (
+        SELECT date_trunc('hour', ts) AS h, user_id, MIN(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    chained AS (
+        SELECT h, user_id,
+               LAG(user_id) OVER (PARTITION BY h ORDER BY first_ts, user_id) AS prev_id
+        FROM per_user_hour
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(user_id, prev_id) AS u, GREATEST(user_id, prev_id) AS v
+        FROM chained WHERE prev_id IS NOT NULL
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT COUNT(DISTINCT x) AS n_nodes
+        FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+    ),
+    ec AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges, n_triangles FROM nodes, ec, tri
+    """,
+    tags=("graph", "agg"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the user-interaction graph (users linked
+    when consecutive in an hour's activity chain — a sparse handoff graph
+    whose node count scales with SF, unlike co-occurrence cliques).
+
+    The triangle join is DEGREE-ORIENTED (Cohen's map-reduce triangle
+    algorithm / the 'compact-forward' orientation): every edge points
+    from its lower-(degree, id) endpoint to the higher one, so each
+    triangle is generated exactly once and — the scale property — wedge
+    fanout at a node is its OUT-degree under orientation, which is
+    O(sqrt(m)) for any graph. A celebrity node with 10M neighbors
+    contributes almost no wedges because nearly all its edges point IN;
+    the ID-only orientation the oracle uses has no such bound (a
+    low-id hub would fan out its full degree). Degrees are a node-count
+    sized table, joined by BROADCAST onto the edge list — the edge fact
+    table shuffles only for the wedge join itself.
+
+    Chain derivation windows are PER-HOUR partitions (no global
+    ordering anywhere); the hour key gives time-bounded, evenly-sized
+    window partitions at any scale."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    per_uh = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(F.min("ts").alias("first_ts"))
+    w = Window.partitionBy("h").orderBy("first_ts", "user_id")
+    chained = per_uh.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
+    edges = (
+        chained.filter(F.col("prev_id").isNotNull())
+        .select(
+            F.least("user_id", "prev_id").alias("u"),
+            F.greatest("user_id", "prev_id").alias("v"),
+        )
+        .distinct()
+    )
+    # degree-rank orientation: node table is tiny relative to edges
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"), F.col("e2.src").alias("y"), F.col("e2.dst").alias("z")
+    )
+    tri = wedges.join(
+        e3, (F.col("e3.src") == F.col("x")) & (F.col("e3.dst") == F.col("z"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = edges.select(F.explode(F.array("u", "v")).alias("node")).agg(
+        F.count_distinct(F.col("node")).alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    return stats.join(tri)  # two 1-row sides: broadcast scalar combine

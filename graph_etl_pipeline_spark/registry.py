@@ -123,6 +123,8 @@ CORE_ORDER = [
     "sample_stratified_exact", # exact per-stratum fraction, one exchange (r4)
     "text_token_budget",       # per-source greedy token budget, one exchange (r4)
     "join_time_range",         # interval join via bucketed equi-join (r4)
+    "graph_triangle_count",    # degree-oriented triangle join (r4)
+    "dedup_cluster_keep",      # LSH pairs → CC → canonical retention (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green
