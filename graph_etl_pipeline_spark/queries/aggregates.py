@@ -266,3 +266,89 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("approx_p50", "exact_p50").alias("p50_within_bound"),
         within("approx_p90", "exact_p90").alias("p90_within_bound"),
     )
+
+
+# --- Heavy hitters via a custom distributed sketch ---------------------
+
+HH_K = 128  # Misra-Gries sketch size (counters per partition)
+HH_T = 80   # heavy hitter ⇔ count > n/HH_T
+
+# Skew-bearing key: low-value events collapse into 3 hot band keys
+# (~2% of n each — frequency FRACTIONS are scale-invariant), everything
+# else keys per-user (cardinality grows with SF: 1.5k keys at sf0.1 vs
+# 128 counters, so evictions are real at bench scale). The hitter
+# threshold n/80 sits ABOVE the sketch's worst-case undercount n/129,
+# which is what makes the contract booleans deterministic: every true
+# hitter is GUARANTEED retained regardless of partitioning.
+_HH_KEY_SQL = (
+    "CASE WHEN value < 3 THEN 'band' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) "
+    "ELSE 'user' || CAST(user_id AS VARCHAR) END"
+)
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (SELECT {_HH_KEY_SQL} AS key FROM events),
+    exact AS (SELECT key, COUNT(*) AS exact_n FROM keyed GROUP BY key),
+    tot AS (SELECT COUNT(*) AS n FROM keyed)
+    SELECT key, exact_n,
+           TRUE AS in_sketch,
+           TRUE AS est_le_exact,
+           TRUE AS within_bound
+    FROM exact, tot
+    WHERE exact_n * {HH_T} > n
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family contract #4: heavy hitters via a CUSTOM distributed
+    Misra-Gries sketch (operators/sketch.py — per-partition Arrow-batched
+    summaries of fixed size k, merged by one k×P-row hash aggregation).
+    The 100 TB story: per-executor memory and merge shuffle are O(k),
+    independent of key cardinality — the exact groupBy this query also
+    runs (to verify the sketch) is the thing the sketch REPLACES at
+    scale.
+
+    Contract: emits the exact hitters (count > n/{HH_T}) plus in-query
+    booleans asserting the MG guarantees — every hitter present in the
+    merged sketch, estimates never above exact, undercount within
+    n/(k+1). All three hold for ANY partitioning because n/{HH_T} >
+    n/{HH_K + 1} (threshold above the worst-case bound), so the result —
+    unlike the sketch's internal counters — is deterministic. Integer
+    arithmetic only (count·T > n, (count-est)·(k+1) ≤ n): no FP ties.
+
+    The explicit repartition mirrors the multi-split scan a real corpus
+    gets (the single-row-group test file would otherwise hand the
+    sketch ONE partition and make the merge path trivial)."""
+    from graph_etl_pipeline_spark.operators.sketch import mg_sketch_partitions
+
+    ev = table(spark, sf_dir, "events")
+    key = F.when(
+        F.col("value") < 3,
+        F.concat(F.lit("band"), F.floor("value").cast("int").cast("string")),
+    ).otherwise(F.concat(F.lit("user"), F.col("user_id").cast("string")))
+    keyed = ev.select(key.alias("key")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sketch = keyed.mapInPandas(mg_sketch_partitions(HH_K), schema="key string, est long")
+    merged = sketch.groupBy("key").agg(F.sum("est").alias("est"))
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = keyed.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("exact_n") * HH_T > F.col("n"))
+        .join(merged, "key", "left")
+        .select(
+            "key",
+            "exact_n",
+            F.col("est").isNotNull().alias("in_sketch"),
+            F.coalesce(F.col("est") <= F.col("exact_n"), F.lit(False)).alias(
+                "est_le_exact"
+            ),
+            F.coalesce(
+                (F.col("exact_n") - F.col("est")) * (HH_K + 1) <= F.col("n"),
+                F.lit(False),
+            ).alias("within_bound"),
+        )
+    )

@@ -125,6 +125,7 @@ CORE_ORDER = [
     "join_time_range",         # interval join via bucketed equi-join (r4)
     "graph_triangle_count",    # degree-oriented triangle join (r4)
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention (r4)
+    "agg_heavy_hitters",       # Misra-Gries sketch + exact contract (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green
