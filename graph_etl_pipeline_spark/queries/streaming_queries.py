@@ -161,3 +161,39 @@ def newer_wins_user_state(current: DataFrame, incoming: DataFrame) -> DataFrame:
         pick("last_ts"),
         pick("last_value"),
     )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator executed through the streaming engine:
+    applyInPandasWithState keeps a persistent (n_events, total_cents)
+    tuple per user in Spark's checkpointed state store
+    (streaming/stateful.py — the mechanism for per-entity lifetime
+    aggregates that windowed aggregation can't express). Each micro-batch
+    emits the updated cumulative row per touched user; the final answer
+    is the last (= MAX, cumulative rows are monotone) row per user, which
+    must equal the batch groupBy oracle exactly — integer-cents
+    accumulation makes the equality exact under ANY batch split
+    (multi-batch and restart behavior: tests/test_streaming.py)."""
+    from graph_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    stream = events_stream(spark, sf_dir)
+    totals = run_to_memory(
+        running_user_totals(stream),
+        name=f"stream_stateful_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )

@@ -126,6 +126,7 @@ CORE_ORDER = [
     "graph_triangle_count",    # degree-oriented triangle join (r4)
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention (r4)
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract (r4)
+    "stream_stateful_running", # applyInPandasWithState running totals (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -278,3 +278,136 @@ def test_incremental_upsert_restart_resumes_persisted_state(spark, tmp_path):
         f"expected exactly one new committed version, "
         f"got {versions_after_run1} -> {versions_after_run2}"
     )
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state BETWEEN
+    micro-batches: with the events split across two files
+    (maxFilesPerTrigger=1), a user seen in both batches emits two
+    cumulative rows whose totals grow, and the final row equals the
+    batch groupBy."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.count()
+    first = ev.orderBy("event_id").limit(rows // 2)
+    second = ev.orderBy(F.desc("event_id")).limit(rows - rows // 2)
+
+    src = tmp_path / "halves"
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    for tag, half in (("a", first), ("b", second)):
+        half.coalesce(1).write.mode("overwrite").parquet(str(src / tag))
+        shutil.copy(next((src / tag).glob("*.parquet")), stream_dir / f"{tag}.parquet")
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    name = f"stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+
+    # at least one user appears in both batches → two emitted rows,
+    # strictly increasing cumulative count
+    multi = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_events").alias("lo"),
+            F.max("n_events").alias("hi"),
+        )
+        .filter((F.col("n_rows") == 2) & (F.col("hi") > F.col("lo")))
+    )
+    assert multi.count() > 0
+
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert final.exceptAll(expected).isEmpty() and expected.exceptAll(final).isEmpty()
+
+
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """The state store is checkpointed: stop after batch 1, deliver a
+    second file, restart with the SAME checkpoint — totals must resume
+    from persisted state, not restart from zero."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.count()
+    first = ev.orderBy("event_id").limit(rows // 2)
+    second = ev.orderBy(F.desc("event_id")).limit(rows - rows // 2)
+
+    src = tmp_path / "halves"
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for tag, half in (("a", first), ("b", second)):
+        half.coalesce(1).write.mode("overwrite").parquet(str(src / tag))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    # memory sink cannot recover from a checkpoint; foreachBatch into an
+    # append-only parquet dir is the recoverable-sink twin
+    out_dir = str(tmp_path / "out")
+
+    def _run(run_tag):
+        raw = spark.readStream.schema(schema).parquet(str(stream_dir))
+
+        def _dump(batch_df, batch_id):
+            batch_df.withColumn("run", F.lit(run_tag)).write.mode("append").parquet(
+                out_dir
+            )
+
+        q = (
+            running_user_totals(raw)
+            .writeStream.foreachBatch(_dump)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).filter(F.col("run") == run_tag)
+
+    shutil.copy(next((src / "a").glob("*.parquet")), stream_dir / "a.parquet")
+    _run("run1")
+
+    shutil.copy(next((src / "b").glob("*.parquet")), stream_dir / "b.parquet")
+    out2 = _run("run2")
+
+    # run 2 saw ONLY file b, but its emitted totals must include file a's
+    # counts via the recovered state store
+    final = out2.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    expected = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    merged = final.alias("f").join(expected.alias("e"), "user_id")
+    assert merged.filter(F.col("f.n_events") != F.col("e.n_events")).isEmpty()
