@@ -3,6 +3,7 @@ registry. Add new operator families here as they land."""
 
 from graph_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
+    cdc,
     cleaning,
     composite,
     curation,
@@ -11,6 +12,7 @@ from graph_etl_pipeline_spark.queries import (  # noqa: F401
     joins,
     mm_skew,
     multimodal,
+    quality,
     relational,
     similarity,
     sinks,

@@ -231,6 +231,34 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {osum(sdec('l_quantity'), "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to agg_rollup: all 2^k grouping sets (flag,
+    status, each alone, grand total) for cross-tab reporting. Like
+    rollup, Spark expands the cube inside ONE hash aggregation over one
+    exchange — the shuffle carries (distinct groups × sets) partial rows,
+    not 2^k scans of the fact table, so the cost at 100 TB is the same
+    single pass as a plain groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "agg_approx_quantiles",
     oracle="""
     SELECT quantile_cont(l_quantity, 0.5) AS exact_p50,

@@ -1,0 +1,109 @@
+"""Data-quality expectation auditing.
+
+The reference's only notion of validation is a post-import query corpus
+run by hand (etl_implementation.md:229-258: orphan detection, golden
+cardinalities) plus uniqueness constraints delegated to Neo4j
+(schema.cql:18-19). This module turns that pattern into a first-class
+operator: a declarative expectation set evaluated against a table in a
+fixed number of passes, emitting one audit row per rule — the shape a
+100 TB ingest gate needs (fail the batch when `violations > 0`, keep
+the audit row as lineage).
+
+Scale design: all row-level rules (not-null, range, domain) ride ONE
+scan with map-side partial aggregation — adding a rule adds a counter
+column, not a pass. Set-level rules cost what they fundamentally cost:
+key uniqueness is one map-combined groupBy on the key; referential
+integrity is one anti-join (broadcast when the dimension is small,
+shuffle otherwise). The audit output is O(#rules) rows regardless of
+input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'o_orderkey_not_null' AS rule,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_ri',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           COALESCE(CAST(SUM(n - 1) AS BIGINT), 0)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    """,
+    tags=("quality", "audit"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation audit over `orders`: four row-level rules
+    (not-null, positive amount, timestamp range, status domain) in ONE
+    scan via conditional counters + stack-unpivot, a key-uniqueness rule
+    (map-combined groupBy, counts duplicate surplus), and a referential-
+    integrity rule (anti-join against `customer` — the set-oriented form
+    of the reference's per-row MATCH-miss warning,
+    src/etl/waste_items.py:414-419). One audit row per rule; a batch
+    gate reads `violations == 0`."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def violated(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    row_rules = o.agg(
+        violated(F.col("o_orderkey").isNull()).alias("o_orderkey_not_null"),
+        violated(F.col("o_totalprice") <= 0).alias("o_totalprice_positive"),
+        violated(
+            (F.col("o_orderdate") < F.lit("1992-01-01 00:00:00").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        ).alias("o_orderdate_in_range"),
+        violated(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "o_orderstatus_in_domain"
+        ),
+    ).selectExpr(
+        """stack(4,
+            'o_orderkey_not_null', o_orderkey_not_null,
+            'o_totalprice_positive', o_totalprice_positive,
+            'o_orderdate_in_range', o_orderdate_in_range,
+            'o_orderstatus_in_domain', o_orderstatus_in_domain
+        ) AS (rule, violations)"""
+    )
+
+    ri = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("o_custkey_ri").alias("rule"), "violations")
+    )
+
+    uniq = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("violations"))
+        .select(F.lit("o_orderkey_unique").alias("rule"), "violations")
+    )
+
+    return row_rules.unionByName(ri).unionByName(uniq)

@@ -281,3 +281,90 @@ def win_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_ts",
         "last_click_id",
     )
+
+
+@register(
+    "win_funnel_conversion",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS t1p
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND t1p IS NOT NULL
+                           THEN ts END) OVER w AS t2p
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2p IS NOT NULL
+                           THEN ts END) OVER w AS t3p
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           MIN(t1p) AS t_signup,
+           MIN(t2p) AS t_first_click,
+           MIN(t3p) AS t_first_purchase,
+           MIN(t3p) IS NOT NULL AS converted
+    FROM s3
+    GROUP BY user_id
+    """,
+    tags=("window", "funnel"),
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (signup → click → purchase) per user: each
+    stage's attainment time is the earliest event of that type that
+    happens AT OR AFTER the previous stage was attained. Implemented as
+    three chained prefix-minimum windows over the same (user_id; ts,
+    event_id) total order — a stage-k row is eligible only when the
+    prefix already contains stage k-1 — then a per-user aggregate.
+    Because every window AND the final groupBy share the user_id
+    partitioning, Catalyst plans ONE exchange and ONE sort for the whole
+    funnel: the scale cost is a single shuffle of the filtered event
+    stream, not one join per stage (the naive funnel is k-1 self-joins).
+    The prefix minima are monotonically non-increasing, so the group MIN
+    equals the last row's value — no argmax trick needed."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = ev.withColumn(
+        "t1p", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("t1p").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("t2p").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("t1p").alias("t_signup"),
+        F.min("t2p").alias("t_first_click"),
+        F.min("t3p").alias("t_first_purchase"),
+        F.min("t3p").isNotNull().alias("converted"),
+    )

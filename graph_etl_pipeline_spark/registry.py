@@ -127,6 +127,11 @@ CORE_ORDER = [
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention (r4)
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract (r4)
     "stream_stateful_running", # applyInPandasWithState running totals (r4)
+    "agg_cube",                # all-grouping-sets cross-tab, one exchange (r4)
+    "dq_expectations",         # declarative ingest-gate audit rows (r4)
+    "cdc_snapshot_diff",       # snapshot diff → insert/update/delete rows (r4)
+    "scd2_history",            # type-2 validity intervals, one exchange (r4)
+    "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -131,3 +131,30 @@ def test_profile_single_scan_single_expand(spark, sf_dir):
     plan = _plan(spark, "profile_table_stats", sf_dir)
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Change-detection lag and validity lead share the (user_id; ts,
+    event_id) window spec, so the whole SCD2 build must reuse one
+    shuffle and one sort."""
+    plan = _plan(spark, "scd2_history", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """Three chained prefix windows + the final per-user aggregate all
+    ride the user_id partitioning — the funnel is one shuffle, never
+    one join per stage."""
+    plan = _plan(spark, "win_funnel_conversion", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+    assert "Join" not in plan
+
+
+def test_cube_single_aggregation_exchange(spark, sf_dir):
+    """CUBE must expand inside one hash aggregation, not one scan per
+    grouping set."""
+    plan = _plan(spark, "agg_cube", sf_dir)
+    assert plan.count("Exchange") <= 2  # partial→final agg exchange only
+    assert plan.count("Scan parquet") == 1
