@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens
+from graph_etl_pipeline_spark.operators.prefix import exclusive_prefix_sum
 from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
 
@@ -223,3 +224,51 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("source", "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum_tok"))
         .filter(F.col("cum_tok") <= TOKEN_BUDGET)
     )
+
+
+SAMPLE_STRIDE = 512  # one sampled doc per 512 tokens of corpus mass
+
+
+@register(
+    "sample_weighted_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({SQL_TOKS.format(col="text")}) AS n_tokens
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS global_offset
+        FROM tok
+    )
+    SELECT doc_id, n_tokens, global_offset
+    FROM off
+    WHERE global_offset // {SAMPLE_STRIDE}
+        < (global_offset + n_tokens) // {SAMPLE_STRIDE}
+    """,
+    tags=("curation", "sample"),
+)
+def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling proportional to token mass, WITHOUT
+    replacement and with exact integer arithmetic: lay documents out on
+    the global token axis (two-level exclusive prefix sum,
+    operators/prefix.py — no single-task global window), then select
+    every document whose token interval [offset, offset+n) covers a
+    multiple of the stride. A document's selection probability is
+    proportional to its length (docs ≥ stride tokens are always kept),
+    exactly total DIV stride docs are selected, and — unlike
+    priority sampling with u^(1/w) keys — there is not a single
+    floating-point operation anywhere, so the sample is bit-stable
+    across engines, partitionings, and reruns."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(norm_tokens(d.text)).cast("long").alias("n_tokens"),
+    )
+    off = exclusive_prefix_sum(tok, "n_tokens", "doc_id")
+    return off.filter(
+        F.expr(f"global_offset div {SAMPLE_STRIDE}")
+        < F.expr(f"(global_offset + n_tokens) div {SAMPLE_STRIDE}")
+    ).select("doc_id", "n_tokens", "global_offset")

@@ -107,3 +107,57 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return row_rules.unionByName(ri).unionByName(uniq)
+
+
+@register(
+    "agg_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_quantity,
+               quantile_cont(l_quantity, 0.05)
+                   OVER (PARTITION BY l_returnflag) AS p05,
+               quantile_cont(l_quantity, 0.95)
+                   OVER (PARTITION BY l_returnflag) AS p95
+        FROM lineitem
+    )
+    SELECT l_returnflag, p05, p95,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(GREATEST(p05, LEAST(p95, l_quantity))
+                    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+    FROM b
+    GROUP BY l_returnflag, p05, p95
+    """,
+    tags=("quality", "agg", "robust"),
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: clamp `l_quantity` to its group's
+    [P05, P95] band, then report the winsorized mean — the outlier-proof
+    aggregate a quality dashboard wants when raw means are skew-hostage.
+    The percentiles ride a window over the SAME l_returnflag partitioning
+    the final groupBy uses, so the whole query is one shuffle of
+    (flag, quantity) pairs. Percentile exactness across engines: Spark
+    `percentile` and DuckDB `quantile_cont` share linear interpolation
+    (proven by agg_approx_quantiles), and the clamped mean goes through
+    the exact-decimal bridge so the double is correctly rounded on both
+    sides. At 100 TB the exact window percentile is the cost driver —
+    swap in percentile_approx (agg_approx_quantiles' contract pattern)
+    when the per-group value set no longer fits a task."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    b = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.percentile("l_quantity", 0.05).over(w).alias("p05"),
+        F.percentile("l_quantity", 0.95).over(w).alias("p95"),
+    )
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_quantity")))
+    return b.groupBy("l_returnflag", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(clamped.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("winsorized_mean"),
+    )

@@ -289,3 +289,63 @@ def sim_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.join(exact, "vec_id").agg(
         (F.count(F.lit(1)) >= F.lit(2)).alias("recall_ok")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id, label, maxabs AS scale_maxabs,
+           list_transform(embedding, x ->
+               CASE WHEN maxabs = 0 THEN 0
+                    ELSE CAST(GREATEST(-127, LEAST(127,
+                         CAST(FLOOR(CAST(x AS DOUBLE) * 127 / maxabs + 0.5)
+                              AS BIGINT))) AS INTEGER)
+               END) AS q_embedding
+    FROM m
+    """,
+    tags=("similarity", "llm", "quantize"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    4× memory/IO reduction before ANN indexing at 100 TB (a billion
+    768-dim float32 vectors are 3 TB; int8 brings the working set into
+    executor memory). Pure map-side expression tree: per vector,
+    scale = max|x|, q_i = floor(x_i·127/scale + 0.5) clamped to ±127.
+    Exactness across engines: float→double widening, one IEEE multiply,
+    one IEEE divide, floor — every step correctly rounded and
+    bit-identical in Spark and DuckDB; floor(x+0.5) replaces round()
+    because the engines disagree on banker's-vs-half-up rounding, while
+    floor has exactly one definition."""
+    e = table(spark, sf_dir, "embeddings")
+    with_scale = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("maxabs"),
+    )
+    quantized = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") * 127 / F.col("maxabs") + 0.5),
+                ),
+            )
+        ),
+    )
+    return with_scale.select(
+        "vec_id",
+        "label",
+        F.col("maxabs").alias("scale_maxabs"),
+        quantized.cast("array<int>").alias("q_embedding"),
+    )

@@ -391,46 +391,16 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
          exclusive running sum INSIDE its bounded bucket partition.
     No unbounded window partition ever exceeds {b} rows, and every
     number is exact integer arithmetic (hash-identical across engines
-    and cluster sizes)."""
+    and cluster sizes). The prefix-sum machinery is shared
+    (operators/prefix.py) with the weighted corpus sampler."""
+    from graph_etl_pipeline_spark.operators.prefix import exclusive_prefix_sum
+
     d = table(spark, sf_dir, "documents")
-    # integer floor-div for the bucket key (the `/` operator widens to
-    # double — exactness lost past 2^53, and truncation ≠ floor for
-    # negative doc_ids; pmod-then-div keeps it pure int64 and floor-like)
     tok = d.select(
         "doc_id",
         F.size(norm_tokens(d.text)).cast("long").alias("n_tokens"),
-        F.expr(
-            f"(doc_id - pmod(doc_id, {PACK_BUCKET})) div {PACK_BUCKET}"
-        ).alias("bkt"),
     )
-    from pyspark.sql import Window
-
-    bucket_prefix = (
-        tok.groupBy("bkt")
-        .agg(F.sum("n_tokens").alias("bkt_total"))
-        .withColumn(
-            "bkt_prefix",
-            F.coalesce(
-                F.sum("bkt_total").over(
-                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bkt", "bkt_prefix")
-    )
-    within = F.coalesce(
-        F.sum("n_tokens").over(
-            Window.partitionBy("bkt")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    offset = (F.col("bkt_prefix") + within).alias("global_offset")
-    out = tok.join(F.broadcast(bucket_prefix), "bkt").select(
-        "doc_id", "n_tokens", offset
-    )
+    out = exclusive_prefix_sum(tok, "n_tokens", "doc_id", PACK_BUCKET)
     return out.select(
         "doc_id",
         "n_tokens",

@@ -132,6 +132,9 @@ CORE_ORDER = [
     "cdc_snapshot_diff",       # snapshot diff → insert/update/delete rows (r4)
     "scd2_history",            # type-2 validity intervals, one exchange (r4)
     "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows (r4)
+    "sample_weighted_tokens",  # integer systematic length-weighted sampling (r4)
+    "embed_quantize_int8",     # map-side symmetric int8 vector quantization (r4)
+    "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

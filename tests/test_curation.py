@@ -113,3 +113,34 @@ def test_token_budget_maximal_greedy(spark):
     for src, kept_max in by_src.items():
         if src in first_reject:
             assert first_reject[src] > TOKEN_BUDGET >= kept_max
+
+
+def test_weighted_sample_count_and_heavy_doc_guarantee(spark, sf_dir):
+    """Systematic token-weighted sampling selects exactly
+    total_tokens // stride documents (the boundary at offset 0 is not
+    claimable — selection needs a multiple of the stride strictly inside
+    (offset, offset+n]) (one per stride of corpus
+    mass), and any document at least one stride long is always kept."""
+    from graph_etl_pipeline_spark.queries.curation import (
+        SAMPLE_STRIDE,
+        sample_weighted_tokens,
+    )
+    from graph_etl_pipeline_spark.functions.text import norm_tokens
+    from graph_etl_pipeline_spark.io import table
+
+    picked = sample_weighted_tokens(spark, sf_dir)
+    n_picked = picked.count()
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(norm_tokens(F.col("text")))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert n_picked == total // SAMPLE_STRIDE
+    # every doc spanning >= stride tokens crosses a boundary by pigeonhole
+    heavy = picked.filter(F.col("n_tokens") >= SAMPLE_STRIDE).count()
+    all_heavy = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(norm_tokens(F.col("text"))) >= SAMPLE_STRIDE)
+        .count()
+    )
+    assert heavy == all_heavy
