@@ -250,3 +250,114 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
     )
     return stats.join(tri)  # two 1-row sides: broadcast scalar combine
+
+
+# PageRank in fixed-point: ranks are int64 micro-units (1e-12), so every
+# engine-side operation is integer add/multiply/floor-divide — there is
+# no decimal-division scale rule or double rounding to reconcile between
+# Spark and DuckDB. 0.15/0.85 damping becomes +150_000_000_000 and
+# (85*s) div 100. int64 headroom: total mass ≈ |V|·1e12, and 85·mass
+# must stay under 2^63 ⇒ safe to ~10^5 vertices per unit; at larger |V|
+# shrink the unit (1e-9) or widen to DECIMAL(38,0) — same plan shape.
+PAGERANK_UNIT = 1_000_000_000_000
+PAGERANK_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH verts AS (
+        SELECT 'C' || c_custkey AS v FROM customer
+        UNION ALL SELECT 'N' || n_nationkey FROM nation
+        UNION ALL SELECT 'R' || r_regionkey FROM region
+    ),
+    edges AS (
+        SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+        UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    ),
+    ed AS (
+        SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS d FROM edges
+    ),
+    r0 AS (SELECT v, CAST({PAGERANK_UNIT} AS BIGINT) AS r FROM verts),
+    c1 AS (SELECT ed.dst AS v, CAST(SUM(r0.r // ed.d) AS BIGINT) AS s
+           FROM ed JOIN r0 ON ed.src = r0.v GROUP BY ed.dst),
+    r1 AS (SELECT r0.v,
+                  CAST({PAGERANK_UNIT * 15 // 100}
+                       + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+           FROM r0 LEFT JOIN c1 ON r0.v = c1.v),
+    c2 AS (SELECT ed.dst AS v, CAST(SUM(r1.r // ed.d) AS BIGINT) AS s
+           FROM ed JOIN r1 ON ed.src = r1.v GROUP BY ed.dst),
+    r2 AS (SELECT r1.v,
+                  CAST({PAGERANK_UNIT * 15 // 100}
+                       + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+           FROM r1 LEFT JOIN c2 ON r1.v = c2.v),
+    c3 AS (SELECT ed.dst AS v, CAST(SUM(r2.r // ed.d) AS BIGINT) AS s
+           FROM ed JOIN r2 ON ed.src = r2.v GROUP BY ed.dst),
+    r3 AS (SELECT r2.v,
+                  CAST({PAGERANK_UNIT * 15 // 100}
+                       + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+           FROM r2 LEFT JOIN c3 ON r2.v = c3.v)
+    SELECT v AS vertex, r AS rank_fp FROM r3
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the customer→nation→region membership DAG,
+    {it} fixed iterations, dangling mass dropped (the standard
+    no-redistribution variant). Per iteration: one equi-join of the rank
+    table to the (static, degree-annotated) edge table + one hash
+    aggregation on dst + one left join back to the vertex set — the
+    GraphX Pregel step expressed as DataFrames. Out-degrees are computed
+    ONCE outside the loop and ride the edge rows, so iterations never
+    re-aggregate the graph; at cluster scale both edges and ranks hash-
+    partition by the join key and the per-iteration shuffle is bounded
+    by |E|. Fixed-point int64 arithmetic (see PAGERANK_UNIT) makes every
+    iteration exact — results are hash-identical across engines,
+    partitionings, and cluster sizes, which a double-precision PageRank
+    cannot promise. Unbounded-iteration variants would localCheckpoint
+    the rank table each round exactly like connected_components
+    (graph/model.py).""".replace("{it}", str(PAGERANK_ITERS))
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+
+    def tag(prefix: str, c) -> F.Column:
+        return F.concat(F.lit(prefix), c.cast("string"))
+
+    verts = (
+        cust.select(tag("C", F.col("c_custkey")).alias("v"))
+        .unionAll(nat.select(tag("N", F.col("n_nationkey")).alias("v")))
+        .unionAll(reg.select(tag("R", F.col("r_regionkey")).alias("v")))
+    )
+    edges = cust.select(
+        tag("C", F.col("c_custkey")).alias("src"),
+        tag("N", F.col("c_nationkey")).alias("dst"),
+    ).unionAll(
+        nat.select(
+            tag("N", F.col("n_nationkey")).alias("src"),
+            tag("R", F.col("n_regionkey")).alias("dst"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ed = edges.select(
+        "src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d")
+    )
+
+    teleport = PAGERANK_UNIT * 15 // 100
+    ranks = verts.select("v", F.lit(PAGERANK_UNIT).cast("long").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select(F.col("dst").alias("v"), F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = ranks.join(contrib, "v", "left").select(
+            "v",
+            (
+                F.lit(teleport)
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank_fp"))

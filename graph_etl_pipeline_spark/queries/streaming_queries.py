@@ -197,3 +197,31 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").alias("total_cents"),
     )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication executed through the real streaming engine:
+    readStream → dropDuplicates on the key columns → append-mode memory
+    sink, run to completion with availableNow. Emitting ONLY the key
+    columns makes the result deterministic (which physical row
+    "arrives first" per key is racy; the key set is not), so the DuckDB
+    DISTINCT oracle hash-checks the streaming path exactly. State note
+    for a 24/7 stream: plain dropDuplicates keeps every seen key in the
+    state store forever; production uses dropDuplicatesWithinWatermark
+    so keys age out with the event-time watermark — same plan shape,
+    bounded state (covered in tests/test_streaming.py for the
+    watermarked aggregate path)."""
+    stream = events_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(
+        deduped,
+        name=f"stream_dedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )

@@ -10,7 +10,7 @@ are reproducible bit-for-bit across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, sql_shingles
@@ -451,4 +451,141 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+    )
+
+
+# Fixed-point rarity scale for TF-IDF-style scoring (see graph_pagerank
+# for the pattern rationale): score_fp = tf·N·1e6 div df is pure int64 —
+# no log() or double division whose last-ulp behavior differs between
+# engines. Monotonic in tf·N/df, so rankings match classic tf·idf
+# whenever idf is the plain inverse-frequency ratio. Headroom: tf·N·1e6
+# needs tf·N < 9.2e12 — fine to ~1e9 docs with tf ≤ 1e3; past that,
+# drop the 1e6 sub-unit scale or widen to DECIMAL(38,0).
+TFIDF_SCALE = 1_000_000
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKS.format(col="text")}) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df,
+               CAST((tf.tf * n.n * {TFIDF_SCALE}) // df.df AS BIGINT) AS score_fp
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_fp DESC, term ASC
+        ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_fp, rk
+    FROM ranked WHERE rk <= {TFIDF_TOPK}
+    """,
+    tags=("text", "llm", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by fixed-point
+    tf·N/df rarity score (TFIDF_SCALE) — keyword extraction for corpus
+    exploration and topic labeling. Dataflow: ONE shuffle of the
+    exploded tokens keyed (doc_id, term) with map-side combine builds
+    the tf table; the document-frequency table aggregates the ALREADY
+    per-doc-unique tf rows (vocabulary-sized, far smaller than the token
+    stream); N rides in as a 1-row broadcast; the final per-doc top-k is
+    a ranking window partitioned by doc_id with an explicit (score,
+    term) total order so ties are hash-deterministic. The df join is
+    vocabulary×corpus — broadcast when the vocabulary fits, shuffle
+    otherwise; a stopword-style df cap (dedup_ngram_jaccard's
+    MAX_SHINGLE_DF guard) applies unchanged if a 100 TB vocabulary
+    skews.""".replace("{k}", str(TFIDF_TOPK))
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"(tf * n * {TFIDF_SCALE}) div df").alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_fp", "rk")
+    )
+
+
+# RAG-style chunking geometry: 64-token chunks every 48 tokens → 16-token
+# overlap so retrieval never loses context at a chunk boundary.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS toks,
+               len({SQL_TOKS.format(col="text")}) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(toks[s + 1 : s + {CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM tok, UNNEST(range(0, n, {CHUNK_STRIDE})) AS u(s)
+    """,
+    tags=("text", "llm", "chunk"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking ({size}-token chunks, stride
+    {stride}) — the document→retrieval-unit expansion every RAG/embedding
+    pipeline runs before vectorizing. Entirely map-side: tokenize once,
+    generate start offsets with `sequence`, explode, and `slice` each
+    chunk out of the SAME token array (no re-tokenization per chunk, no
+    shuffle, no join). Output size is input tokens × size/stride — the
+    ~1.33× blowup is the overlap cost, visible and bounded. Chunk ids
+    are pure integer arithmetic; chunk text re-joins normalized tokens,
+    so both engines emit byte-identical strings.""".replace(
+        "{size}", str(CHUNK_SIZE)
+    ).replace("{stride}", str(CHUNK_STRIDE))
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        norm_tokens(d.text).alias("toks"),
+        F.size(norm_tokens(d.text)).alias("n"),
+    )
+    chunks = tok.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    piece = F.slice(F.col("toks"), F.col("s") + 1, F.lit(CHUNK_SIZE))
+    return chunks.select(
+        "doc_id",
+        F.expr(f"s div {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
     )

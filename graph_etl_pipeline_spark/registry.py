@@ -135,6 +135,10 @@ CORE_ORDER = [
     "sample_weighted_tokens",  # integer systematic length-weighted sampling (r4)
     "embed_quantize_int8",     # map-side symmetric int8 vector quantization (r4)
     "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle (r4)
+    "graph_pagerank",          # fixed-point int64 PageRank, 3 Pregel rounds (r4)
+    "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction (r4)
+    "text_chunk_overlap",      # map-side sliding-window RAG chunking (r4)
+    "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

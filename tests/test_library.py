@@ -428,3 +428,22 @@ def test_star_contraction_matches_hash_min(spark):
     st = {r.uid: r.component for r in g.connected_components(algorithm="star").collect()}
     assert st == hm
     assert st["lone"] == "lone" and st["d"] == "a" and st["p"] == "p"
+
+
+def test_pagerank_fixed_point_semantics(spark, sf_dir):
+    """Sources (customers: in-degree 0) converge to EXACTLY the teleport
+    constant — fixed-point arithmetic makes this an equality, not an
+    approximation — and the region super-sinks outrank every other
+    vertex class."""
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        PAGERANK_UNIT,
+        graph_pagerank,
+    )
+
+    rows = {r.vertex: r.rank_fp for r in graph_pagerank(spark, sf_dir).collect()}
+    teleport = PAGERANK_UNIT * 15 // 100
+    cust_ranks = {v: r for v, r in rows.items() if v.startswith("C")}
+    assert cust_ranks and all(r == teleport for r in cust_ranks.values())
+    min_region = min(r for v, r in rows.items() if v.startswith("R"))
+    max_other = max(r for v, r in rows.items() if not v.startswith("R"))
+    assert min_region > max_other
