@@ -161,3 +161,52 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("winsorized_mean"),
     )
+
+
+HIST_WIDTH = 25_000  # o_totalprice bucket width
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket
+        FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT bucket,
+           bucket * CAST({HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_rows,
+           CAST((COUNT(*) * 10000) // n.total AS BIGINT) AS share_bp
+    FROM b CROSS JOIN n
+    GROUP BY bucket, n.total
+    """,
+    tags=("quality", "agg", "profile"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of `o_totalprice` — the distribution
+    profile behind skew diagnosis and partition-size planning
+    (profile_table_stats gives per-column scalars; this gives the shape).
+    Bucketing is floor(x/width): one IEEE divide + floor, identical in
+    both engines; the share is integer basis points (n·10000 div total),
+    no double ratios to reconcile. ONE map-combined hash aggregation over
+    the scan — the shuffle carries one row per bucket per partition, so
+    a 100 TB histogram moves KBs. The 1-row total rides a broadcast."""
+    o = table(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        o.select(
+            F.expr(f"CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .crossJoin(F.broadcast(n))
+        .groupBy("bucket", "total")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(float(HIST_WIDTH))).alias("bucket_lo"),
+            "n_rows",
+            F.expr("(n_rows * 10000) div total").alias("share_bp"),
+        )
+    )

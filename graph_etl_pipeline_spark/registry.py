@@ -139,6 +139,7 @@ CORE_ORDER = [
     "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction (r4)
     "text_chunk_overlap",      # map-side sliding-window RAG chunking (r4)
     "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set (r4)
+    "agg_histogram",           # fixed-width distribution profile, one exchange (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -64,3 +64,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     assert joined.count() == plain.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy(lang) layout: a lang-filtered read must
+    push the predicate into PartitionFilters (directory pruning — the
+    scan never lists the other languages' files) and still return
+    exactly the rows a post-hoc filter would."""
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    filtered = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in pf and "en" in pf
+
+    assert filtered.count() == docs.filter(F.col("lang") == "en").count()
