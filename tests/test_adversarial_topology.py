@@ -24,6 +24,8 @@ QUERIES = [
     "graph_connected_components",  # iterative convergence
     "text_pack_sequences",      # two-level prefix sum (partitioning-sensitive by construction)
     "dedup_simhash_hamming",    # band-join candidates + popcount verify (r4)
+    "graph_pagerank",           # fixed-point iterative join/agg rounds (r4)
+    "win_funnel_conversion",    # chained prefix windows + same-key agg (r4)
 ]
 
 _SCRIPT = f"""
