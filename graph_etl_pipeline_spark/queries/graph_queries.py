@@ -361,3 +361,96 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("r"),
         )
     return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank_fp"))
+
+
+SSSP_ROUNDS = 4  # bounded Bellman-Ford relaxation rounds
+
+
+@register(
+    "graph_sssp_bounded",
+    # Same interaction-chain edge derivation as graph_triangle_count;
+    # the oracle unrolls the relaxation rounds as CTEs — an independent
+    # formulation of the same fixed point.
+    oracle=f"""
+    WITH per_user_hour AS (
+        SELECT date_trunc('hour', ts) AS h, user_id, MIN(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    chained AS (
+        SELECT h, user_id,
+               LAG(user_id) OVER (PARTITION BY h ORDER BY first_ts, user_id) AS prev_id
+        FROM per_user_hour
+    ),
+    edges AS (
+        SELECT DISTINCT LEAST(user_id, prev_id) AS u, GREATEST(user_id, prev_id) AS v
+        FROM chained WHERE prev_id IS NOT NULL
+    ),
+    bi AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+    d0 AS (SELECT (SELECT MIN(s) FROM bi) AS node, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d0
+               UNION ALL SELECT bi.t, d0.dist + 1 FROM d0 JOIN bi ON bi.s = d0.node
+           ) GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d1
+               UNION ALL SELECT bi.t, d1.dist + 1 FROM d1 JOIN bi ON bi.s = d1.node
+           ) GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d2
+               UNION ALL SELECT bi.t, d2.dist + 1 FROM d2 JOIN bi ON bi.s = d2.node
+           ) GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d3
+               UNION ALL SELECT bi.t, d3.dist + 1 FROM d3 JOIN bi ON bi.s = d3.node
+           ) GROUP BY node)
+    SELECT node, dist FROM d4
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (unit weights) from the smallest
+    user id over the interaction-chain graph, bounded to {k} Bellman-
+    Ford relaxation rounds — the last of the classic Pregel quartet
+    (reachability J6, connected components, PageRank, SSSP) expressed
+    as DataFrame iterations. Each round relaxes every edge out of the
+    currently-reached set (join on the edge source) and folds the new
+    candidates into the distance table with one min-aggregation —
+    per-round cost is one |E|-bounded shuffle, exactly PageRank's
+    profile. Distances are exact int64 hops; nodes farther than {k}
+    hops (or disconnected) are absent, matching the oracle's unrolled
+    fixed point. An unbounded variant adds the convergence early-exit +
+    localCheckpoint pattern of connected_components
+    (graph/model.py).""".replace("{k}", str(SSSP_ROUNDS))
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    per_uh = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(F.min("ts").alias("first_ts"))
+    w = Window.partitionBy("h").orderBy("first_ts", "user_id")
+    chained = per_uh.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
+    edges = (
+        chained.filter(F.col("prev_id").isNotNull())
+        .select(
+            F.least("user_id", "prev_id").alias("u"),
+            F.greatest("user_id", "prev_id").alias("v"),
+        )
+        .distinct()
+    )
+    bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    dist = (
+        bi.agg(F.min("s").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = dist.join(bi, dist.node == bi.s).select(
+            F.col("t").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

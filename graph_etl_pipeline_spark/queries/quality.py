@@ -210,3 +210,54 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_rows * 10000) div total").alias("share_bp"),
         )
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_quantity,
+               quantile_cont(l_quantity, 0.5)
+                   OVER (PARTITION BY l_returnflag) AS med
+        FROM lineitem
+    ),
+    c AS (SELECT *, ABS(l_quantity - med) AS dev FROM b),
+    d AS (
+        SELECT *, quantile_cont(dev, 0.5)
+                      OVER (PARTITION BY l_returnflag) AS mad
+        FROM c
+    )
+    SELECT l_returnflag, med, mad,
+           COUNT(*) FILTER (WHERE dev > 3 * mad) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM d GROUP BY l_returnflag, med, mad
+    """,
+    tags=("quality", "agg", "robust"),
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per group — the robust
+    complement to agg_winsorize (which clamps; this one counts and
+    reports the robust location/scale pair). Two stacked window
+    percentiles (median, then median of |x−med|) and the final groupBy
+    all share the l_returnflag partitioning: ONE shuffle for the whole
+    audit. Determinism: l_quantity is integer-valued, so the median and
+    every |x−med| deviation are exactly representable doubles; the
+    3·MAD threshold is one IEEE multiply — both engines agree on every
+    comparison."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    b = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.percentile("l_quantity", 0.5).over(w).alias("med"),
+    )
+    c = b.withColumn("dev", F.abs(F.col("l_quantity") - F.col("med")))
+    d = c.withColumn("mad", F.percentile("dev", 0.5).over(w))
+    return d.groupBy("l_returnflag", "med", "mad").agg(
+        F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -140,6 +140,8 @@ CORE_ORDER = [
     "text_chunk_overlap",      # map-side sliding-window RAG chunking (r4)
     "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set (r4)
     "agg_histogram",           # fixed-width distribution profile, one exchange (r4)
+    "graph_sssp_bounded",      # bounded Bellman-Ford hops, |E|-bounded rounds (r4)
+    "agg_mad_outliers",        # robust location/scale + outlier counts, one shuffle (r4)
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green
