@@ -32,11 +32,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values collect identically to the DuckDB oracle regardless of who
     built the session (the driver owns it in verification runs).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos
-    (legacy.parquet.nanosAsLong) and rebuild a proper TimestampType column.
-    The data is micro-precision (every value ≡ 0 mod 1000 ns) so the
-    conversion is lossless.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); depending on
+    PySpark version it arrives as long nanos or TIMESTAMP_NTZ — see
+    ``rebuild_event_ts`` for the normalization to TimestampType.
 
     NOTE both confs (timeZone=UTC, nanosAsLong=true) are deliberate
     SESSION-level settings, not scoped to this read: the engine's
@@ -48,13 +46,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        df = rebuild_event_ts(spark.read.parquet(path)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     else:
         df = spark.read.parquet(path)
     if name in PARALLELISM_FLOOR_TABLES:
@@ -65,6 +60,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Constant-size dims carry the hint from the reader, so every
         # join against them is broadcast without per-query annotations.
         df = F.broadcast(df)
+    return df
+
+
+def rebuild_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to plain TimestampType (micros, UTC wall
+    clock) across PySpark parquet-nanos behaviors:
+
+    - ≤4.0 with ``legacy.parquet.nanosAsLong``: the column arrives as
+      LongType epoch-nanos → integer-divide to micros.
+    - 4.1+: TIMESTAMP(NANOS) is read natively as TIMESTAMP_NTZ (already
+      micro-truncated) and the legacy conf is silently ignored → cast,
+      which interprets the wall clock in the session timezone; callers
+      pin the session to UTC first, so both paths yield identical values.
+
+    The data is micro-precision (every value ≡ 0 mod 1000 ns) so each
+    conversion is lossless. Branching on the OBSERVED dtype, not the
+    Spark version string, keeps the reader correct on any future change
+    to either behavior."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -21,29 +21,26 @@ from pyspark.sql import functions as F
 from graph_etl_pipeline_spark.functions.numeric import dec
 from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. ts arrives as raw parquet
-    nanos (see io.table note) and is rebuilt into a proper timestamp —
-    the streaming twin of the batch reader."""
+    """File-source stream over the events table. The required explicit
+    schema is probed from the parquet footer (one metadata read), so ts
+    arrives however THIS PySpark reads TIMESTAMP(NANOS) — long nanos on
+    ≤4.0 with the legacy conf, TIMESTAMP_NTZ on 4.1+ — and is rebuilt
+    into a proper timestamp by the same helper as the batch reader."""
+    from graph_etl_pipeline_spark.io import rebuild_event_ts
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source requires a directory; glob-filter down to the events
     # file inside the sf_dir.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1000")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-    )
+    return rebuild_event_ts(raw)
 
 
 def tumbling_aggregate(
