@@ -33,11 +33,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # every declared operator earns a hard driver CORRECTNESS row at least once:
 # names in ROTATED_OUT below were driver-green in r1-r3 and now sit past the
 # cap (still oracle-checked every round by the local parity replica,
-# tests/test_oracle_parity.py); the r3-added operators take their slots.
-# Names not listed here (future additions) append at the end in registration
-# order. tests/test_library.py asserts the invariants.
+# tests/test_oracle_parity.py).
+#
+# r4 window policy: FIRST-TIME rows take absolute priority. The 41 operators
+# that have never had a driver row (union of CORRECTNESS_r01-r03) fill 41
+# slots; the other 9 go to set_union (VERDICT r3 #1 restoration) and the
+# queries whose IMPLEMENTATIONS materially changed this round (adaptive
+# dedup scale guards, content-addressed materialization, events-reader
+# rewrite) plus the flagship. After this round every one of the 100
+# declared queries has earned at least one hard driver CORRECTNESS row.
+# Names not listed here (future additions) append at the end in
+# registration order. tests/test_library.py asserts the invariants.
 CORE_ORDER = [
-    # -- r3-added operators, promoted for their first hard driver row --
+    # -- never driver-checked: r3 additions (local-parity-only until now) --
     "win_asof_last_click",     # as-of join via fill-forward window
     "agg_rollup",              # hierarchical subtotals, one exchange
     "graph_connected_components",  # iterative hash-min CC vs closed-form oracle
@@ -47,111 +55,122 @@ CORE_ORDER = [
     "agg_approx_quantiles",    # quantile-sketch accuracy contract
     "stream_incremental_upsert",  # T2 foreachBatch merge (real streaming)
     "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable
-    "set_union",               # O4 — restored (demoted r3 for mm_image_decode)
-    # -- r2-promoted rows keeping their hard coverage --
-    "src_json_flatten",        # S2
-    "win_row_number_dedup",    # O3
-    "win_lag_running_sum",     # O5
-    "win_tumbling_hourly",     # T1 (batch-checkable form)
-    "win_session_batch",       # T4
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    # -- previously-green SURVEY core --
-    "join_four_hop_chain",     # J5 (flagship)
-    "join_broadcast_inner",    # J1
-    "join_left_anti",          # J2
-    "join_left_semi",          # J3
-    "join_two_hop",            # J4
-    "join_consistency_antijoin",  # J7
-    "agg_count_by_label",      # A1
-    "agg_group_topn",          # A3
-    "agg_multi_counter",       # A5
-    "agg_collect_set",         # A6
-    "dedup_exact",             # D1
-    "dedup_merge_most_complete",  # D2
-    "dedup_docs_exact",        # D5
-    "pipeline_corpus_curation",
-    "dedup_minhash_lsh",       # D5 near-dup
-    "dedup_ngram_jaccard",     # D5 near-dup
-    "dedup_simhash",           # D5 sibling — promoted r4 (Hamming-k upgrade)
-    "graph_count_by_label",    # S9
-    "graph_reachability",      # J6
-    "mm_binary_features",
-    "flt_compound_predicate",  # P2+P3
-    "flt_blocklist_predicate", # P4+F9
-    "fn_dict_normalize",       # F2-F4
-    "fn_regexp_extract_all",   # F5
-    "explode_split_targets",   # X2 (P5+F6+F7)
-    "fn_case_classify",        # D3
-    "fn_code_parse",           # F10
-    "mm_image_decode",         # real BMP codec round-trip
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
-    # ---- position 51+: driver-green in r1-r3, rotated out (ROTATED_OUT);
-    # ---- then extras, best-evidence first ----
-    "sink_upsert_node",        # S4 — driver-green r1-r3
-    "sink_merge_prefer_nonempty",  # S6 — driver-green r1-r3
-    "sink_upsert_edge",        # S5 — driver-green r3
-    "src_csv_scan",            # S1 — driver-green r3
-    "proj_select_alias",       # P1 — driver-green r1-r3
-    "fn_hash_uid",             # F1 — driver-green r1-r3
-    "fn_timestamps",           # F8 — driver-green r1-r3
-    "arr_contains_lookup",     # X3 — driver-green r1-r3
-    "sort_limit",              # O1+O2 — driver-green r1-r3
-    "agg_global_count",        # A2 — driver-green r1-r3
-    "agg_topk",                # A4 — driver-green r1-r3
-    "mm_metadata_struct",      # driver-green r3
-    "graph_pattern_match",     # J4 covered by join_two_hop
+    # -- never driver-checked: pre-r4 extras past earlier caps --
     "agg_pivot",
-    "dedup_minhash_signatures",  # subsumed by dedup_minhash_lsh
-    "graph_degree_distribution",
-    "set_intersect_except",    # O4 covered by set_union
-    "agg_salted_skew",
-    "mm_frame_sample",
-    "graph_orphan_antijoin",   # anti-join covered by J2/J7
-    "stream_tumbling_hourly",  # T1 hard row via win_tumbling_hourly; streaming≡batch tested
-    "win_rank_frames",         # window extra beyond O3/O5
+    "stream_tumbling_hourly",  # real streaming twin of win_tumbling_hourly
+    "win_rank_frames",         # window frames beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
-    "sim_ann_ivf",             # approximate by construction
-    "text_pii_scrub",          # typed-placeholder redaction + audit counts (r4)
-    "profile_table_stats",     # one-pass per-column completeness/cardinality (r4)
-    "split_train_holdout",     # deterministic hash split, map-side (r4)
-    "sample_domain_mix",       # per-domain hash-threshold mixing, map-side (r4)
-    "sample_stratified_exact", # exact per-stratum fraction, one exchange (r4)
-    "text_token_budget",       # per-source greedy token budget, one exchange (r4)
-    "join_time_range",         # interval join via bucketed equi-join (r4)
-    "graph_triangle_count",    # degree-oriented triangle join (r4)
-    "dedup_cluster_keep",      # LSH pairs → CC → canonical retention (r4)
-    "agg_heavy_hitters",       # Misra-Gries sketch + exact contract (r4)
-    "stream_stateful_running", # applyInPandasWithState running totals (r4)
-    "agg_cube",                # all-grouping-sets cross-tab, one exchange (r4)
-    "dq_expectations",         # declarative ingest-gate audit rows (r4)
-    "cdc_snapshot_diff",       # snapshot diff → insert/update/delete rows (r4)
-    "scd2_history",            # type-2 validity intervals, one exchange (r4)
-    "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows (r4)
-    "sample_weighted_tokens",  # integer systematic length-weighted sampling (r4)
-    "embed_quantize_int8",     # map-side symmetric int8 vector quantization (r4)
-    "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle (r4)
-    "graph_pagerank",          # fixed-point int64 PageRank, 3 Pregel rounds (r4)
-    "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction (r4)
-    "text_chunk_overlap",      # map-side sliding-window RAG chunking (r4)
-    "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set (r4)
-    "agg_histogram",           # fixed-width distribution profile, one exchange (r4)
-    "graph_sssp_bounded",      # bounded Bellman-Ford hops, |E|-bounded rounds (r4)
-    "agg_mad_outliers",        # robust location/scale + outlier counts, one shuffle (r4)
+    "sim_ann_ivf",             # approximate by construction → rows-only row
+    "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
+    # -- never driver-checked: r4 second wave --
+    "text_pii_scrub",          # typed-placeholder redaction + audit counts
+    "profile_table_stats",     # one-pass per-column completeness/cardinality
+    "split_train_holdout",     # deterministic hash split, map-side
+    "sample_domain_mix",       # per-domain hash-threshold mixing, map-side
+    "sample_stratified_exact", # exact per-stratum fraction, one exchange
+    "text_token_budget",       # per-source greedy token budget, one exchange
+    "join_time_range",         # interval join via bucketed equi-join
+    "graph_triangle_count",    # degree-oriented triangle join
+    "dedup_cluster_keep",      # LSH pairs → CC → canonical retention
+    "agg_heavy_hitters",       # Misra-Gries sketch + exact contract
+    "stream_stateful_running", # applyInPandasWithState running totals
+    "agg_cube",                # all-grouping-sets cross-tab, one exchange
+    "dq_expectations",         # declarative ingest-gate audit rows
+    "cdc_snapshot_diff",       # snapshot diff → insert/update/delete rows
+    "scd2_history",            # type-2 validity intervals, one exchange
+    "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows
+    "sample_weighted_tokens",  # integer systematic length-weighted sampling
+    "embed_quantize_int8",     # map-side symmetric int8 vector quantization
+    "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle
+    "graph_pagerank",          # fixed-point int64 PageRank, 3 Pregel rounds
+    "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction
+    "text_chunk_overlap",      # map-side sliding-window RAG chunking
+    "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set
+    "agg_histogram",           # fixed-width distribution profile, one exchange
+    "graph_sssp_bounded",      # bounded Bellman-Ford hops, |E|-bounded rounds
+    "agg_mad_outliers",        # robust location/scale + outlier counts, one shuffle
+    # -- re-confirmation slots: restoration + r4-changed implementations --
+    "set_union",               # O4 — restored (VERDICT r3 #1; demoted in r3)
+    "join_four_hop_chain",     # J5 flagship — a hard row every round
+    "dedup_minhash_lsh",       # content-addressed materialization changed (r4)
+    "dedup_ngram_jaccard",     # adaptive df-cap rewrite (r4, VERDICT wrong #1)
+    "dedup_embedding_cosine",  # adaptive cold/hot tiling rewrite (r4, wrong #2)
+    "dedup_simhash",           # signature path shared with new Hamming variant
+    "pipeline_corpus_curation",  # composes the changed dedup guards
+    "win_session_batch",       # events reader rewritten (nanos→NTZ handling)
+    "win_tumbling_hourly",     # events reader rewritten (nanos→NTZ handling)
+    # ---- position 51+: driver-green in r1-r3, rotated out (ROTATED_OUT) ----
+    "src_csv_scan",            # S1 — driver-green r3
+    "src_json_flatten",        # S2 — driver-green r2-r3
+    "sink_upsert_node",        # S4 — driver-green r1-r3
+    "sink_upsert_edge",        # S5 — driver-green r3
+    "sink_merge_prefer_nonempty",  # S6 — driver-green r1-r3
+    "graph_count_by_label",    # S9 — driver-green r1-r3
+    "proj_select_alias",       # P1 — driver-green r1-r3
+    "flt_compound_predicate",  # P2+P3 — driver-green r1-r3
+    "flt_blocklist_predicate", # P4+F9 — driver-green r1-r3
+    "fn_hash_uid",             # F1 — driver-green r1-r3
+    "fn_dict_normalize",       # F2-F4 — driver-green r1-r3
+    "fn_regexp_extract_all",   # F5 — driver-green r1-r3
+    "fn_timestamps",           # F8 — driver-green r1-r3
+    "fn_code_parse",           # F10 — driver-green r1-r3
+    "fn_case_classify",        # D3 — driver-green r1-r3
+    "dedup_exact",             # D1 — driver-green r1-r3
+    "dedup_merge_most_complete",  # D2 — driver-green r1-r3
+    "dedup_docs_exact",        # D5 — driver-green r1-r3
+    "sim_cosine_topk",         # D5 — driver-green r1-r3
+    "join_broadcast_inner",    # J1 — driver-green r1-r3
+    "join_left_anti",          # J2 — driver-green r1-r3
+    "join_left_semi",          # J3 — driver-green r1-r3
+    "join_two_hop",            # J4 — driver-green r1-r3
+    "join_consistency_antijoin",  # J7 — driver-green r1-r3
+    "graph_reachability",      # J6 — driver-green r1-r3
+    "agg_count_by_label",      # A1 — driver-green r1-r3
+    "agg_global_count",        # A2 — driver-green r1-r3
+    "agg_group_topn",          # A3 — driver-green r1-r3
+    "agg_topk",                # A4 — driver-green r1-r3
+    "agg_multi_counter",       # A5 — driver-green r1-r3
+    "agg_collect_set",         # A6 — driver-green r1-r3
+    "sort_limit",              # O1+O2 — driver-green r1-r3
+    "win_row_number_dedup",    # O3 — driver-green r2-r3
+    "win_lag_running_sum",     # O5 — driver-green r2-r3
+    "explode_split_targets",   # X2 — driver-green r1-r3
+    "arr_contains_lookup",     # X3 — driver-green r1-r3
+    "text_lang_id",            # driver-green r2-r3
+    "text_quality_score",      # driver-green r2-r3
+    "text_token_count",        # driver-green r2-r3
+    "text_fingerprint",        # driver-green r2-r3
+    "mm_binary_features",      # driver-green r2-r3
+    "mm_metadata_struct",      # driver-green r3
+    "mm_image_decode",         # driver-green r3
+    # ---- extras already driver-green in r1/r2 ----
+    "graph_pattern_match",     # J4 shape — driver-green r1
+    "dedup_minhash_signatures",  # subsumed by dedup_minhash_lsh — green r1
+    "graph_degree_distribution",  # driver-green r1
+    "set_intersect_except",    # O4 sibling — driver-green r1
+    "agg_salted_skew",         # driver-green r2
+    "mm_frame_sample",         # driver-green r2
+    "graph_orphan_antijoin",   # driver-green r1
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green
 # driver CORRECTNESS rows in earlier rounds (round noted above). Each stays
 # oracle-checked locally every round; test_library asserts the partition.
 ROTATED_OUT = {
-    "sink_upsert_node", "sink_merge_prefer_nonempty", "sink_upsert_edge",
-    "src_csv_scan", "proj_select_alias", "fn_hash_uid", "fn_timestamps",
-    "arr_contains_lookup", "sort_limit", "agg_global_count", "agg_topk",
-    "mm_metadata_struct",
+    "src_csv_scan", "src_json_flatten", "sink_upsert_node", "sink_upsert_edge",
+    "sink_merge_prefer_nonempty", "graph_count_by_label", "proj_select_alias",
+    "flt_compound_predicate", "flt_blocklist_predicate", "fn_hash_uid",
+    "fn_dict_normalize", "fn_regexp_extract_all", "fn_timestamps",
+    "fn_code_parse", "fn_case_classify", "dedup_exact",
+    "dedup_merge_most_complete", "dedup_docs_exact", "sim_cosine_topk",
+    "join_broadcast_inner", "join_left_anti", "join_left_semi", "join_two_hop",
+    "join_consistency_antijoin", "graph_reachability", "agg_count_by_label",
+    "agg_global_count", "agg_group_topn", "agg_topk", "agg_multi_counter",
+    "agg_collect_set", "sort_limit", "win_row_number_dedup",
+    "win_lag_running_sum", "explode_split_targets", "arr_contains_lookup",
+    "text_lang_id", "text_quality_score", "text_token_count",
+    "text_fingerprint", "mm_binary_features", "mm_metadata_struct",
+    "mm_image_decode",
 }
 
 # Queries the driver must hard-check — one per SURVEY §2 row. The test

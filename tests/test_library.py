@@ -45,13 +45,33 @@ SURVEY_DECLARED = {
 }
 
 
-# Operators added in r3 that must hold driver-window slots in r4 so each
-# earns a hard CORRECTNESS row (VERDICT r3 next-round item #1).
+# Every operator that had NOT earned a driver CORRECTNESS row by the end
+# of r3 (union of CORRECTNESS_r01-r03) must hold an r4 driver-window slot
+# so each gets its first hard row — first-time coverage takes priority
+# over re-confirming rows already proven green (VERDICT r3 item #1
+# generalized). set_union additionally holds a slot per the explicit
+# restoration instruction.
 R4_PROMOTED = {
+    # r3 additions, local-parity-only until now
     "win_asof_last_click", "agg_rollup", "graph_connected_components",
     "text_repetition_ratio", "text_decontaminate", "text_pack_sequences",
     "agg_approx_quantiles", "stream_incremental_upsert",
-    "sim_ann_recall_contract", "set_union",
+    "sim_ann_recall_contract",
+    # pre-r4 extras that sat past earlier caps
+    "agg_pivot", "stream_tumbling_hourly", "win_rank_frames",
+    "agg_approx_distinct", "sim_ann_ivf",
+    # r4 additions
+    "dedup_simhash_hamming", "text_pii_scrub", "profile_table_stats",
+    "split_train_holdout", "sample_domain_mix", "sample_stratified_exact",
+    "text_token_budget", "join_time_range", "graph_triangle_count",
+    "dedup_cluster_keep", "agg_heavy_hitters", "stream_stateful_running",
+    "agg_cube", "dq_expectations", "cdc_snapshot_diff", "scd2_history",
+    "win_funnel_conversion", "sample_weighted_tokens", "embed_quantize_int8",
+    "agg_winsorize", "graph_pagerank", "text_tfidf_topk", "text_chunk_overlap",
+    "stream_dedup_keys", "agg_histogram", "graph_sssp_bounded",
+    "agg_mad_outliers",
+    # explicit restoration (demoted in r3 to make room for mm_image_decode)
+    "set_union",
 }
 
 
