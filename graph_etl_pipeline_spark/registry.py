@@ -151,6 +151,11 @@ CORE_ORDER = [
     "agg_salted_skew",         # driver-green r2
     "mm_frame_sample",         # driver-green r2
     "graph_orphan_antijoin",   # driver-green r1
+    # ---- r4 third wave: first driver rows due in the r5 window ----
+    "dedup_fuzzy_names",       # token-blocked Levenshtein entity resolution
+    "win_retention_cohorts",   # first-seen-week cohorts × return-week offsets
+    "sim_kmeans_assign",       # broadcast-centroid K-means assignment step
+    "agg_event_cooccurrence",  # per-user event-type pair support counts
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

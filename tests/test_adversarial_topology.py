@@ -26,6 +26,7 @@ QUERIES = [
     "dedup_simhash_hamming",    # band-join candidates + popcount verify (r4)
     "graph_pagerank",           # fixed-point iterative join/agg rounds (r4)
     "win_funnel_conversion",    # chained prefix windows + same-key agg (r4)
+    "sim_kmeans_assign",        # float-fold scores + struct-min argmin tie-break (r4)
 ]
 
 _SCRIPT = f"""
