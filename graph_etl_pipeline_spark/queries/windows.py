@@ -420,3 +420,52 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "win_sliding_hourly",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS e900,
+               event_type, value
+        FROM events
+    ),
+    x AS (
+        SELECT make_timestamp(((e900 - k) * 900) * 1000000) AS window_start,
+               event_type, value
+        FROM e, generate_series(0, 3) AS g(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {osum(sdec('value'), "sum_value")}
+    FROM x
+    GROUP BY window_start, event_type
+    """,
+    tags=("window", "streaming"),
+)
+def win_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sibling: SLIDING (hopping) window aggregation — 1-hour windows
+    advancing every 15 minutes, so each event lands in exactly 4
+    overlapping windows (the oracle unrolls the same 4 memberships with
+    integer epoch arithmetic). Completes the window family: tumbling
+    (win_tumbling_hourly), session (win_session_batch), sliding (here).
+
+    Scale shape: Spark expands each row to its 4 windows BEFORE the
+    exchange and partial-aggregates per (window, type) map-side, so the
+    shuffle carries partial sums, not a 4x event copy; the same plan runs
+    under Structured Streaming where the watermark bounds how many open
+    windows hold state."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
