@@ -8,6 +8,7 @@ from graph_etl_pipeline_spark.queries import (  # noqa: F401
     composite,
     curation,
     dedup,
+    extraction,
     graph_queries,
     joins,
     mm_skew,

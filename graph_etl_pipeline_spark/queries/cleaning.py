@@ -123,7 +123,9 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand — this query FINDS the near-miss name pairs.
 
     Scale shape: never an all-pairs comparison. Candidates must share a
-    blocking key (the head token of the name); the equi-join on the block
+    blocking key (the LAST token of the name — part names vary most in
+    their leading tokens, so the tail token blocks best; both the Spark
+    side and the oracle index from the end); the equi-join on the block
     key shuffles names once, and edit distance runs only inside blocks.
     At corpus scale hot blocks get the same treatment as hot shingles in
     dedup_ngram_jaccard (frequency cap + broadcast anti-join — see

@@ -35,34 +35,45 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # cap (still oracle-checked every round by the local parity replica,
 # tests/test_oracle_parity.py).
 #
-# r4 window policy: FIRST-TIME rows take absolute priority. The 41 operators
-# that have never had a driver row (union of CORRECTNESS_r01-r03) fill 41
-# slots; the other 9 go to set_union (VERDICT r3 #1 restoration) and the
-# queries whose IMPLEMENTATIONS materially changed this round (adaptive
-# dedup scale guards, content-addressed materialization, events-reader
-# rewrite) plus the flagship. After this round every one of the 100
-# declared queries has earned at least one hard driver CORRECTNESS row.
+# r5 window policy (VERDICT r4 #2): FIRST-TIME rows take absolute priority —
+# the r4 third wave (dedup_fuzzy_names, win_retention_cohorts,
+# sim_kmeans_assign, agg_event_cooccurrence, win_sliding_hourly) plus every
+# query ADDED this round lead the window so each earns its first hard driver
+# row. embed_quantize_int8 keeps a slot (r4's only red row — output reshaped
+# to a scalar string, must re-confirm green), as do the flagship and the
+# queries whose implementations materially changed in r5 (pack-sequences
+# integer bucket math, the newer-wins merge inner-restriction inside
+# stream_incremental_upsert). Multiply-confirmed r4-green rows rotate past
+# the cap to make room (win_asof_last_click, agg_rollup, agg_pivot,
+# agg_cube, win_rank_frames, graph_connected_components,
+# text_repetition_ratio, text_decontaminate, agg_approx_quantiles — all
+# hash-green in CORRECTNESS_r04; still oracle-checked locally every round).
 # Names not listed here (future additions) append at the end in
 # registration order. tests/test_library.py asserts the invariants.
 CORE_ORDER = [
-    # -- never driver-checked: r3 additions (local-parity-only until now) --
-    "win_asof_last_click",     # as-of join via fill-forward window
-    "agg_rollup",              # hierarchical subtotals, one exchange
-    "graph_connected_components",  # iterative hash-min CC vs closed-form oracle
-    "text_repetition_ratio",   # Gopher-style repetition quality signal
-    "text_decontaminate",      # benchmark 8-gram contamination flag
-    "text_pack_sequences",     # two-level prefix-sum sequence packing
-    "agg_approx_quantiles",    # quantile-sketch accuracy contract
-    "stream_incremental_upsert",  # T2 foreachBatch merge (real streaming)
+    # -- never driver-checked: r4 third wave (VERDICT r4 #2) --
+    "dedup_fuzzy_names",       # token-blocked Levenshtein entity resolution
+    "win_retention_cohorts",   # first-seen-week cohorts × return-week offsets
+    "sim_kmeans_assign",       # broadcast-centroid K-means assignment step
+    "agg_event_cooccurrence",  # per-user event-type pair support counts
+    "win_sliding_hourly",      # overlapping sliding windows via slide explode
+    # -- new in r5: first driver rows --
+    "sim_kmeans_iterate",      # full Lloyd rounds, unrolled closed-form oracle
+    "src_xlsx_scan",           # xlsx ingestion (reference's primary input format)
+    "doc_rule_extract",        # binary doc → extracted rule rows pipeline
+    "sim_ann_ivf_trained",     # IVF over trained k-means cells + recall contract
+    # -- r4 red row, fixed in r5: must re-confirm --
+    "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
+    # -- r5-changed implementations: re-confirm --
+    "text_pack_sequences",     # integer div/pmod bucket keys (ADVICE r4)
+    "stream_incremental_upsert",  # newer-wins merge inner-restricted (VERDICT #5)
+    "join_four_hop_chain",     # J5 flagship — a hard row every round
+    # -- r4 second wave, driver-green r4, retained while slots allow --
     "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable
-    # -- never driver-checked: pre-r4 extras past earlier caps --
-    "agg_pivot",
     "stream_tumbling_hourly",  # real streaming twin of win_tumbling_hourly
-    "win_rank_frames",         # window frames beyond O3/O5
     "agg_approx_distinct",     # exact-count + in-query accuracy contract
     "sim_ann_ivf",             # approximate by construction → rows-only row
     "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
-    # -- never driver-checked: r4 second wave --
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
     "profile_table_stats",     # one-pass per-column completeness/cardinality
     "split_train_holdout",     # deterministic hash split, map-side
@@ -74,13 +85,11 @@ CORE_ORDER = [
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract
     "stream_stateful_running", # applyInPandasWithState running totals
-    "agg_cube",                # all-grouping-sets cross-tab, one exchange
     "dq_expectations",         # declarative ingest-gate audit rows
     "cdc_snapshot_diff",       # snapshot diff → insert/update/delete rows
     "scd2_history",            # type-2 validity intervals, one exchange
     "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows
     "sample_weighted_tokens",  # integer systematic length-weighted sampling
-    "embed_quantize_int8",     # map-side symmetric int8 vector quantization
     "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle
     "graph_pagerank",          # fixed-point int64 PageRank, 3 Pregel rounds
     "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction
@@ -89,17 +98,27 @@ CORE_ORDER = [
     "agg_histogram",           # fixed-width distribution profile, one exchange
     "graph_sssp_bounded",      # bounded Bellman-Ford hops, |E|-bounded rounds
     "agg_mad_outliers",        # robust location/scale + outlier counts, one shuffle
-    # -- re-confirmation slots: restoration + r4-changed implementations --
-    "set_union",               # O4 — restored (VERDICT r3 #1; demoted in r3)
-    "join_four_hop_chain",     # J5 flagship — a hard row every round
-    "dedup_minhash_lsh",       # content-addressed materialization changed (r4)
-    "dedup_ngram_jaccard",     # adaptive df-cap rewrite (r4, VERDICT wrong #1)
-    "dedup_embedding_cosine",  # adaptive cold/hot tiling rewrite (r4, wrong #2)
-    "dedup_simhash",           # signature path shared with new Hamming variant
-    "pipeline_corpus_curation",  # composes the changed dedup guards
-    "win_session_batch",       # events reader rewritten (nanos→NTZ handling)
-    "win_tumbling_hourly",     # events reader rewritten (nanos→NTZ handling)
-    # ---- position 51+: driver-green in r1-r3, rotated out (ROTATED_OUT) ----
+    "set_union",               # O4 — restored r4 (VERDICT r3 #1), green r4
+    "dedup_minhash_lsh",       # content-addressed materialization (r4), green r4
+    "dedup_ngram_jaccard",     # adaptive df-cap rewrite (r4), green r4
+    "dedup_embedding_cosine",  # adaptive cold/hot tiling rewrite (r4), green r4
+    "dedup_simhash",           # signature path shared with Hamming variant
+    "pipeline_corpus_curation",  # composes the adaptive dedup guards
+    "win_session_batch",       # events reader rewrite confirmed green r4
+    "win_tumbling_hourly",     # events reader rewrite confirmed green r4
+    # ---- position 51+: multiply-confirmed driver-green, rotated out ----
+    # r4-green extras rotated out in r5 (not SURVEY §2 rows; local parity
+    # keeps checking them every round):
+    "win_asof_last_click",     # green r4
+    "agg_rollup",              # green r4
+    "agg_pivot",               # green r4
+    "agg_cube",                # green r4
+    "win_rank_frames",         # green r4
+    "graph_connected_components",  # green r4
+    "text_repetition_ratio",   # green r4
+    "text_decontaminate",      # green r4
+    "agg_approx_quantiles",    # green r4
+    # ---- SURVEY-declared rows driver-green in r1-r3 (ROTATED_OUT) ----
     "src_csv_scan",            # S1 — driver-green r3
     "src_json_flatten",        # S2 — driver-green r2-r3
     "sink_upsert_node",        # S4 — driver-green r1-r3
@@ -151,11 +170,6 @@ CORE_ORDER = [
     "agg_salted_skew",         # driver-green r2
     "mm_frame_sample",         # driver-green r2
     "graph_orphan_antijoin",   # driver-green r1
-    # ---- r4 third wave: first driver rows due in the r5 window ----
-    "dedup_fuzzy_names",       # token-blocked Levenshtein entity resolution
-    "win_retention_cohorts",   # first-seen-week cohorts × return-week offsets
-    "sim_kmeans_assign",       # broadcast-centroid K-means assignment step
-    "agg_event_cooccurrence",  # per-user event-type pair support counts
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -45,33 +45,21 @@ SURVEY_DECLARED = {
 }
 
 
-# Every operator that had NOT earned a driver CORRECTNESS row by the end
-# of r3 (union of CORRECTNESS_r01-r03) must hold an r4 driver-window slot
-# so each gets its first hard row — first-time coverage takes priority
-# over re-confirming rows already proven green (VERDICT r3 item #1
-# generalized). set_union additionally holds a slot per the explicit
-# restoration instruction.
-R4_PROMOTED = {
-    # r3 additions, local-parity-only until now
-    "win_asof_last_click", "agg_rollup", "graph_connected_components",
-    "text_repetition_ratio", "text_decontaminate", "text_pack_sequences",
-    "agg_approx_quantiles", "stream_incremental_upsert",
-    "sim_ann_recall_contract",
-    # pre-r4 extras that sat past earlier caps
-    "agg_pivot", "stream_tumbling_hourly", "win_rank_frames",
-    "agg_approx_distinct", "sim_ann_ivf",
-    # r4 additions
-    "dedup_simhash_hamming", "text_pii_scrub", "profile_table_stats",
-    "split_train_holdout", "sample_domain_mix", "sample_stratified_exact",
-    "text_token_budget", "join_time_range", "graph_triangle_count",
-    "dedup_cluster_keep", "agg_heavy_hitters", "stream_stateful_running",
-    "agg_cube", "dq_expectations", "cdc_snapshot_diff", "scd2_history",
-    "win_funnel_conversion", "sample_weighted_tokens", "embed_quantize_int8",
-    "agg_winsorize", "graph_pagerank", "text_tfidf_topk", "text_chunk_overlap",
-    "stream_dedup_keys", "agg_histogram", "graph_sssp_bounded",
-    "agg_mad_outliers",
-    # explicit restoration (demoted in r3 to make room for mm_image_decode)
-    "set_union",
+# Every operator that has NOT yet earned a driver CORRECTNESS row (plus
+# r4's one red row, now fixed) must hold an r5 driver-window slot so each
+# gets its first hard row — first-time coverage takes priority over
+# re-confirming rows already proven green (VERDICT r4 item #2).
+R5_PROMOTED = {
+    # r4 third wave: registered in r4, local-parity-only until now
+    "dedup_fuzzy_names", "win_retention_cohorts", "sim_kmeans_assign",
+    "agg_event_cooccurrence", "win_sliding_hourly",
+    # new in r5
+    "sim_kmeans_iterate", "src_xlsx_scan", "doc_rule_extract",
+    "sim_ann_ivf_trained",
+    # r4's only red row — output reshaped to scalar string, must re-confirm
+    "embed_quantize_int8",
+    # r5-changed implementations + the every-round flagship
+    "text_pack_sequences", "stream_incremental_upsert", "join_four_hop_chain",
 }
 
 
@@ -84,25 +72,25 @@ def test_registration_order_covers_survey_within_driver_cap():
     assert ROTATED_OUT <= SURVEY_DECLARED
     missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
     assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
-    not_promoted = R4_PROMOTED - in_window
-    assert not not_promoted, f"r4-promoted queries outside driver window: {not_promoted}"
+    not_promoted = R5_PROMOTED - in_window
+    assert not not_promoted, f"r5-promoted queries outside driver window: {not_promoted}"
     # every rotated-out row must still carry a local oracle for the parity replica
     specs = all_queries()
     missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}
     assert not missing_oracle, missing_oracle
 
 
-def test_default_session_slot_pin(spark):
-    """session.py falls back to the private SparkSession._instantiatedSession
-    slot when getActiveSession() misses (thread-local). The guard there is
-    getattr-based, so if a PySpark upgrade removes the attribute the
-    fallback would silently revert to thread-local-miss behavior — this
-    pin makes that removal a loud test failure instead."""
+def test_active_session_fallback(spark):
+    """session.py falls back to the public SparkSession.active() when the
+    thread-local getActiveSession() misses (VERDICT r4 #8 — previously the
+    private _instantiatedSession slot). With the fixture session live,
+    active() must resolve it, and get_spark must reuse rather than build."""
     from pyspark.sql import SparkSession
 
-    assert hasattr(SparkSession, "_instantiatedSession")
-    # with the fixture session live, the slot must actually be populated
-    assert SparkSession._instantiatedSession is not None
+    from graph_etl_pipeline_spark.session import get_spark
+
+    assert SparkSession.active() is not None
+    assert get_spark() is spark
 
 
 def test_catalog_query_roundtrip(spark, sf_dir):

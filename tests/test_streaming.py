@@ -411,3 +411,48 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     expected = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     merged = final.alias("f").join(expected.alias("e"), "user_id")
     assert merged.filter(F.col("f.n_events") != F.col("e.n_events")).isEmpty()
+
+
+def test_incremental_upsert_drops_orphan_event_users(spark, tmp_path):
+    """VERDICT r4 #5: the state table is CUSTOMER-KEYED — an event from a
+    user OUTSIDE the seed must not insert a new state row (the oracle's
+    customer LEFT JOIN latest never emits it). The referentially-intact
+    driver testdata can't exercise this, so this fixture plants one
+    orphan event alongside a seeded user's event."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        latest_per_user_batch,
+        newer_wins_user_state,
+    )
+
+    src = tmp_path / "orphan_events"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 9, 0), 7, 1.5),   # seeded user
+            (2, datetime.datetime(2024, 1, 1, 10, 0), 99, 9.9),  # orphan
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    existing = spark.createDataFrame(
+        [(7, "cust7", None, None, None)],
+        "user_id long, c_name string, last_event_id long, "
+        "last_ts timestamp, last_value double",
+    )
+    final = incremental_upsert(
+        stream,
+        existing,
+        keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_name=f"orphan_{uuid.uuid4().hex[:8]}",
+        prepare=latest_per_user_batch,
+        merge=newer_wins_user_state,
+    )
+    rows = {r.user_id: r for r in final.collect()}
+    assert set(rows) == {7}, "orphan event user must not be inserted"
+    assert rows[7].last_event_id == 1
+    assert rows[7].last_value == 1.5
