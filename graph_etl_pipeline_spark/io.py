@@ -27,7 +27,9 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, rows_per_task: int | None = None
+) -> DataFrame:
     """Read one test table. Pins session timezone to UTC so timestamp
     values collect identically to the DuckDB oracle regardless of who
     built the session (the driver owns it in verification runs).
@@ -53,7 +55,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if name in PARALLELISM_FLOOR_TABLES:
-        df = _ensure_parallelism(spark, df)
+        df = _ensure_parallelism(
+            spark, df, rows_per_task or DEFAULT_ROWS_PER_TASK
+        )
     if name in BROADCAST_TABLES:
         from pyspark.sql import functions as F
 
@@ -99,16 +103,36 @@ def rebuild_event_ts(df: DataFrame) -> DataFrame:
 PARALLELISM_FLOOR_TABLES = frozenset({"documents", "embeddings"})
 
 
-def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+# Default work-granularity for the parallelism floor: one task per ~1000
+# rows. Light per-row work (an array fold, a regex, a metadata projection)
+# amortizes task-scheduling overhead at this size, and the repartition
+# exchange only widens as far as the row count justifies — VERDICT r4 #4
+# measured the unconditional full-width repartition costing ~1.7× on
+# single-pass scan→top-k shapes (sim_cosine_topk, mm_binary_features)
+# because a 2000-row table was exchanged into 32 partitions of 60 rows.
+# Heavy per-row work (shingling + 64 minhash lanes) asks for finer
+# granularity explicitly via table(..., rows_per_task=...).
+DEFAULT_ROWS_PER_TASK = 1000
+
+
+def _ensure_parallelism(
+    spark: SparkSession, df: DataFrame, rows_per_task: int = DEFAULT_ROWS_PER_TASK
+) -> DataFrame:
     """Parallelism floor for single-row-group files.
 
     Parquet splits at row-group granularity; the test tables are written
     as ONE row group each, so without this every scan — and all the
     per-row compute above it (shingling, hashing, folds) — runs on a
     single task until the first shuffle. A round-robin repartition costs
-    one exchange of the (small) file and unlocks full-cluster parallelism
+    one exchange of the (small) file and unlocks cluster parallelism
     downstream. Skipped automatically when the scan already splits (real
     multi-row-group data at production scale).
+
+    The floor is ROW-AWARE (VERDICT r4 #4): the repartition width is
+    min(defaultParallelism, ceil(rows / rows_per_task)) with the row
+    count read from parquet footers (driver-side metadata only, no scan),
+    so a small table never pays a wider exchange than its row count can
+    feed. Callers with heavy per-row work pass a smaller rows_per_task.
 
     The split estimate uses FILE metadata (count + total bytes vs
     maxPartitionBytes — the same arithmetic FilePartition uses), not
@@ -125,11 +149,22 @@ def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     except ValueError:
         max_split = 128 * 1024 * 1024  # size set with a unit suffix: default
     total_bytes = 0
+    total_rows = 0
     for f in files:
+        local = f.removeprefix("file:")
         try:
-            total_bytes += _os.path.getsize(f.removeprefix("file:"))
+            total_bytes += _os.path.getsize(local)
         except OSError:
             return df  # non-local store: trust the scan's own splitting
+        try:
+            import pyarrow.parquet as pq
+
+            total_rows += pq.ParquetFile(local).metadata.num_rows
+        except Exception:
+            total_rows = -1  # unreadable footer: fall back to full width
+            break
+    if total_rows >= 0:
+        target = min(target, max(1, -(-total_rows // rows_per_task)))
     est_splits = max(len(files), total_bytes // max_split)
     if est_splits < min(target, 8):
         return df.repartition(target)

@@ -272,3 +272,89 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"global_offset div {SAMPLE_STRIDE}")
         < F.expr(f"(global_offset + n_tokens) div {SAMPLE_STRIDE}")
     ).select("doc_id", "n_tokens", "global_offset")
+
+
+TEMP_TARGET_FRACTION = 0.5  # overall corpus fraction the tempered mix keeps
+TEMP_BUCKETS = 65536  # 4 hex chars of the seeded md5 → 65536 keep buckets
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS N,
+               list_reduce(
+                   list_prepend(0.0,
+                       [sqrt(CAST(x AS DOUBLE)) for x in list(n ORDER BY source)]),
+                   (a, b) -> a + b) AS W
+        FROM counts
+    ),
+    rates AS (
+        SELECT c.source,
+               (({TEMP_TARGET_FRACTION} * t.N) * sqrt(CAST(c.n AS DOUBLE)) / t.W)
+                   / CAST(c.n AS DOUBLE) AS r
+        FROM counts c, tot t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.r >= 1.0
+       OR upper(substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 4))
+          < lpad(hex(CAST(floor(r.r * {TEMP_BUCKETS}) AS BIGINT)), 4, '0')
+    """,
+    tags=("curation", "llm"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (τ = 0.5): the standard LLM
+    data-recipe reweighting where domain d's sampling mass is n_d^τ —
+    flattening the domain distribution so dominant sources are
+    downsampled and rare ones upweighted relative to their size, without
+    the hand-written per-domain thresholds of sample_domain_mix. Per-doc
+    keep rate r_d = (target·N·√n_d / Σ√n) / n_d, applied as a seeded-hash
+    threshold, so selection stays per-row deterministic.
+
+    Cross-engine exactness with FLOATS in play: √ is IEEE-correctly
+    rounded, the Σ√n fold runs over the SOURCE-SORTED domain list in both
+    engines (sequential fold, not partition-order aggregation), and both
+    sides evaluate the identical parenthesized expression — so the double
+    r_d is bit-identical and floor(r_d·65536) lands every document in the
+    same bucket. The keep test compares 4 uppercase hex chars
+    lexicographically, same as the module's other hash policies.
+
+    Scale shape: domain stats are a map-combined groupBy over ~|domains|
+    rows; rates are a broadcast; the keep decision is map-side per row.
+    One tiny aggregation, zero full-row shuffles."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("ntot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.sqrt(s.getField("n").cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("W"),
+    )
+    rate = (
+        (F.lit(TEMP_TARGET_FRACTION) * F.col("ntot"))
+        * F.sqrt(F.col("n").cast("double"))
+        / F.col("W")
+    ) / F.col("n").cast("double")
+    rates = F.broadcast(counts.crossJoin(F.broadcast(tot)).select("source", rate.alias("r")))
+    bucket = F.upper(
+        F.substring(
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
+        )
+    )
+    thr = F.lpad(
+        F.hex(F.floor(F.col("r") * TEMP_BUCKETS).cast("long")), 4, "0"
+    )
+    return (
+        d.join(rates, "source")
+        .filter((F.col("r") >= 1.0) | (bucket < thr))
+        .select("doc_id", "source")
+    )

@@ -67,8 +67,16 @@ _SQL_BANDS = ",\n           ".join(
 )
 
 
+# MinHash per-row work is the heaviest in the repo (tokenize + 5-gram
+# shingle + N_HASHES md5 lanes per shingle) — ask the scan floor for much
+# finer task granularity than the io.py default so shingling/signature
+# stages use the full machine (measured at sf0.1: 32-way 1.4 s vs 5-way
+# 2.2 s end-to-end for dedup_minhash_lsh).
+MINHASH_ROWS_PER_TASK = 150
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
     return d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles"))
 
 
@@ -239,7 +247,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint pinning blocks to executor storage. The COMPACT
     # array form is what's written (one doc_id per row); consumers explode
     # lazily — exploding a scanned array is cheap, re-tokenizing isn't.
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
     ds = materialize(
         d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
         "lsh_doc_shingles",

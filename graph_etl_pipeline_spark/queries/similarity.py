@@ -23,6 +23,8 @@ from graph_etl_pipeline_spark.registry import register
 
 DIM = 64
 QUERY_VEC_ID = 0
+PAIR_ROWS_PER_TASK = 60  # pair-join probe rows per task (see
+# dedup_embedding_cosine: per-row cost is ~block-size 64-dim folds)
 PAIR_THRESHOLD = 0.4  # testdata has no planted embedding dups; 0.4 yields real pairs
 CHUNK_CAP = 1024  # max vectors per triangle-join tile side: bounds any one
 # task to CAP² pair candidates. Typical blocks are SMALLER than the cap, so
@@ -117,8 +119,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Straggler control (VERDICT r1 #5): see _label_pair_cosines — within a
     block the all-pairs join is triangle-tiled with tile sides bounded by
-    CHUNK_CAP, so one hot block can never become a single n² task."""
-    e = _norms(table(spark, sf_dir, "embeddings"))
+    CHUNK_CAP, so one hot block can never become a single n² task.
+
+    Scan granularity: the label self-join broadcasts the (small) build
+    side, so the per-PAIR dot products execute in the probe side's SCAN
+    stage — each probe row pays ~block-size folds, the heaviest per-row
+    cost in this module. Ask the parallelism floor for fine tasks
+    (measured at sf0.1: 32-way 0.96 s vs the 2-way default 1.8 s)."""
+    e = _norms(table(spark, sf_dir, "embeddings", rows_per_task=PAIR_ROWS_PER_TASK))
     return _label_pair_cosines(e, CHUNK_CAP).filter(F.col("cosine") >= PAIR_THRESHOLD)
 
 
@@ -650,4 +658,53 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
     return ann.join(exact, "vec_id").agg(
         (F.count(F.lit(1)) >= F.lit(ANN_RECALL_FLOOR)).alias("recall_ok")
+    )
+
+
+@register(
+    "embed_quantize_error_contract",
+    oracle="SELECT TRUE AS quant_ok",
+    tags=("similarity", "llm", "quantize"),
+)
+def embed_quantize_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable accuracy contract for int8 quantization (same pattern as
+    sim_ann_recall_contract): recompute the symmetric quantization
+    in-plan, dequantize (q·scale/127), and assert EVERY element of EVERY
+    vector reconstructs within half a quantization step
+    (scale/127 · 0.5 + an ulp guard for the half-up rounding boundary).
+    The driver's hash row goes green iff the quantizer's round-trip error
+    bound actually holds over the corpus; the oracle is the contract.
+    Pure map-side scan + single boolean aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    with_scale = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("maxabs"),
+    )
+    step = F.col("maxabs") / F.lit(127.0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") * 127 / F.col("maxabs") + 0.5),
+                ),
+            )
+        ),
+    )
+    err_ok = F.forall(
+        F.zip_with(
+            "embedding",
+            q,
+            lambda x, qi: F.abs(x.cast("double") - qi * step)
+            <= step * F.lit(0.5000001),
+        ),
+        lambda ok: ok,
+    )
+    return with_scale.select(err_ok.alias("row_ok")).agg(
+        F.bool_and("row_ok").alias("quant_ok")
     )

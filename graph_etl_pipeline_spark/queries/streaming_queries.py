@@ -18,6 +18,7 @@ from graph_etl_pipeline_spark.streaming.jobs import (
     events_stream,
     incremental_upsert,
     run_to_memory,
+    session_aggregate,
     tumbling_aggregate,
 )
 
@@ -224,4 +225,56 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped,
         name=f"stream_dedup_{uuid.uuid4().hex[:8]}",
         output_mode="append",
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # mirrors win_session_batch's gap
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           user_id,
+           COUNT(*) AS n_events,
+           {osum(sdec('value'), "session_value")}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 executed through the streaming engine: native session_window
+    sessionization (streaming/jobs.py session_aggregate) run availableNow
+    → memory sink, so the driver's hash row checks Spark's streaming
+    session-state machinery itself, not the batch gaps-and-islands twin.
+
+    Gap boundary semantics differ between the two formulations and the
+    oracle encodes the STREAMING one: session_window merges an event into
+    a session only when its [ts, ts+gap) window OVERLAPS the session's
+    [start, last+gap) — strict inequality, so a gap of exactly 30:00.000000
+    STARTS a new session (>= in the oracle's new_session flag), whereas
+    the batch twin win_session_batch keeps it (> in its flag), matching
+    its own lag-based definition. Both are exact integer-microsecond
+    comparisons."""
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(
+        session_aggregate(stream, gap="30 minutes", watermark="2 hours"),
+        name=f"stream_sessions_{uuid.uuid4().hex[:8]}",
     )

@@ -62,6 +62,9 @@ CORE_ORDER = [
     "src_xlsx_scan",           # xlsx ingestion (reference's primary input format)
     "doc_rule_extract",        # binary doc → extracted rule rows pipeline
     "sim_ann_ivf_trained",     # IVF over trained k-means cells + recall contract
+    "stream_session_window",   # T4 via native streaming session_window state
+    "sample_temperature_mix",  # τ=0.5 tempered domain mixing, exact-float recipe
+    "embed_quantize_error_contract",  # int8 round-trip error bound, in-query
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -69,9 +72,6 @@ CORE_ORDER = [
     "stream_incremental_upsert",  # newer-wins merge inner-restricted (VERDICT #5)
     "join_four_hop_chain",     # J5 flagship — a hard row every round
     # -- r4 second wave, driver-green r4, retained while slots allow --
-    "sim_ann_recall_contract", # in-query ANN recall floor, hash-checkable
-    "stream_tumbling_hourly",  # real streaming twin of win_tumbling_hourly
-    "agg_approx_distinct",     # exact-count + in-query accuracy contract
     "sim_ann_ivf",             # approximate by construction → rows-only row
     "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
@@ -109,6 +109,9 @@ CORE_ORDER = [
     # ---- position 51+: multiply-confirmed driver-green, rotated out ----
     # r4-green extras rotated out in r5 (not SURVEY §2 rows; local parity
     # keeps checking them every round):
+    "stream_tumbling_hourly",  # green r4 (win_tumbling_hourly covers T1 in-window)
+    "sim_ann_recall_contract", # green r4 (sim_ann_ivf_trained re-proves the pattern)
+    "agg_approx_distinct",     # green r4
     "win_asof_last_click",     # green r4
     "agg_rollup",              # green r4
     "agg_pivot",               # green r4

@@ -27,6 +27,10 @@ QUERIES = [
     "graph_pagerank",           # fixed-point iterative join/agg rounds (r4)
     "win_funnel_conversion",    # chained prefix windows + same-key agg (r4)
     "sim_kmeans_assign",        # float-fold scores + struct-min argmin tie-break (r4)
+    "sim_kmeans_iterate",       # int64 fixed-point Lloyd rounds — exact sums must
+                                # hold under any partitioning (r5)
+    "sample_temperature_mix",   # source-sorted sequential sqrt-fold rates (r5)
+    "stream_session_window",    # streaming session-state merge order (r5)
 ]
 
 _SCRIPT = f"""

@@ -55,7 +55,8 @@ R5_PROMOTED = {
     "agg_event_cooccurrence", "win_sliding_hourly",
     # new in r5
     "sim_kmeans_iterate", "src_xlsx_scan", "doc_rule_extract",
-    "sim_ann_ivf_trained",
+    "sim_ann_ivf_trained", "stream_session_window", "sample_temperature_mix",
+    "embed_quantize_error_contract",
     # r4's only red row — output reshaped to scalar string, must re-confirm
     "embed_quantize_int8",
     # r5-changed implementations + the every-round flagship

@@ -204,3 +204,130 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
     assert out[2].n_emails == 2 and out[2].clean_text == "two mails: <EMAIL> <EMAIL>"
     assert out[3].clean_text == "no pii here at all"
     assert (out[3].n_emails, out[3].n_phones) == (0, 0)
+
+
+def test_xlsx_roundtrip_and_multisheet(tmp_path):
+    """Writer→parser round trip: types (str/int/float/bool), None gaps
+    that skip cells, embedded newlines and XML-special characters, and
+    multi-sheet workbooks."""
+    from graph_etl_pipeline_spark.operators.xlsx import parse_xlsx, write_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    rows = [
+        (1, "plain", 1.5, True),
+        (2, "a<b&\"c\">\nnext line", -7, False),
+        (3, None, None, None),  # gapped cells must keep column alignment
+    ]
+    write_xlsx(
+        path,
+        {
+            "items": (["id", "name", "x", "flag"], rows),
+            "second": (["k"], [("v1",), ("v2",)]),
+        },
+    )
+    sheets = parse_xlsx(open(path, "rb").read())
+    assert list(sheets) == ["items", "second"]
+    items = sheets["items"]
+    assert items[0] == ["id", "name", "x", "flag"]
+    assert items[1] == [1, "plain", 1.5, True]
+    assert items[2] == [2, 'a<b&"c">\nnext line', -7, False]
+    assert items[3] == [3]  # trailing gaps: row simply ends
+    assert sheets["second"] == [["k"], ["v1"], ["v2"]]
+
+
+def test_xlsx_shared_strings_parsed(tmp_path):
+    """Workbooks from real producers use a sharedStrings table (t="s")
+    rather than inline strings; the parser must resolve indices, including
+    multi-run <si> entries (rich text split across <r><t> runs)."""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    wb = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        '<sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{pns}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    root_rels = (
+        f'<Relationships xmlns="{pns}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<sst xmlns="{ns}" count="2" uniqueCount="2">'
+        "<si><t>hello</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si></sst>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c>'
+        '<c r="D1" t="str"><v>cached</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = tmp_path / "shared.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    from graph_etl_pipeline_spark.operators.xlsx import parse_xlsx
+
+    rows = parse_xlsx(path.read_bytes())["s1"]
+    assert rows == [["hello", None, "rich text", "cached"]]
+
+
+def test_read_xlsx_header_mapped_out_of_order(spark, tmp_path):
+    """read_xlsx maps by header NAME: a sheet whose column order differs
+    from the requested schema must still land values correctly, and
+    missing schema fields yield nulls."""
+    from graph_etl_pipeline_spark.operators.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "oo.xlsx")
+    write_xlsx(
+        path,
+        {"s": (["name", "id"], [("a", 1), ("b", 2)])},
+    )
+    out = read_xlsx(
+        spark, path, sheet="s", schema="id bigint, name string, extra string"
+    ).collect()
+    got = {(r.id, r.name, r.extra) for r in out}
+    assert got == {(1, "a", None), (2, "b", None)}
+
+
+def test_rule_extractor_edges(spark, tmp_path):
+    """doc_rule_extract edge cases: consecutive condition words each match
+    (with the following word as action, even when that word is itself a
+    condition); a trailing condition word has no action and is dropped;
+    docs without conditions emit nothing."""
+    from graph_etl_pipeline_spark.queries.extraction import doc_rule_extract
+
+    rows = [
+        (1, "sort scan data"),          # sort->scan AND scan->data
+        (2, "the data ends with join"),  # trailing condition: no row
+        (3, "nothing matches here"),
+    ]
+    sf = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "length(text) AS n_chars",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {(r.doc_id, r.pos, r.condition, r.action)
+           for r in doc_rule_extract(spark, sf).collect()}
+    assert got == {(1, 1, "sort", "scan"), (1, 2, "scan", "data")}
