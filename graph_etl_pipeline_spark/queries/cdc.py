@@ -143,3 +143,78 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "cdc_apply_changefeed",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey AS key,
+               CASE o_orderstatus WHEN 'F' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS payload
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN f.op = 'U' THEN f.payload END AS last_price
+    FROM customer c LEFT JOIN feed f ON f.key = c.c_custkey
+    WHERE f.op IS NULL OR f.op <> 'D'
+    """,
+    tags=("cdc", "sink"),
+)
+def cdc_apply_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an I/U/D change feed to a snapshot — the consumer side of CDC
+    (cdc_snapshot_diff is the producer side): deletes remove snapshot
+    rows, updates overwrite the payload, inserts add new keys. The feed
+    here is derived deterministically from each customer's latest order
+    (finalized status 'F' → delete, open/pending → update with the order
+    total); the testdata feed is referentially intact so the INSERT leg
+    can't fire against it — tests/test_operators.py exercises I/U/D
+    together on a planted fixture via apply_changefeed.
+
+    Scale shape: reduce the feed to one row per key (one window exchange
+    — CDC streams are key-skewed, so the reduction happens before the
+    join), then a single key-partitioned join + filter applies all op
+    kinds in one pass; no per-op sub-joins.
+
+    The SNAPSHOT defines the key universe here (insert=False → LEFT
+    join, exactly the oracle's shape) — the same seed-keyed discipline
+    the newer-wins streaming merge follows, so a feed carrying orphan
+    keys can never silently diverge from the oracle. The insert leg
+    (full-outer) is the library option, fixture-tested."""
+    snap = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    feed = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+            F.col("o_totalprice").alias("payload"),
+        )
+    )
+    return apply_changefeed(snap, feed, key_col="c_custkey", insert=False)
+
+
+def apply_changefeed(
+    snap: DataFrame, feed: DataFrame, key_col: str, insert: bool = True
+) -> DataFrame:
+    """Library form: snapshot ⋈ (one-row-per-key feed) with op semantics
+    D=drop, U=update payload, and — when ``insert`` — I=insert new key
+    (feed keys absent from the snapshot survive the full-outer leg with
+    their payload; with insert=False the snapshot's key set is closed and
+    orphan feed keys are dropped)."""
+    j = snap.join(feed, snap[key_col] == feed["key"], "full_outer" if insert else "left")
+    kept = j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return kept.select(
+        F.coalesce(F.col(key_col), F.col("key")).alias(key_col),
+        F.col("c_name"),
+        F.when(F.col("op").isin("U", "I"), F.col("payload")).alias("last_price"),
+    )

@@ -454,3 +454,58 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist
+
+
+COPURCHASE_MIN_SUPPORT = 2
+COPURCHASE_BASKET_CAP = 64  # max items per basket before the hot-basket guard
+
+
+@register(
+    "graph_copurchase_project",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+    """,
+    tags=("graph", "join"),
+)
+def graph_copurchase_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-graph projection: collapse the (order, part) bipartite
+    edge set into a part–part co-purchase graph weighted by shared-order
+    support — the projection step under recommendation graphs and the
+    reference's item–stream co-disposal structure (DISPOSED_IN edges
+    projected over shared facilities, etl_implementation.md:102-104).
+
+    Scale shape: distinct (order, part) first (dedup repeat lineitems of
+    one part — also the projection's correctness: support counts ORDERS,
+    not line items), then an equi-self-join on the order key. The
+    quadratic term is per-basket: an order of k parts emits k(k-2)/2
+    pairs, and TPC-H baskets are bounded (k ≤ 7) — for corpora where
+    baskets can run hot, the same guard as the dedup family applies: a
+    map-combined basket-size probe splits out baskets over
+    COPURCHASE_BASKET_CAP for triangle tiling (machinery shared with
+    dedup_embedding_cosine; not engaged by this data, like the shingle
+    df-cap on clean corpora). The min-support HAVING prunes the long tail
+    map-side-partially before the final exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)
+    )

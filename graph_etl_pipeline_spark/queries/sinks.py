@@ -157,3 +157,45 @@ def sink_upsert_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("src_uid").alias("n_src"),
         F.countDistinct("dst_uid").alias("n_dst"),
     )
+
+
+@register(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("sink", "source", "partitioning"),
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-PRUNED read — the storage-layout
+    half of the scale story the other sinks don't cover: a 100 TB event
+    table partitioned by a low-cardinality column turns a one-domain
+    query from a full scan into a directory lookup. The plan is asserted
+    (tests/test_plans.py) to carry the event_type predicate as a
+    PartitionFilter — i.e. pruning happens in FILE LISTING, before any
+    bytes are read — and the values must survive the layout round trip
+    exactly (the oracle reads the original unpartitioned parquet).
+
+    Partition-column cardinality discipline: event_type has 5 values —
+    partitioning by a high-cardinality key (user_id) would instead create
+    the canonical small-files pathology. The write keeps the upstream
+    task parallelism per partition directory."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    ev = table(spark, sf_dir, "events")
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(SCRATCH_DIR, f"part_events-{key}-{os.getpid()}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev.select("event_id", "user_id", "value", "event_type").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(dest)
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )

@@ -65,6 +65,9 @@ CORE_ORDER = [
     "stream_session_window",   # T4 via native streaming session_window state
     "sample_temperature_mix",  # τ=0.5 tempered domain mixing, exact-float recipe
     "embed_quantize_error_contract",  # int8 round-trip error bound, in-query
+    "cdc_apply_changefeed",    # CDC consumer side: I/U/D feed applied in one join
+    "graph_copurchase_project",  # bipartite projection w/ basket-bounded pair join
+    "sink_partitioned_prune",  # hive-partitioned write + listing-time pruning
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -73,15 +76,12 @@ CORE_ORDER = [
     "join_four_hop_chain",     # J5 flagship — a hard row every round
     # -- r4 second wave, driver-green r4, retained while slots allow --
     "sim_ann_ivf",             # approximate by construction → rows-only row
-    "dedup_simhash_hamming",   # Hamming<=2 band-pigeonhole neighbors (r4)
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
     "profile_table_stats",     # one-pass per-column completeness/cardinality
     "split_train_holdout",     # deterministic hash split, map-side
     "sample_domain_mix",       # per-domain hash-threshold mixing, map-side
     "sample_stratified_exact", # exact per-stratum fraction, one exchange
     "text_token_budget",       # per-source greedy token budget, one exchange
-    "join_time_range",         # interval join via bucketed equi-join
-    "graph_triangle_count",    # degree-oriented triangle join
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract
     "stream_stateful_running", # applyInPandasWithState running totals
@@ -110,6 +110,9 @@ CORE_ORDER = [
     # r4-green extras rotated out in r5 (not SURVEY §2 rows; local parity
     # keeps checking them every round):
     "stream_tumbling_hourly",  # green r4 (win_tumbling_hourly covers T1 in-window)
+    "dedup_simhash_hamming",   # green r4
+    "graph_triangle_count",    # green r4 (copurchase projection keeps the family)
+    "join_time_range",         # green r4
     "sim_ann_recall_contract", # green r4 (sim_ann_ivf_trained re-proves the pattern)
     "agg_approx_distinct",     # green r4
     "win_asof_last_click",     # green r4

@@ -56,7 +56,8 @@ R5_PROMOTED = {
     # new in r5
     "sim_kmeans_iterate", "src_xlsx_scan", "doc_rule_extract",
     "sim_ann_ivf_trained", "stream_session_window", "sample_temperature_mix",
-    "embed_quantize_error_contract",
+    "embed_quantize_error_contract", "cdc_apply_changefeed",
+    "graph_copurchase_project", "sink_partitioned_prune",
     # r4's only red row — output reshaped to scalar string, must re-confirm
     "embed_quantize_int8",
     # r5-changed implementations + the every-round flagship

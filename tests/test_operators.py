@@ -331,3 +331,33 @@ def test_rule_extractor_edges(spark, tmp_path):
     got = {(r.doc_id, r.pos, r.condition, r.action)
            for r in doc_rule_extract(spark, sf).collect()}
     assert got == {(1, 1, "sort", "scan"), (1, 2, "scan", "data")}
+
+
+def test_apply_changefeed_insert_update_delete(spark):
+    """Library CDC apply with ALL THREE op kinds on a planted fixture —
+    the registered query's feed (derived from referentially-intact
+    orders) can never fire the INSERT leg, so it is proven here."""
+    from graph_etl_pipeline_spark.queries.cdc import apply_changefeed
+
+    snap = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "c_custkey long, c_name string"
+    )
+    feed = spark.createDataFrame(
+        [(2, "U", 9.5), (3, "D", None), (7, "I", 4.25)],
+        "key long, op string, payload double",
+    )
+    got = {
+        r.c_custkey: (r.c_name, r.last_price)
+        for r in apply_changefeed(snap, feed, "c_custkey").collect()
+    }
+    assert got == {
+        1: ("alice", None),   # untouched
+        2: ("bob", 9.5),      # updated
+        7: (None, 4.25),      # inserted (no snapshot attrs to carry)
+    }
+    # closed-universe mode drops the orphan insert instead
+    closed = {
+        r.c_custkey
+        for r in apply_changefeed(snap, feed, "c_custkey", insert=False).collect()
+    }
+    assert closed == {1, 2}

@@ -158,3 +158,14 @@ def test_cube_single_aggregation_exchange(spark, sf_dir):
     plan = _plan(spark, "agg_cube", sf_dir)
     assert plan.count("Exchange") <= 2  # partial→final agg exchange only
     assert plan.count("Scan parquet") == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """sink_partitioned_prune's read must carry the event_type predicate
+    as a PartitionFilter (pruning at file-listing time) and must NOT
+    retain it as a post-scan data filter on a partition column."""
+    df = all_queries()["sink_partitioned_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "event_type" in seg, seg
