@@ -232,3 +232,32 @@ def import_waste_items(
     existing_edges = existing_edges if existing_edges is not None else edges.limit(0)
     merged_edges = upsert_edges(existing_edges, edges)
     return merged_items, merged_edges, stats
+
+
+def load_waste_items_xlsx(
+    spark: SparkSession,
+    filepath: str,
+    sheet: str = "Abfall_ABC",
+    cfg: WasteItemConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """S1 over the reference's ACTUAL input format: Abfall_ABC.xlsx
+    (reference README.md:124 — the CSV its code reads is an export of
+    this workbook). Same filters/expansion as load_waste_items; the scan
+    is the stdlib SpreadsheetML reader (operators/xlsx.py) distributed
+    over binaryFile rows, so both ingest paths produce identical rows —
+    asserted by tests/test_etl_reference.py::test_xlsx_and_csv_ingest_agree."""
+    from graph_etl_pipeline_spark.operators.xlsx import read_xlsx
+
+    raw = read_xlsx(
+        spark, filepath, sheet=sheet,
+        schema="Abfallart string, Entsorgungsweg string",
+    )
+    name, targets = F.col("Abfallart"), F.coalesce(F.col("Entsorgungsweg"), F.lit(""))
+    return (
+        raw.filter(~_is_section_marker(name, targets))
+        .filter(F.trim(name) != "")
+        .select(
+            F.trim(name).alias("name"),
+            parse_disposal_targets(targets, cfg).alias("disposal_targets"),
+        )
+    )

@@ -272,3 +272,107 @@ def join_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor_id")
         .agg(F.count(F.lit(1)).alias("n_in_window"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey AS user_id, o_orderdate AS odate,
+               MIN(o_orderkey) AS okey
+        FROM orders GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT e.event_id, e.user_id, e.ts, o.okey, o.odate,
+               abs(epoch_us(e.ts) - epoch_us(o.odate)) AS diff_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(e.ts) - epoch_us(o.odate)),
+                            CASE WHEN epoch_us(o.odate) <= epoch_us(e.ts)
+                                 THEN 0 ELSE 1 END,
+                            o.okey
+               ) AS rn
+        FROM events e JOIN od o ON o.user_id = e.user_id
+    )
+    SELECT event_id, user_id, ts,
+           okey AS nearest_order, odate AS nearest_date, diff_us
+    FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-key as-of join: each event matches the user's order closest
+    in time on EITHER side (win_asof_last_click is the backward-only
+    variant) — the sensor/trade alignment operator kdb/DuckDB call ASOF
+    ... NEAREST. Ties at equal distance prefer the earlier (backward)
+    order; order dates are deduped to one row per (user, date) with the
+    smallest orderkey so the tiebreak is total.
+
+    Scale shape — SORT-MERGE, NOT ALL-PAIRS: orders and events union into
+    one stream sorted per user (one exchange); the previous order arrives
+    via last(ignoreNulls) over the preceding frame and the next order via
+    first(ignoreNulls) over the following frame — both windows share the
+    same sort, so the whole join is one shuffle + one sort regardless of
+    how many orders a user has. The ORACLE is the brute-force per-user
+    cross join — fine at sf0.01, and exactly the quadratic shape this
+    plan avoids. All comparisons are integer microseconds."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("odate"))
+        .agg(F.min("o_orderkey").alias("okey"))
+    )
+    from pyspark.sql import Window
+
+    # kind 0 = order, 1 = event: an order at exactly the event's timestamp
+    # sorts first and is therefore seen as the backward candidate (diff 0)
+    merged = od.select(
+        "user_id",
+        F.col("odate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(F.col("odate"), F.col("okey")).alias("ord"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("struct<odate:timestamp,okey:bigint>").alias("ord"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_cands = merged.select(
+        "user_id",
+        "t",
+        "kind",
+        "event_id",
+        F.last("ord", ignorenulls=True).over(w_back).alias("prev"),
+        F.first("ord", ignorenulls=True).over(w_fwd).alias("nxt"),
+    ).filter(F.col("kind") == 1)
+    dp = F.unix_micros(F.col("t")) - F.unix_micros(F.col("prev.odate"))
+    dn = F.unix_micros(F.col("nxt.odate")) - F.unix_micros(F.col("t"))
+    take_prev = F.col("prev").isNotNull() & (F.col("nxt").isNull() | (dp <= dn))
+    best = F.when(take_prev, F.col("prev")).otherwise(F.col("nxt"))
+    return (
+        with_cands.filter(F.col("prev").isNotNull() | F.col("nxt").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            best.getField("okey").alias("nearest_order"),
+            best.getField("odate").alias("nearest_date"),
+            F.abs(F.unix_micros(F.col("t")) - F.unix_micros(best.getField("odate"))).alias(
+                "diff_us"
+            ),
+        )
+    )

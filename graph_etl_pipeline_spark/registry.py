@@ -68,6 +68,7 @@ CORE_ORDER = [
     "cdc_apply_changefeed",    # CDC consumer side: I/U/D feed applied in one join
     "graph_copurchase_project",  # bipartite projection w/ basket-bounded pair join
     "sink_partitioned_prune",  # hive-partitioned write + listing-time pruning
+    "join_asof_nearest",       # nearest-side asof via shared-sort dual windows
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -90,7 +91,6 @@ CORE_ORDER = [
     "scd2_history",            # type-2 validity intervals, one exchange
     "win_funnel_conversion",   # 3-stage funnel, one shuffle via chained windows
     "sample_weighted_tokens",  # integer systematic length-weighted sampling
-    "agg_winsorize",           # P05/P95 clamp + winsorized mean, one shuffle
     "graph_pagerank",          # fixed-point int64 PageRank, 3 Pregel rounds
     "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction
     "text_chunk_overlap",      # map-side sliding-window RAG chunking
@@ -113,6 +113,7 @@ CORE_ORDER = [
     "dedup_simhash_hamming",   # green r4
     "graph_triangle_count",    # green r4 (copurchase projection keeps the family)
     "join_time_range",         # green r4
+    "agg_winsorize",           # green r4
     "sim_ann_recall_contract", # green r4 (sim_ann_ivf_trained re-proves the pattern)
     "agg_approx_distinct",     # green r4
     "win_asof_last_click",     # green r4

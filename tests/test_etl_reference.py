@@ -153,3 +153,28 @@ def test_facility_prefer_nonempty_upsert(spark, fixture_paths):
     a = {r["name"]: r.asDict() for r in first.collect()}
     b = {r["name"]: r.asDict() for r in second.collect()}
     assert a == b
+
+
+def test_xlsx_and_csv_ingest_agree(spark, fixture_paths, tmp_path):
+    """The reference's real input is Abfall_ABC.xlsx (README.md:124); its
+    code reads a CSV export. Both ingest paths must yield IDENTICAL rows
+    over the same fixture content — including the multiline cell, the '-'
+    sentinel, and the umlaut names — so a user can feed either form."""
+    from graph_etl_pipeline_spark.etl.waste_items import load_waste_items_xlsx
+    from graph_etl_pipeline_spark.operators.xlsx import write_xlsx
+
+    csv_path, _ = fixture_paths
+    xlsx_path = str(tmp_path / "abfall_abc.xlsx")
+    write_xlsx(
+        xlsx_path,
+        {"Abfall_ABC": (list(CSV_ROWS[0]), [tuple(r) for r in CSV_ROWS[1:]])},
+    )
+    via_csv = {
+        (r.name, tuple(r.disposal_targets))
+        for r in load_waste_items(spark, csv_path).collect()
+    }
+    via_xlsx = {
+        (r.name, tuple(r.disposal_targets))
+        for r in load_waste_items_xlsx(spark, xlsx_path).collect()
+    }
+    assert via_csv == via_xlsx and via_csv, via_xlsx ^ via_csv

@@ -57,7 +57,7 @@ R5_PROMOTED = {
     "sim_kmeans_iterate", "src_xlsx_scan", "doc_rule_extract",
     "sim_ann_ivf_trained", "stream_session_window", "sample_temperature_mix",
     "embed_quantize_error_contract", "cdc_apply_changefeed",
-    "graph_copurchase_project", "sink_partitioned_prune",
+    "graph_copurchase_project", "sink_partitioned_prune", "join_asof_nearest",
     # r4's only red row — output reshaped to scalar string, must re-confirm
     "embed_quantize_int8",
     # r5-changed implementations + the every-round flagship
