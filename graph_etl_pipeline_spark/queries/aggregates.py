@@ -421,3 +421,52 @@ def agg_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM (
+        SELECT value,
+               NTILE({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    GROUP BY bucket
+    """,
+    tags=("aggregate", "profile"),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (ntile): buckets hold equal row counts and the
+    boundaries adapt to the distribution — the profile that exposes skew
+    a fixed-width histogram (agg_histogram) smooths over, and the stats
+    shape query optimizers keep per column. Tie-break (value, event_id)
+    makes bucket assignment total, so both engines split equal values
+    identically.
+
+    Scale note: ntile over a GLOBAL ordering is a single-partition sort —
+    acceptable for profile queries that reduce to {EQUIDEPTH_BUCKETS}
+    output rows, but the 100 TB path is the sketch: approx quantile cuts
+    (agg_approx_quantiles' datasketches pattern) define boundaries and a
+    map-side bucket-assign + groupBy counts rows per cut — that exact
+    composition is already covered by agg_approx_quantiles +
+    agg_histogram; THIS operator is the exact small-profile form."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -469,3 +469,69 @@ def win_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "win_gapfill_hourly",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS window_start,
+               et.event_type
+        FROM bounds b, (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, {osum(sdec('value'), "sum_value")}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.window_start, g.event_type,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a
+      ON a.window_start = g.window_start AND a.event_type = g.event_type
+    """,
+    tags=("window", "timeseries"),
+)
+def win_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL: the hourly per-type aggregate densified onto
+    the full hour grid — missing (hour, type) cells emitted with zero
+    counts (the hypertable `time_bucket_gapfill` operator; dashboards and
+    window-over-time models need dense series, and silently absent rows
+    are the classic downstream bug).
+
+    Scale shape: the dense grid is GENERATED, not shuffled — one tiny
+    global min/max aggregate (map-combined to a single row) feeds a
+    sequence() explode of hours cross the distinct type list (both
+    broadcast-sized: hours ≈ range/3600, types = domain cardinality);
+    the real data contributes only its aggregated (hour, type) cells via
+    a LEFT join from the grid. Cost is the hourly aggregate itself plus a
+    grid-sized join — the fill never touches raw events a second time."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    return grid.join(agg, ["window_start", "event_type"], "left").select(
+        "window_start",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

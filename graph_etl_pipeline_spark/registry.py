@@ -69,6 +69,8 @@ CORE_ORDER = [
     "graph_copurchase_project",  # bipartite projection w/ basket-bounded pair join
     "sink_partitioned_prune",  # hive-partitioned write + listing-time pruning
     "join_asof_nearest",       # nearest-side asof via shared-sort dual windows
+    "win_gapfill_hourly",      # dense hour grid generated, not shuffled
+    "agg_equidepth_histogram", # ntile profile, total tie-break
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -78,7 +80,6 @@ CORE_ORDER = [
     # -- r4 second wave, driver-green r4, retained while slots allow --
     "sim_ann_ivf",             # approximate by construction → rows-only row
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
-    "profile_table_stats",     # one-pass per-column completeness/cardinality
     "split_train_holdout",     # deterministic hash split, map-side
     "sample_domain_mix",       # per-domain hash-threshold mixing, map-side
     "sample_stratified_exact", # exact per-stratum fraction, one exchange
@@ -95,7 +96,6 @@ CORE_ORDER = [
     "text_tfidf_topk",         # fixed-point tf·N/df keyword extraction
     "text_chunk_overlap",      # map-side sliding-window RAG chunking
     "stream_dedup_keys",       # streaming dropDuplicates, deterministic key set
-    "agg_histogram",           # fixed-width distribution profile, one exchange
     "graph_sssp_bounded",      # bounded Bellman-Ford hops, |E|-bounded rounds
     "agg_mad_outliers",        # robust location/scale + outlier counts, one shuffle
     "set_union",               # O4 — restored r4 (VERDICT r3 #1), green r4
@@ -113,6 +113,8 @@ CORE_ORDER = [
     "dedup_simhash_hamming",   # green r4
     "graph_triangle_count",    # green r4 (copurchase projection keeps the family)
     "join_time_range",         # green r4
+    "profile_table_stats",     # green r4
+    "agg_histogram",           # green r4 (equi-depth variant keeps the family)
     "agg_winsorize",           # green r4
     "sim_ann_recall_contract", # green r4 (sim_ann_ivf_trained re-proves the pattern)
     "agg_approx_distinct",     # green r4
