@@ -266,3 +266,56 @@ def with_media_metadata(df: DataFrame, blob_col: str, mime: str) -> DataFrame:
             F.length(F.col(blob_col)).cast("bigint").alias("n_bytes"),
         ),
     )
+
+
+AUDIO_FRAME = 256  # samples per analysis frame (hop = frame: no overlap)
+AUDIO_RMS_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_samples int, energy bigint, rms_fp bigint"
+)
+
+
+def audio_frame_rms_df(blobs: DataFrame) -> DataFrame:
+    """Audio-shaped pipeline over opaque binary blobs: interpret the blob
+    as a PCM8 sample stream (one unsigned byte per sample — the stand-in
+    decode; a real deployment swaps in soundfile/ffmpeg and keeps every
+    interface), frame it into AUDIO_FRAME-sample windows, and emit per-
+    frame RMS energy — the framing + per-frame-aggregate shape under VAD,
+    loudness normalization, and silence trimming in audio corpora.
+
+    Determinism: energy is an exact integer Σ sample², and the RMS is
+    quantized to fixed point AFTER the only float ops (one IEEE divide,
+    one correctly-rounded sqrt, one multiply) — so the output is hash-
+    stable across engines and partitionings. Frames never span documents,
+    so the explode is map-side; batches stream through the iterator."""
+    from collections.abc import Iterator as _It
+
+    import math
+
+    def _frames(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            ns: list[int] = []
+            energies: list[int] = []
+            rms: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                for fi in range(0, (len(b) + AUDIO_FRAME - 1) // AUDIO_FRAME):
+                    chunk = b[fi * AUDIO_FRAME : (fi + 1) * AUDIO_FRAME]
+                    e = sum(s * s for s in chunk)
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    ns.append(len(chunk))
+                    energies.append(e)
+                    rms.append(math.floor(math.sqrt(e / len(chunk)) * 1000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "energy": energies,
+                    "rms_fp": rms,
+                }
+            )
+
+    return blobs.mapInPandas(_frames, schema=AUDIO_RMS_SCHEMA)

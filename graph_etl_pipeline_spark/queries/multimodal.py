@@ -144,3 +144,57 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(_synth, schema="doc_id bigint, blob binary")
     return image_stats_df(blobs)
+
+
+@register(
+    "mm_audio_frame_rms",
+    oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id,
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS s
+        FROM ascii_docs WHERE length(t) > 0
+    ),
+    frames AS (
+        SELECT doc_id, s,
+               unnest(generate_series(0,
+                   CAST(FLOOR((len(s) - 1) / 256.0) AS INT))) AS frame_idx
+        FROM samples
+    ),
+    cut AS (
+        SELECT doc_id, frame_idx,
+               s[frame_idx * 256 + 1 : LEAST((frame_idx + 1) * 256, len(s))] AS chunk
+        FROM frames
+    )
+    SELECT doc_id, frame_idx,
+           CAST(len(chunk) AS INTEGER) AS n_samples,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(chunk, x -> x * x)), (a, b) -> a + b) AS energy,
+           CAST(FLOOR(sqrt(
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(chunk, x -> x * x)), (a, b) -> a + b) AS DOUBLE)
+               / len(chunk)) * 1000) AS BIGINT) AS rms_fp
+    FROM cut
+    """,
+    tags=("multimodal", "llm", "udf", "audio"),
+)
+def mm_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing end-to-end: text bytes stand in for a PCM8
+    stream (ASCII-normalized so byte and codepoint arithmetic agree — the
+    mm_binary_features convention), decoded and framed executor-side in
+    Arrow-batched mapInPandas, one row per 256-sample frame with exact
+    integer energy and fixed-point RMS. Completes the modality triad
+    (image: mm_image_decode, video: mm_frame_sample, audio: here); the
+    oracle recomputes frames from the string side, proving the bytes and
+    the frame arithmetic survive the Arrow round trip exactly."""
+    d = table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(d.text, r"[^\x00-\x7F]", "?")
+    blobs = d.filter(F.length(ascii_text) > 0).select(
+        "doc_id", F.encode(ascii_text, "UTF-8").alias("blob")
+    )
+    from graph_etl_pipeline_spark.operators.multimodal import audio_frame_rms_df
+
+    return audio_frame_rms_df(blobs)
