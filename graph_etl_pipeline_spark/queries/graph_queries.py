@@ -509,3 +509,95 @@ def graph_copurchase_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MIN_SUPPORT)
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+_SQL_CHAIN_EDGES = """
+    per_user_hour AS (
+        SELECT date_trunc('hour', ts) AS h, user_id, MIN(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    chained AS (
+        SELECT h, user_id,
+               LAG(user_id) OVER (PARTITION BY h ORDER BY first_ts, user_id) AS prev_id
+        FROM per_user_hour
+    ),
+    e0 AS (
+        SELECT DISTINCT LEAST(user_id, prev_id) AS u, GREATEST(user_id, prev_id) AS v
+        FROM chained WHERE prev_id IS NOT NULL
+    )"""
+
+
+def _sql_kcore_rounds() -> str:
+    ctes = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""d{i} AS (
+        SELECT x AS node, COUNT(*) AS deg FROM (
+            SELECT u AS x FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}
+        ) GROUP BY x
+    )""")
+        ctes.append(f"""s{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K})""")
+        ctes.append(f"""e{i} AS (
+        SELECT e.u, e.v FROM e{i - 1} e
+        JOIN s{i} a ON a.node = e.u JOIN s{i} b ON b.node = e.v
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_kcore_bounded",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    {_sql_kcore_rounds()}
+    SELECT x AS node, COUNT(*) AS deg FROM (
+        SELECT u AS x FROM e{KCORE_ROUNDS} UNION ALL SELECT v FROM e{KCORE_ROUNDS}
+    ) GROUP BY x
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded {KCORE_K}-core peeling over the user-interaction graph:
+    {KCORE_ROUNDS} rounds of "drop every node whose surviving degree is
+    < K, then drop its edges" — the community-density primitive under
+    spam-ring pruning and graph sparsification. Fixed rounds (the
+    pagerank/SSSP convention) keep the oracle a closed-form unrolled CTE
+    chain; full decomposition iterates the same round to a fixpoint.
+
+    Scale shape per round: one degree aggregation (map-combined — the
+    node table is tiny next to edges) and two broadcast semi-joins
+    pushing survivorship onto the edge list; edges shrink monotonically,
+    so every round costs at most |E| and the {KCORE_ROUNDS}-round total
+    is bounded by {KCORE_ROUNDS}·|E| — never a pairwise blowup."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_uh = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(F.min("ts").alias("first_ts"))
+    w = Window.partitionBy("h").orderBy("first_ts", "user_id")
+    chained = per_uh.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
+    edges = (
+        chained.filter(F.col("prev_id").isNotNull())
+        .select(
+            F.least("user_id", "prev_id").alias("u"),
+            F.greatest("user_id", "prev_id").alias("v"),
+        )
+        .distinct()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = F.broadcast(deg.filter(F.col("deg") >= KCORE_K).select("node"))
+        edges = edges.join(
+            survivors.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(survivors.withColumnRenamed("node", "v"), "v", "left_semi")
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
