@@ -278,3 +278,51 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_aggregate(stream, gap="30 minutes", watermark="2 hours"),
         name=f"stream_sessions_{uuid.uuid4().hex[:8]}",
     )
+
+
+@register(
+    "stream_sliding_hourly",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS e900,
+               event_type, value
+        FROM events
+    ),
+    x AS (
+        SELECT make_timestamp(((e900 - k) * 900) * 1000000) AS window_start,
+               event_type, value
+        FROM e, generate_series(0, 3) AS g(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {osum(sdec('value'), "sum_value")}
+    FROM x
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows executed through the streaming engine —
+    the last T-family combination (tumbling/session both have streaming
+    twins; this is win_sliding_hourly's). Each event holds state in 4
+    overlapping windows; the watermark bounds how many stay open. The
+    single availableNow batch means complete mode must equal the batch
+    oracle exactly, same contract as stream_tumbling_hourly."""
+    from graph_etl_pipeline_spark.streaming.jobs import dec
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, name=f"stream_sliding_{uuid.uuid4().hex[:8]}")

@@ -73,6 +73,7 @@ CORE_ORDER = [
     "agg_equidepth_histogram", # ntile profile, total tie-break
     "mm_audio_frame_rms",      # PCM framing + exact-int RMS via mapInPandas
     "graph_kcore_bounded",     # bounded peel rounds, |E|-bounded cost
+    "stream_sliding_hourly",   # hopping windows through the streaming engine
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -82,7 +83,6 @@ CORE_ORDER = [
     # -- r4 second wave, driver-green r4, retained while slots allow --
     "sim_ann_ivf",             # approximate by construction → rows-only row
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
-    "sample_stratified_exact", # exact per-stratum fraction, one exchange
     "text_token_budget",       # per-source greedy token budget, one exchange
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract
@@ -115,6 +115,7 @@ CORE_ORDER = [
     "join_time_range",         # green r4
     "split_train_holdout",     # green r4
     "sample_domain_mix",       # green r4 (temperature mix keeps the family)
+    "sample_stratified_exact", # green r4
     "profile_table_stats",     # green r4
     "agg_histogram",           # green r4 (equi-depth variant keeps the family)
     "agg_winsorize",           # green r4
