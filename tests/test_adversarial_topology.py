@@ -31,6 +31,10 @@ QUERIES = [
                                 # hold under any partitioning (r5)
     "sample_temperature_mix",   # source-sorted sequential sqrt-fold rates (r5)
     "stream_session_window",    # streaming session-state merge order (r5)
+    "join_asof_nearest",        # shared-sort dual-window candidates + tiebreak (r5)
+    "agg_equidepth_histogram",  # GLOBAL ntile — the most partitioning-hostile
+                                # shape in the registry (r5)
+    "mm_audio_frame_rms",       # Arrow batch boundaries must not move frames (r5)
 ]
 
 _SCRIPT = f"""
