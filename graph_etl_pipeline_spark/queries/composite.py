@@ -181,3 +181,116 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def _training_dataset_sql() -> str:
+    from graph_etl_pipeline_spark.queries.curation import (
+        SPLIT_THRESHOLD, _sql_hex_bucket,
+    )
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K, EMAIL_RE, PHONE_RE,
+    )
+
+    return f"""
+    WITH ds AS (
+        SELECT doc_id, {sql_shingles("t", k=DECONTAM_K)} AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM ds
+        WHERE doc_id < {DECONTAM_BENCH_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ds) e
+        JOIN bench USING (s)
+    ),
+    clean AS (
+        SELECT d.doc_id,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS ct,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS np
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    scored AS (
+        SELECT doc_id, ne, np,
+               len({SQL_TOKS.format(col="ct")}) AS n_tokens,
+               {_sql_hex_bucket("split", "doc_id")} AS b
+        FROM clean
+    )
+    SELECT CASE WHEN b < '{SPLIT_THRESHOLD}' THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(ne) AS BIGINT) AS n_emails_scrubbed,
+           CAST(SUM(np) AS BIGINT) AS n_phones_scrubbed
+    FROM scored
+    WHERE n_tokens >= 20
+    GROUP BY 1
+    """
+
+
+@register(
+    "pipeline_training_dataset",
+    oracle=_training_dataset_sql(),
+    tags=("llm", "pipeline"),
+)
+def pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the end-to-end training-data flow
+    (pipeline_corpus_curation covers dedup→quality; this picks up
+    safety/split): benchmark decontamination (drop any doc sharing an
+    8-gram with the held-out set) → PII scrub (typed placeholders)
+    → post-scrub quality floor (≥ 20 tokens) → deterministic hash split
+    → per-split doc/token totals with a scrub audit.
+
+    Scale shape, stage by stage: the benchmark shingle set broadcasts
+    (benchmarks are small by construction) so decontamination is a
+    broadcast anti-join — zero corpus shuffles; scrub and token count are
+    map-side expressions; the split is a pure per-row hash; the only
+    exchange in the whole plan is the final 2-row aggregation's
+    map-combined partial. A 100 TB corpus flows through in one pass."""
+    from graph_etl_pipeline_spark.functions.text import shingles
+    from graph_etl_pipeline_spark.queries.curation import (
+        SPLIT_THRESHOLD, _hex_bucket,
+    )
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K, EMAIL_RE, PHONE_RE,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ds = d.select("doc_id", shingles(norm_tokens(d.text), k=DECONTAM_K).alias("sh"))
+    bench = (
+        ds.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        ds.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    scrubbed = d.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("ct"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("ne"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("np"),
+    )
+    scored = scrubbed.select(
+        "doc_id",
+        "ne",
+        "np",
+        F.size(norm_tokens(F.col("ct"))).alias("n_tokens"),
+        _hex_bucket("split", "doc_id").alias("b"),
+    ).filter(F.col("n_tokens") >= 20)
+    return scored.groupBy(
+        F.when(F.col("b") < SPLIT_THRESHOLD, "train").otherwise("holdout").alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("ne").cast("long").alias("n_emails_scrubbed"),
+        F.sum("np").cast("long").alias("n_phones_scrubbed"),
+    )

@@ -74,6 +74,7 @@ CORE_ORDER = [
     "mm_audio_frame_rms",      # PCM framing + exact-int RMS via mapInPandas
     "graph_kcore_bounded",     # bounded peel rounds, |E|-bounded cost
     "stream_sliding_hourly",   # hopping windows through the streaming engine
+    "pipeline_training_dataset",  # decontam -> scrub -> floor -> split, one pass
     # -- r4 red row, fixed in r5: must re-confirm --
     "embed_quantize_int8",     # output reshaped: q_embedding now a scalar string
     # -- r5-changed implementations: re-confirm --
@@ -83,7 +84,6 @@ CORE_ORDER = [
     # -- r4 second wave, driver-green r4, retained while slots allow --
     "sim_ann_ivf",             # approximate by construction → rows-only row
     "text_pii_scrub",          # typed-placeholder redaction + audit counts
-    "text_token_budget",       # per-source greedy token budget, one exchange
     "dedup_cluster_keep",      # LSH pairs → CC → canonical retention
     "agg_heavy_hitters",       # Misra-Gries sketch + exact contract
     "stream_stateful_running", # applyInPandasWithState running totals
@@ -116,6 +116,7 @@ CORE_ORDER = [
     "split_train_holdout",     # green r4
     "sample_domain_mix",       # green r4 (temperature mix keeps the family)
     "sample_stratified_exact", # green r4
+    "text_token_budget",       # green r4
     "profile_table_stats",     # green r4
     "agg_histogram",           # green r4 (equi-depth variant keeps the family)
     "agg_winsorize",           # green r4

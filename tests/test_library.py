@@ -59,7 +59,7 @@ R5_PROMOTED = {
     "embed_quantize_error_contract", "cdc_apply_changefeed",
     "graph_copurchase_project", "sink_partitioned_prune", "join_asof_nearest",
     "win_gapfill_hourly", "agg_equidepth_histogram", "mm_audio_frame_rms",
-    "graph_kcore_bounded", "stream_sliding_hourly",
+    "graph_kcore_bounded", "stream_sliding_hourly", "pipeline_training_dataset",
     # r4's only red row — output reshaped to scalar string, must re-confirm
     "embed_quantize_int8",
     # r5-changed implementations + the every-round flagship
