@@ -69,3 +69,67 @@ def test_oracle_parity_survives_hostile_topology():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FAILS: 0" in r.stdout, r.stdout + r.stderr[-1000:]
+
+
+# --- skewed-basket fixture: the copurchase hot-basket guard must ENGAGE ---
+# (VERDICT r5 "what's wrong" #1 / next-round #1). Two 150-item baskets
+# (> COPURCHASE_BASKET_CAP = 64 → 3 chunks each) sharing the same part set,
+# so every in-basket pair reaches min-support 2; cold baskets ride along to
+# exercise the cold/hot union. Run under the same hostile topology and
+# compared to the registered DuckDB oracle on the SAME fixture.
+
+_SKEW_SCRIPT_TMPL = """
+import sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {repo!r} + "/tests")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[3]")
+         .config("spark.sql.shuffle.partitions", "200")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import duckdb
+from collections import Counter
+from graph_etl_pipeline_spark.registry import all_queries
+
+spec = all_queries()["graph_copurchase_project"]
+df = spec.fn(spark, {fixture!r})
+plan = df._jdf.queryExecution().analyzed().toString()
+assert "tile_i" in plan, "hot-basket guard did NOT engage on a 150-item basket"
+got = Counter((r.part_a, r.part_b, r.n_orders) for r in df.collect())
+
+con = duckdb.connect()
+con.execute("CREATE VIEW lineitem AS SELECT * FROM read_parquet('"
+            + {fixture!r} + "/lineitem.parquet')")
+want = Counter((a, b, n) for a, b, n in con.execute(spec.oracle).fetchall())
+assert got == want, ("mismatch", len(got), len(want))
+assert len(got) == 150 * 149 // 2 + 1, len(got)
+print("SKEW-OK")
+"""
+
+
+def test_copurchase_hot_basket_guard_engages(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders, parts = [], []
+    for ok in (1, 2):          # hot: 150 items each, identical part sets
+        for p in range(150):
+            orders.append(ok)
+            parts.append(p)
+    for ok in range(3, 13):    # cold: the (1000, 1001) pair, support 10
+        for p in (1000, 1001):
+            orders.append(ok)
+            parts.append(p)
+    orders.append(5)           # duplicate lineitem row: distinct() must dedup
+    parts.append(1000)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(orders, pa.int64()),
+                  "l_partkey": pa.array(parts, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    script = _SKEW_SCRIPT_TMPL.format(repo=REPO, fixture=str(tmp_path))
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "SKEW-OK" in r.stdout, r.stdout + r.stderr[-1000:]
