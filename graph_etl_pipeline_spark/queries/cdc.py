@@ -204,17 +204,35 @@ def cdc_apply_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def apply_changefeed(
-    snap: DataFrame, feed: DataFrame, key_col: str, insert: bool = True
+    snap: DataFrame,
+    feed: DataFrame,
+    key_col: str,
+    insert: bool = True,
+    payload_col: str = "last_price",
 ) -> DataFrame:
     """Library form: snapshot ⋈ (one-row-per-key feed) with op semantics
     D=drop, U=update payload, and — when ``insert`` — I=insert new key
     (feed keys absent from the snapshot survive the full-outer leg with
     their payload; with insert=False the snapshot's key set is closed and
-    orphan feed keys are dropped)."""
-    j = snap.join(feed, snap[key_col] == feed["key"], "full_outer" if insert else "left")
-    kept = j.filter(F.col("op").isNull() | (F.col("op") != "D"))
-    return kept.select(
-        F.coalesce(F.col(key_col), F.col("key")).alias(key_col),
-        F.col("c_name"),
-        F.when(F.col("op").isin("U", "I"), F.col("payload")).alias("last_price"),
+    orphan feed keys are dropped).
+
+    Generic over the snapshot schema (ADVICE r5): every non-key snapshot
+    column is carried through unchanged (NULL on the insert leg, which has
+    no snapshot attributes), and the feed payload lands in ``payload_col``
+    — NULL for rows no U/I touched. The feed side must expose
+    (key, op, payload)."""
+    s = snap.alias("_snap")
+    j = s.join(
+        feed.alias("_feed"),
+        F.col(f"_snap.{key_col}") == F.col("_feed.key"),
+        "full_outer" if insert else "left",
     )
+    kept = j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    cols = [
+        F.coalesce(F.col(f"_snap.{key_col}"), F.col("_feed.key")).alias(key_col)
+    ]
+    cols += [F.col(f"_snap.{c}").alias(c) for c in snap.columns if c != key_col]
+    cols.append(
+        F.when(F.col("op").isin("U", "I"), F.col("payload")).alias(payload_col)
+    )
+    return kept.select(cols)

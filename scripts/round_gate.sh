@@ -14,21 +14,22 @@ python -m pytest tests/ -q
 echo "== gate 2/2: bench =="
 out=$(python bench.py 2>/dev/null | tail -1)
 echo "$out" | python -c "
-import json, sys
+import json, re, sys
 j = json.loads(sys.stdin.read())
 assert j['unit'] == 'sec' and j['queries'], 'bench JSON missing timings'
-# Per-query 2x-of-baseline assertion (VERDICT r4 #3): the BASELINE.md
-# round-1 sf0.1 numbers are the reference; a query past 2x fails the
-# gate so a perf regression can never ship silently in a snapshot.
-BASELINE = {
-    'join_four_hop_chain': 1.98, 'agg_multi_counter': 1.22,
-    'join_two_hop': 1.13, 'agg_group_topn': 1.38,
-    'win_lag_running_sum': 0.50, 'win_session_batch': 0.54,
-    'dedup_minhash_lsh': 2.54, 'dedup_ngram_jaccard': 1.06,
-    'sim_cosine_topk': 0.58, 'dedup_embedding_cosine': 0.69,
-    'text_fingerprint': 1.69, 'graph_reachability': 1.59,
-    'sink_upsert_node': 0.67, 'mm_binary_features': 0.63,
-}
+# Per-query 2x-of-baseline assertion (VERDICT r4 #3): BASELINE.md's
+# round-1 sf0.1 table is the single source of truth (ADVICE r5 — the
+# numbers were previously copied inline here and could drift). Baselines
+# were recorded under the r1 cold min-of-2 protocol; the bench now runs
+# warm min-of-3 (commit 5a93a5e), which only makes timings FASTER, so
+# this 2x check is conservative-or-equal relative to '2x of a warm
+# baseline' — a regression that trips it is real.
+BASELINE = {}
+for line in open('BASELINE.md'):
+    m = re.match(r'\| (\w+) \([^)]*\) \| ([0-9.]+) \|', line)
+    if m:
+        BASELINE[m.group(1)] = float(m.group(2))
+assert len(BASELINE) >= 14, f'parsed only {len(BASELINE)} baselines from BASELINE.md'
 weak = {q: (t, BASELINE[q]) for q, t in j['queries'].items()
         if q in BASELINE and t > 2 * BASELINE[q]}
 assert not weak, f'queries over 2x baseline: {weak}'

@@ -45,25 +45,29 @@ SURVEY_DECLARED = {
 }
 
 
-# Every operator that has NOT yet earned a driver CORRECTNESS row (plus
-# r4's one red row, now fixed) must hold an r5 driver-window slot so each
-# gets its first hard row — first-time coverage takes priority over
-# re-confirming rows already proven green (VERDICT r4 item #2).
-R5_PROMOTED = {
-    # r4 third wave: registered in r4, local-parity-only until now
-    "dedup_fuzzy_names", "win_retention_cohorts", "sim_kmeans_assign",
-    "agg_event_cooccurrence", "win_sliding_hourly",
-    # new in r5
-    "sim_kmeans_iterate", "src_xlsx_scan", "doc_rule_extract",
-    "sim_ann_ivf_trained", "stream_session_window", "sample_temperature_mix",
-    "embed_quantize_error_contract", "cdc_apply_changefeed",
-    "graph_copurchase_project", "sink_partitioned_prune", "join_asof_nearest",
-    "win_gapfill_hourly", "agg_equidepth_histogram", "mm_audio_frame_rms",
-    "graph_kcore_bounded", "stream_sliding_hourly", "pipeline_training_dataset",
-    # r4's only red row — output reshaped to scalar string, must re-confirm
-    "embed_quantize_int8",
-    # r5-changed implementations + the every-round flagship
-    "text_pack_sequences", "stream_incremental_upsert", "join_four_hop_chain",
+# r6 window priorities (VERDICT r5 #4): new queries, implementations
+# changed since their last driver row, and the §2 relational core whose
+# last driver rows predate the r5 io.py scan-path change — each must hold
+# a driver-window slot this round.
+R6_PROMOTED = {
+    # new in r6
+    "src_pdf_scan", "stream_watermark_late",
+    # changed since their last driver CORRECTNESS row (r6 refactors +
+    # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
+    "graph_kcore_bounded", "graph_sssp_bounded", "graph_triangle_count",
+    "cdc_apply_changefeed", "stream_incremental_upsert",
+    "graph_copurchase_project", "sim_ann_ivf_trained",
+    # the every-round flagship
+    "join_four_hop_chain",
+    # §2 relational core re-confirmation (driver rows r1-r3; scan path
+    # changed under them in r5)
+    "src_csv_scan", "src_json_flatten", "sink_upsert_node",
+    "sink_upsert_edge", "sink_merge_prefer_nonempty",
+    "flt_blocklist_predicate", "fn_regexp_extract_all", "fn_hash_uid",
+    "join_broadcast_inner", "join_left_anti", "join_left_semi",
+    "agg_multi_counter", "agg_topk", "explode_split_targets",
+    "win_row_number_dedup", "win_lag_running_sum", "dedup_exact",
+    "sim_cosine_topk",
 }
 
 
@@ -76,8 +80,8 @@ def test_registration_order_covers_survey_within_driver_cap():
     assert ROTATED_OUT <= SURVEY_DECLARED
     missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
     assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
-    not_promoted = R5_PROMOTED - in_window
-    assert not not_promoted, f"r5-promoted queries outside driver window: {not_promoted}"
+    not_promoted = R6_PROMOTED - in_window
+    assert not not_promoted, f"r6-promoted queries outside driver window: {not_promoted}"
     # every rotated-out row must still carry a local oracle for the parity replica
     specs = all_queries()
     missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}
@@ -459,3 +463,48 @@ def test_pagerank_fixed_point_semantics(spark, sf_dir):
     min_region = min(r for v, r in rows.items() if v.startswith("R"))
     max_other = max(r for v, r in rows.items() if not v.startswith("R"))
     assert min_region > max_other
+
+
+def test_kcore_fixpoint_vs_bounded(spark):
+    """VERDICT r5 #5: kcore_peel(max_rounds=None) must run to the true
+    fixpoint. On a 12-node path, the 2-core is EMPTY but each peel round
+    only removes the two current endpoints — 3 bounded rounds leave 5
+    edges, the fixpoint leaves none. Also pins the bounded early-exit
+    no-op property on a graph that converges before the bound."""
+    from graph_etl_pipeline_spark.queries.graph_queries import kcore_peel
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "u long, v long"
+    )
+    assert kcore_peel(path, 2, max_rounds=3).count() == 11 - 2 * 3
+    assert kcore_peel(path, 2, max_rounds=None).count() == 0
+
+    # triangle + pendant: converges in 1 round; a 5-round budget must
+    # early-exit to the same answer (rounds past convergence are no-ops)
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    fixed = {(r.u, r.v) for r in kcore_peel(tri, 2, max_rounds=None).collect()}
+    bounded = {(r.u, r.v) for r in kcore_peel(tri, 2, max_rounds=5).collect()}
+    assert fixed == bounded == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_bellman_ford_fixpoint_vs_bounded(spark):
+    """bellman_ford(max_rounds=None) must reach every connected node on a
+    chain longer than the bounded round budget; the bounded run must stop
+    exactly at its hop horizon."""
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.queries.graph_queries import bellman_ford
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "s long, t long"
+    )
+    bi = chain.unionAll(chain.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    seed = spark.createDataFrame([(0, 0)], "node long, dist long")
+
+    bounded = {r.node: r.dist for r in bellman_ford(bi, seed, max_rounds=4).collect()}
+    assert bounded == {i: i for i in range(5)}, bounded
+
+    full = {r.node: r.dist for r in bellman_ford(bi, seed, max_rounds=None).collect()}
+    assert full == {i: i for i in range(11)}, full

@@ -361,3 +361,29 @@ def test_apply_changefeed_insert_update_delete(spark):
         for r in apply_changefeed(snap, feed, "c_custkey", insert=False).collect()
     }
     assert closed == {1, 2}
+
+
+def test_apply_changefeed_generic_snapshot_schema(spark):
+    """ADVICE r5: apply_changefeed must carry ANY snapshot schema, not
+    just (c_custkey, c_name) — multiple attribute columns, no c_name,
+    caller-named payload column."""
+    from graph_etl_pipeline_spark.queries.cdc import apply_changefeed
+
+    snap = spark.createDataFrame(
+        [(10, "x", 1.0, True), (20, "y", 2.0, False)],
+        "pk long, code string, score double, active boolean",
+    )
+    feed = spark.createDataFrame(
+        [(20, "U", 7.5), (30, "I", 3.25), (10, "D", None)],
+        "key long, op string, payload double",
+    )
+    rows = {
+        r.pk: r
+        for r in apply_changefeed(
+            snap, feed, "pk", payload_col="new_score"
+        ).collect()
+    }
+    assert set(rows) == {20, 30}
+    assert rows[20].code == "y" and rows[20].active is False
+    assert rows[20].new_score == 7.5
+    assert rows[30].code is None and rows[30].new_score == 3.25

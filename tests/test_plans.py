@@ -169,6 +169,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "event_type" in seg, seg
+    # negative half (ADVICE r5): the partition-column predicate must not
+    # ALSO survive as a pushed data filter or a post-scan Filter node —
+    # outside the PartitionFilters segment, event_type appears only in
+    # schema/output lists, never inside a filter clause
+    rest = plan.replace("PartitionFilters" + seg, "")
+    pushed = [
+        part[:200]
+        for part in rest.split("PushedFilters")[1:]
+    ]
+    assert not any("event_type" in p for p in pushed), pushed
+    filter_lines = [
+        ln for ln in rest.splitlines() if ln.lstrip().startswith(("Filter", "+- Filter", ": +- Filter"))
+    ]
+    assert not any("event_type" in ln for ln in filter_lines), filter_lines
 
 
 def test_ann_trained_single_training_pass(spark, sf_dir):
