@@ -735,3 +735,84 @@ def kcore_peel(
             edges = edges.localCheckpoint(eager=True)
         rounds += 1
     return edges
+
+
+LPA_ROUNDS = 2  # synchronous label-propagation rounds (unrolled oracle)
+
+
+def _sql_lpa_rounds() -> str:
+    ctes = []
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""cnt{i} AS (
+        SELECT b.t AS node, l.label, COUNT(*) AS c
+        FROM bi b JOIN l{i - 1} l ON l.node = b.s
+        GROUP BY b.t, l.label
+    )""")
+        ctes.append(f"""pick{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM cnt{i}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""l{i} AS (
+        SELECT l.node, COALESCE(p.label, l.label) AS label
+        FROM l{i - 1} l LEFT JOIN pick{i} p ON p.node = l.node
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM bi),
+    {_sql_lpa_rounds()}
+    SELECT node, label FROM l{LPA_ROUNDS}
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the user-interaction graph — {LPA_ROUNDS}
+    rounds, each node adopting its neighbors' PLURALITY label with a
+    deterministic (count DESC, label ASC) tie-break. Distinct from
+    hash-min connected components: LPA partitions a connected graph into
+    dense communities instead of collapsing it to one label, and the
+    plurality vote needs a per-node top-1 — a (node, label) count
+    aggregation plus one row_number window — rather than a plain min.
+
+    Scale shape per round: one |E|-bounded shuffle for the neighbor-label
+    count (map-combined) and one window over the (node, label) count
+    table, which is node-bounded. The label table rides broadcast-sized
+    per community only in the pick join; nothing is pairwise. Fixed
+    rounds unroll into the closed-form oracle (the pagerank/SSSP
+    convention); convergence looping would reuse bellman_ford's
+    early-exit pattern.""".replace("{LPA_ROUNDS}", str(LPA_ROUNDS))
+    from pyspark.sql import Window
+
+    edges = interaction_edges(spark, sf_dir)
+    bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=True)
+    labels = bi.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            bi.join(labels, labels.node == bi.s)
+            .groupBy(F.col("t").alias("cnode"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("cnode").orderBy(F.desc("c"), F.asc("label"))
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("cnode").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels

@@ -198,3 +198,66 @@ def mm_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_etl_pipeline_spark.operators.multimodal import audio_frame_rms_df
 
     return audio_frame_rms_df(blobs)
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               2 + doc_id % 8 AS w,  2 + doc_id % 6 AS h,
+               (2 + doc_id % 8) // 2 AS ow, (2 + doc_id % 6) // 2 AS oh
+        FROM documents
+    )
+    SELECT d.doc_id,
+           'bmp' AS img_format,
+           CAST(d.ow AS INTEGER) AS width,
+           CAST(d.oh AS INTEGER) AS height,
+           CAST(d.ow * d.oh AS BIGINT) AS n_pixels,
+           CAST(SUM((d.doc_id + 7*((x.x * d.w) // d.ow) + 13*((y.y * d.h) // d.oh) + 101*c.c) % 256) AS BIGINT) AS sum_pixels,
+           CAST(SUM(CASE WHEN c.c = 0 THEN (d.doc_id + 7*((x.x * d.w) // d.ow) + 13*((y.y * d.h) // d.oh)) % 256 ELSE 0 END) AS BIGINT) AS sum_r
+    FROM dims d,
+         generate_series(0, 3) AS x(x),
+         generate_series(0, 2) AS y(y),
+         generate_series(0, 2) AS c(c)
+    WHERE x.x < d.ow AND y.y < d.oh
+    GROUP BY d.doc_id, d.ow, d.oh
+    """,
+    tags=("multimodal", "llm", "udf"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end to end — the one transform of the brief's
+    multimodal quartet (decode / feature-extract / resize / frame-sample)
+    that had library code (operators/multimodal.py resize_image) but no
+    oracle-checked query. Each doc_id renders to a deterministic BMP
+    (2..9 × 2..7), is nearest-neighbor downscaled to (w//2, h//2)
+    executor-side — BMP decode → integer index-map resample → BMP
+    re-encode — and the RESIZED image is then decoded again for its
+    exact pixel sums. The oracle replays the same index mapping
+    (sx = x·w/ow floored) over the generator formula, so an off-by-one
+    in the resampler, the codec's row padding, or the BGR swap breaks
+    the hash. Whole chain is Arrow-batched mapInPandas, map-only, zero
+    shuffles before the final stats projection."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.multimodal import resize_image
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 2 + i % 8, 2 + i % 6
+                rgb = bytes(
+                    (i + 7 * x + 13 * y + 101 * c) % 256
+                    for y in range(h) for x in range(w) for c in range(3)
+                )
+                blobs.append(resize_image(encode_bmp(w, h, rgb), w // 2, h // 2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(_synth_resize, schema="doc_id bigint, blob binary")
+    return image_stats_df(blobs)

@@ -227,3 +227,84 @@ def src_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_pdf.mapInPandas(
         _pdf_to_text_batches, schema="doc_id bigint, text string, n_pages int"
     )
+
+
+DOCX_WRAP_WORDS = 6  # words per paragraph when wrapping documents for DOCX
+
+
+def _docs_to_docx_batches(batches):
+    """Writer side: (doc_id, text) → (doc_id, docx bytes). The flat text is
+    word-wrapped into DOCX_WRAP_WORDS-word paragraphs first, so every
+    fixture exercises multi-paragraph bodies and multi-run fragmentation."""
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.docx import build_docx
+
+    def wrap(t: str) -> str:
+        words = t.split(" ")
+        return "\n".join(
+            " ".join(words[i : i + DOCX_WRAP_WORDS])
+            for i in range(0, len(words), DOCX_WRAP_WORDS)
+        )
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "docx": [build_docx(wrap(t)) for t in pdf["text"]],
+            }
+        )
+
+
+def _docx_to_text_batches(batches):
+    """Reader side: (doc_id, docx bytes) → (doc_id, text, n_paragraphs)."""
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.docx import parse_docx
+
+    for pdf in batches:
+        texts, nparas = [], []
+        for blob in pdf["docx"]:
+            text, n = parse_docx(bytes(blob))
+            texts.append(text)
+            nparas.append(n)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "text": texts, "n_paragraphs": nparas}
+        )
+
+
+@register(
+    "src_docx_scan",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           array_to_string(
+             [array_to_string(ws[(i-1)*{DOCX_WRAP_WORDS}+1 : least(i*{DOCX_WRAP_WORDS}, len(ws))], ' ')
+              for i in generate_series(1, (len(ws)+{DOCX_WRAP_WORDS - 1})//{DOCX_WRAP_WORDS})],
+             chr(10)) AS text,
+           CAST((len(ws)+{DOCX_WRAP_WORDS - 1})//{DOCX_WRAP_WORDS} AS INTEGER) AS n_paragraphs
+    FROM w
+    """,
+    tags=("source", "docx", "extraction"),
+)
+def src_docx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX byte-format ingestion — completes the reference's planned
+    Source.type quartet {pdf,csv,docx,llm} (src/db/schema.cql:96-98;
+    etl_implementation.md:262-273 "DOCX container guides → what-goes-in
+    yes/no lists"): csv/json are S1/S2, xlsx landed r5, pdf landed r6,
+    and the llm slot is doc_rule_extract's mapInPandas extraction stage.
+
+    Same proof shape as src_pdf_scan: every document is word-wrapped into
+    6-word paragraphs, serialized to a complete WordprocessingML package
+    executor-side, and extracted back by the structure-walking reader
+    (package rels → document part → body → paragraphs → runs). The
+    reconstructed text and paragraph count must match the oracle's
+    closed-form wrap exactly — only a real multi-run, multi-paragraph
+    parse produces them. Both stages Arrow-batched map-only, zero
+    shuffles; binaryFile-directory ingestion (read_docx_dir) shares the
+    extractor and is fixture-tested in tests/test_docx.py."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    as_docx = docs.mapInPandas(_docs_to_docx_batches, schema="doc_id bigint, docx binary")
+    return as_docx.mapInPandas(
+        _docx_to_text_batches, schema="doc_id bigint, text string, n_paragraphs int"
+    )

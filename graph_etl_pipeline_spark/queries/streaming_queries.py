@@ -450,3 +450,71 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS conv_id, a.user_id,
+           a.ts AS click_ts, b.ts AS conv_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the streaming engine — the one
+    T-family combination the engine had not yet executed as a REAL
+    streaming query (tumbling/sliding/session windows, stateful totals,
+    dedup, and the foreachBatch upsert all have streaming twins; joins
+    did not). Two event streams (even event_ids as 'clicks', odd as
+    'conversions') join on user within a [0, 30 min] event-time range —
+    the attribution-join shape.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, which is exactly what lets Spark evict buffered rows:
+    a click older than (conversion watermark - 30 min) can never match
+    again and its state is dropped — O(watermark horizon) state at
+    unbounded ingest, the property that makes this runnable at 100 TB/day.
+    Under availableNow's single batch nothing is evicted mid-run, so the
+    emitted set must equal the batch interval join exactly — the same
+    complete-vs-oracle contract stream_tumbling_hourly pins."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    convs = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("conv_user"),
+            F.col("ts").alias("conv_ts"),
+        )
+    )
+    joined = clicks.join(
+        convs,
+        (F.col("user_id") == F.col("conv_user"))
+        & (F.col("conv_ts") >= F.col("click_ts"))
+        & (F.col("conv_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "conv_id", "user_id", "click_ts", "conv_ts")
+    name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -589,3 +589,91 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+LINE_WORDS = 4      # words per pseudo-line for line-level dedup
+LINE_HOT_DOCS = 2   # a line present in >= this many docs is boilerplate
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    lines AS (
+        SELECT doc_id, i AS line_no,
+               array_to_string(ws[(i-1)*{LINE_WORDS}+1 : least(i*{LINE_WORDS}, len(ws))], ' ') AS line
+        FROM w, unnest(generate_series(1, (len(ws)+{LINE_WORDS - 1})//{LINE_WORDS})) AS t(i)
+    ),
+    hot AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line
+        ) WHERE ndocs >= {LINE_HOT_DOCS}
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+    agg AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY line_no), ' ') AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           t.n_lines - COALESCE(a.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet/RefinedWeb corpus-
+    cleaning pass that strips lines repeated across documents (headers,
+    nav chrome, license banners) while keeping each document's unique
+    prose. The flat test corpus has no newlines, so 'lines' are
+    {LINE_WORDS}-word chunks; a line occurring in >= {LINE_HOT_DOCS}
+    distinct documents is boilerplate.
+
+    Scale shape (the dedup family's adaptive-guard discipline): the
+    line-frequency table shuffles ONCE (map-combined count-distinct by
+    line); the hot set — boilerplate is a tiny fraction of distinct
+    lines (~5% here, and web-scale boilerplate vocabularies are small) —
+    comes back as a BROADCAST anti-join, so the corpus-sized side is
+    touched map-only; the rebuild is one shuffle by doc_id. Nothing is
+    ever pairwise. At 100 TB the hot set is the only driver-resident
+    artifact and it is bounded by the frequency floor, not corpus
+    size.""".replace("{LINE_WORDS}", str(LINE_WORDS)).replace(
+        "{LINE_HOT_DOCS}", str(LINE_HOT_DOCS)
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_lines = F.ceil(F.size("ws") / LINE_WORDS).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), (i - F.lit(1)) * LINE_WORDS + 1, LINE_WORDS), " "
+        ),
+    )
+    lines = docs.select(
+        "doc_id", n_lines.alias("n_lines"), F.posexplode(chunks).alias("pos", "line")
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    hot = F.broadcast(freq.filter(F.col("ndocs") >= LINE_HOT_DOCS).select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    agg = kept.groupBy("doc_id", "n_lines").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select("doc_id", n_lines.alias("n_lines"))
+    return totals.join(agg, ["doc_id", "n_lines"], "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -50,7 +50,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CORE_ORDER = [
     # -- new in r6: first driver rows --
     "src_pdf_scan",            # PDF byte ingestion, distributed round trip
+    "src_docx_scan",           # DOCX byte ingestion (completes the pdf/csv/docx/llm quartet)
     "stream_watermark_late",   # T3 late data made hash-checkable (3 regimes)
+    "stream_interval_join",    # stream-stream event-time range join
+    "text_line_dedup",         # CCNet-style cross-doc boilerplate line removal
+    "mm_image_resize",         # nearest-neighbor resample through the BMP codec
+    "graph_label_propagation", # LPA plurality-vote communities, 2 unrolled rounds
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -98,15 +103,15 @@ CORE_ORDER = [
     "sink_partitioned_prune",
     "join_asof_nearest",
     "win_gapfill_hourly",
-    "agg_equidepth_histogram",
     "mm_audio_frame_rms",
     "stream_sliding_hourly",
     "pipeline_training_dataset",
-    "embed_quantize_int8",
-    "text_pack_sequences",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
     # oracle-checked locally every round by tests/test_oracle_parity.py ----
+    "text_pack_sequences",     # r5-window green (integer bucket rewrite confirmed)
+    "agg_equidepth_histogram", # r5-window green
+    "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",
     "dedup_cluster_keep",
