@@ -730,3 +730,78 @@ def embed_quantize_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     return with_scale.select(err_ok.alias("row_ok")).agg(
         F.bool_and("row_ok").alias("quant_ok")
     )
+
+
+PCA_SCALE = 1 << 10  # coarser than FIXED_SCALE: keeps two un-normalized
+                     # power-iteration rounds inside int64/decimal(38) bounds
+
+
+def _pca_quantize(e: DataFrame) -> DataFrame:
+    qe = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PCA_SCALE + F.lit(0.5)).cast("long"),
+    )
+    return e.select("vec_id", qe.alias("qe"))
+
+
+@register(
+    "embed_pca_power",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {PCA_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    ),
+    v0 AS (SELECT qe AS ve FROM q WHERE vec_id = 0),
+    d1 AS (SELECT q.vec_id, q.qe, {_sql_idot("q.qe", "v0.ve")} AS dot FROM q, v0),
+    w1 AS (
+        SELECT i, CAST(SUM(d1.dot * d1.qe[i]) AS BIGINT) AS w
+        FROM d1, unnest(generate_series(1, {DIM})) AS t(i)
+        GROUP BY i
+    ),
+    v1 AS (SELECT list(w ORDER BY i) AS ve FROM w1),
+    d2 AS (SELECT q.vec_id, q.qe, {_sql_idot("q.qe", "v1.ve")} AS dot FROM q, v1)
+    SELECT CAST(i - 1 AS INTEGER) AS i,
+           SUM(CAST(d2.dot AS DECIMAL(28,0)) * CAST(d2.qe[i] AS DECIMAL(10,0))) AS component
+    FROM d2, unnest(generate_series(1, {DIM})) AS t(i)
+    GROUP BY i
+    """,
+    tags=("similarity", "embedding", "llm"),
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    — the dimensionality-reduction primitive under PCA-based ANN
+    (dim-reduce before IVF), embedding whitening, and drift monitoring.
+    Two Gram-matrix multiplies v ← (AᵀA)v from a deterministic seed (the
+    corpus's first vector), entirely in fixed point: PCA_SCALE (2^10) is
+    chosen so both un-normalized rounds stay inside int64 for the dot
+    products (≤ ~7e17 at sf0.1) and DECIMAL(38,0) for the final per-dim
+    sums (≤ ~8e23) — exact integer arithmetic end to end, so the result
+    is bit-identical across engines and partitionings with NO float
+    normalization step to disagree on. Direction sign follows the seed.
+
+    Scale shape: AᵀAv without materializing AᵀA (the classic trick —
+    the Gram matrix is DIM², but A's row count is the corpus): each
+    round is one map-side broadcast dot product (row ⋅ v) and one
+    map-combined per-dimension sum; the DIM-row result collects to the
+    driver (bytes, the _collect_centroids discipline) and re-enters as a
+    literal. Two corpus passes total, two DIM-row exchanges."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _pca_quantize(e)
+    v0 = [int(x) for x in q.filter(F.col("vec_id") == 0).head()["qe"]]
+
+    def mul(v: list[int], out_decimal: bool) -> DataFrame:
+        dot = _int_dot("qe", F.array(*[F.lit(x).cast("long") for x in v]))
+        pos = q.select(dot.alias("dot"), F.posexplode("qe").alias("i", "x"))
+        if out_decimal:
+            term = F.col("dot").cast("decimal(28,0)") * F.col("x").cast("decimal(10,0)")
+        else:
+            term = F.col("dot") * F.col("x")
+        return pos.groupBy("i").agg(F.sum(term).alias("w"))
+
+    w1 = mul(v0, out_decimal=False)
+    v1 = [int(r["w"]) for r in w1.orderBy("i").collect()]
+    return mul(v1, out_decimal=True).select(
+        F.col("i").cast("int").alias("i"), F.col("w").alias("component")
+    )

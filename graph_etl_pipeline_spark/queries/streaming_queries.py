@@ -518,3 +518,160 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_left_join_timeout",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS tmax FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_id % 2 = 0),
+    v AS (SELECT event_id AS conv_id, user_id AS vu, ts AS conv_ts
+          FROM events WHERE event_id % 2 = 1),
+    matched AS (
+        SELECT c.click_id, v.conv_id, c.user_id, c.click_ts, v.conv_ts
+        FROM c JOIN v ON v.vu = c.user_id
+           AND v.conv_ts >= c.click_ts
+           AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    expired AS (
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS conv_id, c.user_id,
+               c.click_ts, CAST(NULL AS TIMESTAMP) AS conv_ts
+        FROM c, m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v WHERE v.vu = c.user_id
+              AND v.conv_ts >= c.click_ts
+              AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
+        )
+        AND c.click_ts + INTERVAL 30 MINUTE <= m.tmax
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM expired
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven timeout
+    emission — the abandonment/no-conversion shape: a click with no
+    conversion within 30 minutes is emitted with NULLs once the
+    watermark proves no match can still arrive. This is the part of the
+    outer-join state machine the inner interval join never touches:
+    unmatched left state is held until the GLOBAL watermark (the MIN
+    over both inputs — verified against the engine) passes the click's
+    match horizon, then emitted exactly once.
+
+    Determinism uses the stream_watermark_late fixture discipline:
+    batch 0 is the whole events table (matched pairs emit immediately);
+    batch 1 plants one synthetic row per side at tmax + 1h, raising BOTH
+    inputs' watermarks (min semantics — one side alone moves nothing);
+    batch 2 plants two more so a batch RUNS with the advanced watermark
+    (wm = tmax after the 1h delay) and evicts expired clicks. The
+    synthetic rows themselves can never be emitted: their match horizon
+    ends past the final watermark. Oracle: matched pairs plus
+    no-match clicks whose horizon closed by tmax — every emitted row
+    hash-checked.
+
+    The production plan is the same join running unbounded: per-side
+    state is bounded by the 30-minute horizon plus watermark delay, so
+    state size tracks ingest RATE, not history."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"lojto_{key}-{os.getpid()}")
+    src = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src, "c-evict.parquet")):
+        os.makedirs(src, exist_ok=True)
+        stage_a = os.path.join(root, "stage_a")
+        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
+        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
+
+        def advance_rows(ids):
+            # one even (click-side) and one odd (conv-side) id per batch,
+            # both at tmax + 1h: raises BOTH per-input watermarks
+            return (
+                ev.agg((F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
+                .select(
+                    F.explode(F.array(*[F.lit(i).cast("long") for i in ids])).alias(
+                        "event_id"
+                    ),
+                    "ts",
+                )
+                .select(
+                    "event_id",
+                    # DISTINCT user per synthetic row — they must never
+                    # match each other (same user at the same instant
+                    # would emit as a pair)
+                    (F.lit(-100).cast("long") + F.col("event_id")).alias("user_id"),
+                    "ts",
+                )
+            )
+
+        for name, ids in (("b-advance", (-2, -1)), ("c-evict", (-4, -3))):
+            stage = os.path.join(root, f"stage_{name}")
+            advance_rows(ids).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
+        base = 1_000_000_000
+        for i, name in enumerate(
+            ("a-events.parquet", "b-advance.parquet", "c-evict.parquet")
+        ):
+            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+
+    def side_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    clicks = (
+        side_stream()
+        .filter(F.col("event_id") % 2 == 0)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    convs = (
+        side_stream()
+        .filter(F.col("event_id") % 2 != 0)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("conv_ts"),
+        )
+    )
+    joined = clicks.join(
+        convs,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("conv_ts") >= F.col("click_ts"))
+        & (F.col("conv_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "conv_id", "user_id", "click_ts", "conv_ts")
+    # drop the synthetic advance/evict rows from the visible result: their
+    # horizon is past the final watermark so the ENGINE never emits them;
+    # the filter is belt-and-braces for the matched-side projection only
+    name = f"stream_lojto_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -677,3 +677,67 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+RARE_BIGRAM_MAX = 2  # corpus frequency at or below which a bigram is "rare"
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c.c) AS BIGINT) AS support,
+           COUNT(*) FILTER (WHERE c.c <= {RARE_BIGRAM_MAX}) AS n_rare,
+           CAST(SUM(c.c) AS DOUBLE) / COUNT(*) AS lm_score
+    FROM bg b JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model scoring — the deterministic core
+    of perplexity filtering (CCNet trains a 5-gram LM and buckets docs by
+    perplexity; the KenLM dependency is not in this container, and float
+    log-probs are not bit-stable across engines anyway). The corpus IS
+    the training set: every document's bigrams are counted globally, and
+    each document is scored by its average bigram corpus-support
+    (high = phrasing shared with the corpus, low = outlier text) plus a
+    rare-bigram count (frequency <= {RARE_BIGRAM_MAX}) — the junk signal
+    a curation pipeline thresholds on. Integer sums only; the one double
+    (support / n_bigrams) is a single correctly-rounded division of
+    exact int64s, so the hash is stable across engines.
+
+    Scale shape: the count table is one map-combined shuffle over the
+    exploded bigram stream; scoring re-joins bigrams to counts BY KEY
+    (shuffle join — the bigram vocabulary grows with the corpus, so no
+    broadcast), then one map-combined re-aggregation by doc. Three
+    |tokens|-bounded exchanges total, nothing pairwise, no driver
+    state.""".replace("{RARE_BIGRAM_MAX}", str(RARE_BIGRAM_MAX))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, n - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    scored = pairs.join(cnt, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("c").alias("support"),
+        F.count_if(F.col("c") <= RARE_BIGRAM_MAX).alias("n_rare"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("lm_score"),
+    )

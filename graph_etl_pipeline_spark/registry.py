@@ -56,6 +56,9 @@ CORE_ORDER = [
     "text_line_dedup",         # CCNet-style cross-doc boilerplate line removal
     "mm_image_resize",         # nearest-neighbor resample through the BMP codec
     "graph_label_propagation", # LPA plurality-vote communities, 2 unrolled rounds
+    "text_bigram_lm_score",    # count-based LM quality scoring (perplexity stand-in)
+    "embed_pca_power",         # fixed-point power iteration, top principal direction
+    "stream_left_join_timeout",# outer-join watermark timeout emission
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -98,19 +101,19 @@ CORE_ORDER = [
     "src_xlsx_scan",
     "doc_rule_extract",
     "stream_session_window",
-    "sample_temperature_mix",
     "embed_quantize_error_contract",
     "sink_partitioned_prune",
     "join_asof_nearest",
-    "win_gapfill_hourly",
     "mm_audio_frame_rms",
-    "stream_sliding_hourly",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
     # oracle-checked locally every round by tests/test_oracle_parity.py ----
     "text_pack_sequences",     # r5-window green (integer bucket rewrite confirmed)
     "agg_equidepth_histogram", # r5-window green
+    "stream_sliding_hourly",   # r5-window green
+    "sample_temperature_mix",  # r5-window green
+    "win_gapfill_hourly",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",
