@@ -45,6 +45,17 @@ EXTRA = [
     "win_gapfill_hourly",  # generated dense grid fill (r5)
     "mm_audio_frame_rms",  # Arrow audio framing (r5)
     "graph_kcore_bounded",  # bounded peel rounds (r5)
+    "src_pdf_scan",  # stdlib PDF write+extract round trip (r6)
+    "src_docx_scan",  # stdlib DOCX write+extract round trip (r6)
+    "stream_watermark_late",  # 3-batch watermark drop/merge/cut (r6)
+    "stream_interval_join",  # stream-stream range join (r6)
+    "stream_left_join_timeout",  # outer-join timeout emission (r6)
+    "text_line_dedup",  # cross-doc boilerplate removal (r6)
+    "text_bigram_lm_score",  # count-based LM scoring (r6)
+    "embed_pca_power",  # fixed-point power iteration (r6)
+    "mm_image_resize",  # BMP decode→resample→encode→decode (r6)
+    "graph_label_propagation",  # LPA communities (r6)
+    "graph_sssp_bounded",  # pinned-edge Bellman-Ford (r6 rewrite)
 ]
 
 

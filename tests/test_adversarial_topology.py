@@ -35,6 +35,12 @@ QUERIES = [
     "agg_equidepth_histogram",  # GLOBAL ntile — the most partitioning-hostile
                                 # shape in the registry (r5)
     "mm_audio_frame_rms",       # Arrow batch boundaries must not move frames (r5)
+    "text_line_dedup",          # collect_list rebuild must be order-pinned (r6)
+    "graph_label_propagation",  # plurality window tie-break under any partitioning (r6)
+    "embed_pca_power",          # exact int/decimal sums under any partitioning (r6)
+    "text_bigram_lm_score",     # integer join-agg, shuffle-partition-count hostile (r6)
+    "graph_kcore_bounded",      # peel rounds + early-exit under hostile topology (r6)
+    "stream_watermark_late",    # batch→file mapping + tz pinning in the fixture (r6)
 ]
 
 _SCRIPT = f"""
