@@ -59,6 +59,7 @@ CORE_ORDER = [
     "text_bigram_lm_score",    # count-based LM quality scoring (perplexity stand-in)
     "embed_pca_power",         # fixed-point power iteration, top principal direction
     "stream_left_join_timeout",# outer-join watermark timeout emission
+    "sink_zorder_write",       # Morton-clustered write + 2-D box read
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -94,7 +95,6 @@ CORE_ORDER = [
     # -- r5 first-timers: second confirmation while slots allow --
     "dedup_fuzzy_names",
     "win_retention_cohorts",
-    "sim_kmeans_assign",
     "agg_event_cooccurrence",
     "win_sliding_hourly",
     "sim_kmeans_iterate",
@@ -114,6 +114,7 @@ CORE_ORDER = [
     "stream_sliding_hourly",   # r5-window green
     "sample_temperature_mix",  # r5-window green
     "win_gapfill_hourly",      # r5-window green
+    "sim_kmeans_assign",       # r5-window green (iterate twin stays in-window)
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",

@@ -208,3 +208,56 @@ def test_kmeans_iterate_rounds_collapse_to_literal_centroids(spark, sf_dir):
     plan = _plan(spark, "sim_kmeans_iterate", sf_dir)
     assert "Scan ExistingRDD" in plan
     assert plan.count("Scan parquet") <= 2  # quantized corpus (+ seed filter)
+
+
+def test_zorder_layout_skips_files(spark, sf_dir):
+    """sink_zorder_write's clustering must be REAL: for the 2-D box the
+    query reads, strictly fewer z-ordered files intersect (by parquet
+    footer min/max of user_id and hour) than row-order files of the same
+    data — the min/max-stats skipping a 100 TB engine relies on."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.queries.sinks import morton_code
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.io import table as t
+
+    ev = t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts")) / 3600).cast("long")
+    base = ev.agg((F.floor(F.unix_timestamp(F.min("ts"))) / 3600).cast("long")).head()[0]
+    lo_h, hi_h = base + 240, base + 287
+
+    cols = ev.select(
+        "event_id", "user_id", "value", hour.alias("hour"),
+        morton_code(F.col("user_id"), hour % (1 << 16)).alias("z"),
+    )
+    zdest = os.path.join(SCRATCH_DIR, f"ztest_z_{os.getpid()}")
+    rdest = os.path.join(SCRATCH_DIR, f"ztest_r_{os.getpid()}")
+    cols.repartitionByRange(8, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(zdest)
+    cols.repartition(8).write.mode("overwrite").parquet(rdest)
+
+    def files_touched(dest):
+        n = 0
+        for f in glob.glob(os.path.join(dest, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            umin = uhmin = None
+            for rg in range(md.num_row_groups):
+                cu = md.row_group(rg).column(names["user_id"]).statistics
+                ch = md.row_group(rg).column(names["hour"]).statistics
+                umin = cu.min if umin is None else min(umin, cu.min)
+                uhmin = ch.min if uhmin is None else min(uhmin, ch.min)
+                umax = cu.max if rg == 0 else max(umax, cu.max)
+                hmax = ch.max if rg == 0 else max(hmax, ch.max)
+            if umax >= 2 and umin <= 7 and hmax >= lo_h and uhmin <= hi_h:
+                n += 1
+        return n
+
+    z_files, r_files = files_touched(zdest), files_touched(rdest)
+    assert z_files < r_files, (z_files, r_files)
