@@ -376,3 +376,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SKEW_SALT_R = 8          # replication factor for hot-key dim rows
+SKEW_HOT_THRESHOLD = 500  # fact rows per key before a key counts as hot
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    WITH fact AS (
+        SELECT CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE l_orderkey END AS lk,
+               l_extendedprice, l_discount
+        FROM lineitem
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {_osum(_REVENUE_SQL, "revenue")}
+    FROM fact f JOIN orders o ON o.o_orderkey = f.lk
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware SPLIT-SALTED join — the join-side twin of
+    agg_salted_skew, for the case AQE's skew-join can't always save: a
+    sort-merge join where a handful of fact keys own a large share of
+    the rows, so one reducer gets the hot partition. Half of lineitem is
+    deliberately re-keyed onto order 1 (a planted power-law head; the
+    rest stays uniform), then joined to orders.
+
+    The salting is ADAPTIVE and SPLIT (the dedup-family guard
+    discipline): an exact per-key count (one map-combined shuffle over
+    the key space) finds keys above SKEW_HOT_THRESHOLD; the hot-key list
+    — tiny by the power-law shape that causes the problem — broadcasts
+    back. HOT fact rows take a deterministic row-derived salt in
+    [0, R); hot dim rows replicate R ways; COLD rows join exactly as
+    before with salt 0 and no replication, so the technique costs ~zero
+    when skew is absent. Exact decimal partials make the salt invisible:
+    the oracle is the plain join. A plan test pins the dim replication
+    to the hot subset (test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    fact = li.select(
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("lk"),
+        dec("l_extendedprice").alias("price"),
+        dec("l_discount").alias("disc"),
+        # deterministic per-row salt source (never Math.random: results
+        # must be replayable and partition-independent)
+        F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(SKEW_SALT_R))
+        .cast("int")
+        .alias("rowsalt"),
+    )
+    hot = F.broadcast(
+        fact.groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > SKEW_HOT_THRESHOLD)
+        .select("lk", F.lit(True).alias("_hot"))
+    )
+    f_salted = fact.join(hot, "lk", "left").select(
+        "lk",
+        "price",
+        "disc",
+        F.when(F.col("_hot").isNotNull(), F.col("rowsalt"))
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    o_rep = (
+        o.join(hot.withColumnRenamed("lk", "o_orderkey"), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("_hot").isNotNull(), F.lit(SKEW_SALT_R - 1)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ).alias("salt"),
+        )
+    )
+    joined = f_salted.join(
+        o_rep,
+        (f_salted.lk == o_rep.o_orderkey) & (f_salted.salt == o_rep.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("price") * (F.lit(1) - F.col("disc"))).cast("double").alias("revenue"),
+    )

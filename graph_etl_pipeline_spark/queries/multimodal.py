@@ -261,3 +261,76 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(_synth_resize, schema="doc_id bigint, blob binary")
     return image_stats_df(blobs)
+
+
+SCENE_FRAMES = 8     # frames per synthetic clip
+SCENE_FRAME_BYTES = 64
+SCENE_LEN = 3        # frames per scene in the generator (cuts at 3, 6)
+SCENE_CUT_MIN_L1 = 1  # any nonzero inter-frame L1 marks a cut here
+
+
+@register(
+    "mm_video_scene_cut",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, f.f AS frame_no,
+               [(doc_id + 5*p + 17*(f.f // {SCENE_LEN})) % 256
+                for p in generate_series(0, {SCENE_FRAME_BYTES - 1})] AS px
+        FROM documents, generate_series(0, {SCENE_FRAMES - 1}) AS f(f)
+    )
+    SELECT a.doc_id, a.frame_no,
+           CAST(list_sum([abs(a.px[i] - b.px[i])
+                          for i in generate_series(1, {SCENE_FRAME_BYTES})]) AS BIGINT) AS l1_diff,
+           list_sum([abs(a.px[i] - b.px[i])
+                     for i in generate_series(1, {SCENE_FRAME_BYTES})]) >= {SCENE_CUT_MIN_L1} AS is_cut
+    FROM frames a JOIN frames b
+      ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no - 1
+    """,
+    tags=("multimodal", "video", "llm"),
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a frame stream — the shot-boundary pass a
+    video-training pipeline runs before frame sampling (sample inside
+    scenes, not across cuts). Each doc_id renders to a deterministic
+    {SCENE_FRAMES}-frame clip whose content shifts every {SCENE_LEN}
+    frames; executor-side the clip bytes are split into frames and
+    consecutive frames compared by exact integer L1 distance, emitting
+    (frame_no, l1_diff, is_cut) per boundary. The oracle recomputes every
+    pixel difference from the generator formula — a frame-boundary
+    off-by-one or a reordered batch breaks the hash. A real deployment
+    swaps the generator for ffmpeg decode; the framing, diff, and
+    threshold stages — and their Arrow batch shape — are exactly this.
+    Map-only until the tiny final projection; no shuffle.""".replace(
+        "{SCENE_FRAMES}", str(SCENE_FRAMES)
+    ).replace("{SCENE_LEN}", str(SCENE_LEN))
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, diffs, cuts = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes(
+                        (i + 5 * p + 17 * (f // SCENE_LEN)) % 256
+                        for p in range(SCENE_FRAME_BYTES)
+                    )
+                    for f in range(SCENE_FRAMES)
+                ]
+                for f in range(1, SCENE_FRAMES):
+                    l1 = sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1]))
+                    ids.append(i)
+                    fnos.append(f)
+                    diffs.append(l1)
+                    cuts.append(l1 >= SCENE_CUT_MIN_L1)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": fnos, "l1_diff": diffs, "is_cut": cuts}
+            )
+
+    return d.mapInPandas(
+        _cuts, schema="doc_id bigint, frame_no bigint, l1_diff bigint, is_cut boolean"
+    )

@@ -60,6 +60,8 @@ CORE_ORDER = [
     "embed_pca_power",         # fixed-point power iteration, top principal direction
     "stream_left_join_timeout",# outer-join watermark timeout emission
     "sink_zorder_write",       # Morton-clustered write + 2-D box read
+    "join_salted_skew",        # adaptive split-salted hot-key join
+    "mm_video_scene_cut",      # exact-int frame-diff shot boundaries
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -94,8 +96,6 @@ CORE_ORDER = [
     "sim_cosine_topk",         # D5
     # -- r5 first-timers: second confirmation while slots allow --
     "dedup_fuzzy_names",
-    "win_retention_cohorts",
-    "agg_event_cooccurrence",
     "win_sliding_hourly",
     "sim_kmeans_iterate",
     "src_xlsx_scan",
@@ -115,6 +115,8 @@ CORE_ORDER = [
     "sample_temperature_mix",  # r5-window green
     "win_gapfill_hourly",      # r5-window green
     "sim_kmeans_assign",       # r5-window green (iterate twin stays in-window)
+    "win_retention_cohorts",   # r5-window green
+    "agg_event_cooccurrence",  # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",

@@ -54,7 +54,8 @@ R6_PROMOTED = {
     "src_pdf_scan", "src_docx_scan", "stream_watermark_late",
     "stream_interval_join", "text_line_dedup", "mm_image_resize",
     "graph_label_propagation", "text_bigram_lm_score", "embed_pca_power",
-    "stream_left_join_timeout", "sink_zorder_write",
+    "stream_left_join_timeout", "sink_zorder_write", "join_salted_skew",
+    "mm_video_scene_cut",
     # changed since their last driver CORRECTNESS row (r6 refactors +
     # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
     "graph_kcore_bounded", "graph_sssp_bounded", "graph_triangle_count",

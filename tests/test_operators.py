@@ -387,3 +387,32 @@ def test_apply_changefeed_generic_snapshot_schema(spark):
     assert rows[20].code == "y" and rows[20].active is False
     assert rows[20].new_score == 7.5
     assert rows[30].code is None and rows[30].new_score == 3.25
+
+
+def test_salted_skew_join_engages_only_hot_keys(spark, sf_dir):
+    """join_salted_skew's guard must fire on the planted hot key and ONLY
+    there: with half of lineitem re-keyed to order 1, the hot list is
+    exactly {1}, so the replicated dim carries |orders| + (R-1) rows —
+    cold keys pay nothing."""
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.io import table
+    from graph_etl_pipeline_spark.queries.joins import (
+        SKEW_HOT_THRESHOLD,
+        SKEW_SALT_R,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    fact_keys = li.select(
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("lk")
+    )
+    counts = fact_keys.groupBy("lk").count()
+    hot = [r.lk for r in counts.filter(F.col("count") > SKEW_HOT_THRESHOLD).collect()]
+    assert hot == [1], hot  # planted head is hot; uniform tail is not
+    # hot share is big enough that one reducer would own >40% of the join
+    total = fact_keys.count()
+    hot_rows = counts.filter(F.col("lk") == 1).head()["count"]
+    assert hot_rows / total > 0.4
+    assert SKEW_SALT_R > 1
