@@ -470,3 +470,55 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+HLL_REL_ERR = 0.05  # contract bound for the default lgConfigK=12 sketch
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS direct_within_bound,
+           TRUE AS merged_within_bound,
+           TRUE AS merge_consistent
+    """ + "FROM events",
+    tags=("agg", "sketch"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch MERGEABILITY — the property that makes
+    approximate distinct-counting work at 100 TB: per-shard sketches
+    (here per event_type) union into exactly the sketch a direct global
+    pass builds, so distinct counts compose across partitions, days, and
+    retention tiers without ever re-scanning raw data. Spark's Datasketches
+    HLL (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) is
+    register-max merge — deterministic and partitioning-independent.
+
+    The estimates themselves are not SQL-reproducible, so the row carries
+    the in-query CONTRACT (the sim_ann_recall_contract discipline): the
+    exact distinct count (oracle-checked) plus three booleans the engine
+    must prove — direct estimate within ±5%, merged-estimate within ±5%,
+    and merged == direct exactly (mergeability). A false anywhere breaks
+    the hash."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    row = direct.crossJoin(merged)
+    bound = F.lit(HLL_REL_ERR)
+    within = lambda est: (
+        F.abs(est - F.col("exact_users")) <= bound * F.col("exact_users")
+    )
+    return row.select(
+        F.col("exact_users").cast("long").alias("exact_users"),
+        within(F.col("direct_est")).alias("direct_within_bound"),
+        within(F.col("merged_est")).alias("merged_within_bound"),
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_consistent"),
+    )

@@ -294,3 +294,124 @@ def pipeline_training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ne").cast("long").alias("n_emails_scrubbed"),
         F.sum("np").cast("long").alias("n_phones_scrubbed"),
     )
+
+
+MM_SEEDS = 200        # distinct image contents planted across the corpus
+MM_MIN_PIXELS = 12    # quality floor: tiny images are dropped
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id % {MM_SEEDS} AS seed,
+               1 + (doc_id % {MM_SEEDS}) % 7 AS w,
+               1 + (doc_id % {MM_SEEDS}) % 5 AS h
+        FROM documents
+    ),
+    q AS (SELECT * FROM img WHERE w * h >= {MM_MIN_PIXELS}),
+    px AS (
+        SELECT s.seed,
+               CAST(SUM((s.seed + 7*x.x + 13*y.y + 101*c.c) % 256) AS BIGINT) AS sum_pixels
+        FROM (SELECT DISTINCT seed, w, h FROM q) s,
+             generate_series(0, 6) AS x(x),
+             generate_series(0, 4) AS y(y),
+             generate_series(0, 2) AS c(c)
+        WHERE x.x < s.w AND y.y < s.h
+        GROUP BY s.seed
+    )
+    SELECT MIN(q.doc_id) AS rep_doc_id,
+           COUNT(*) AS n_copies,
+           CAST(q.w AS INTEGER) AS width,
+           CAST(q.h AS INTEGER) AS height,
+           px.sum_pixels
+    FROM q JOIN px ON px.seed = q.seed
+    GROUP BY q.seed, q.w, q.h, px.sum_pixels
+    """,
+    tags=("pipeline", "multimodal", "dedup", "llm"),
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation — the image-side twin of
+    pipeline_training_dataset's text flow: synthesize/ingest image bytes
+    → REAL BMP decode (operators/multimodal.py codec) → quality floor
+    (drop images under {MM_MIN_PIXELS} pixels) → exact near-dup
+    collapse by CONTENT ADDRESS (sha2 of the decoded pixel matrix — the
+    byte-identical-dedup first pass every image corpus runs before
+    perceptual hashing) → one representative per content group with its
+    copy count. Duplicates are planted by generating each image from
+    doc_id mod {MM_SEEDS}, so ~{MM_SEEDS} distinct contents repeat
+    across the corpus; the oracle replays generator + filter + grouping
+    in closed form.
+
+    Scale shape: decode and hashing are Arrow-batched map-only; the ONE
+    exchange is the final content-hash groupBy — identical plan at
+    100 TB, where the content-address table is also what feeds
+    perceptual (SimHash-over-pixels) near-dup downstream.""".replace(
+        "{MM_MIN_PIXELS}", str(MM_MIN_PIXELS)
+    ).replace("{MM_SEEDS}", str(MM_SEEDS))
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.multimodal import encode_bmp
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one pass: synthesize bytes AND content-address them here, so the
+        # blob stream is built once (a second consumer would re-run the
+        # whole map stage — Spark shares no subplans)
+        import hashlib
+
+        for pdf in batches:
+            blobs, keys = [], []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) % MM_SEEDS
+                w, h = 1 + seed % 7, 1 + seed % 5
+                rgb = bytes(
+                    (seed + 7 * x + 13 * y + 101 * c) % 256
+                    for y in range(h) for x in range(w) for c in range(3)
+                )
+                blob = encode_bmp(w, h, rgb)
+                blobs.append(blob)
+                keys.append(hashlib.sha256(blob).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "blob": blobs, "content_key": keys}
+            )
+
+    from graph_etl_pipeline_spark.operators.multimodal import decode_image
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chained map stage: decode happens in the SAME pipeline as the
+        # synthesis — no join back to the blob stream, no second pass
+        for pdf in batches:
+            rows = {"doc_id": [], "content_key": [], "width": [], "height": [],
+                    "n_pixels": [], "sum_pixels": []}
+            for doc_id, blob, key in zip(
+                pdf["doc_id"], pdf["blob"], pdf["content_key"]
+            ):
+                img = decode_image(bytes(blob))
+                rows["doc_id"].append(doc_id)
+                rows["content_key"].append(key)
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["n_pixels"].append(img.width * img.height)
+                rows["sum_pixels"].append(sum(img.rgb))
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(
+        _synth, schema="doc_id bigint, blob binary, content_key string"
+    )
+    stats = blobs.mapInPandas(
+        _stats,
+        schema="doc_id bigint, content_key string, width int, height int, "
+        "n_pixels bigint, sum_pixels bigint",
+    )
+    kept = stats.filter(F.col("n_pixels") >= MM_MIN_PIXELS)
+    return kept.groupBy("content_key").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+        F.first("sum_pixels").alias("sum_pixels"),
+    ).drop("content_key").select("rep_doc_id", "n_copies", "width", "height", "sum_pixels")

@@ -816,3 +816,72 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("new_label", "label").alias("label"))
         )
     return labels
+
+
+JACCARD_MIN_COMMON = 1  # wedge support floor for candidate pairs
+
+
+@register(
+    "graph_jaccard_similarity",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT s AS node, COUNT(*) AS d FROM bi GROUP BY s),
+    wedge AS (
+        SELECT a.s AS x, b.s AS y, COUNT(*) AS common
+        FROM bi a JOIN bi b ON b.t = a.t AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT w.x, w.y, w.common,
+           CAST(dx.d + dy.d - w.common AS BIGINT) AS unioned,
+           CAST(w.common AS DOUBLE) / (dx.d + dy.d - w.common) AS jaccard
+    FROM wedge w
+    JOIN deg dx ON dx.node = w.x
+    JOIN deg dy ON dy.node = w.y
+    WHERE w.common >= {JACCARD_MIN_COMMON}
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for node pairs — the classic
+    link-prediction / entity-matching primitive (|N(x)∩N(y)| over
+    |N(x)∪N(y)|). Candidates come from the WEDGE join only (pairs
+    sharing ≥ {JACCARD_MIN_COMMON} neighbor, grouped through the common
+    neighbor) — the |Γ(v)|²-bounded generation every scalable
+    implementation uses, never an all-pairs product; pairs with disjoint
+    neighborhoods (Jaccard 0) are structurally absent. Intersections are
+    exact integer wedge counts; union sizes come from one degree table
+    joined twice; the single double division is correctly rounded from
+    exact int64s, so the hash is engine-stable.
+
+    At 100 TB the wedge fanout at a hub node is its degree squared — the
+    same power-law hazard as copurchase baskets, bounded the same way
+    (hot-node tiling via the COPURCHASE_BASKET_CAP machinery) when the
+    degree distribution demands it; the interaction chain graph's
+    per-hour construction caps degrees structurally here.""".replace(
+        "{JACCARD_MIN_COMMON}", str(JACCARD_MIN_COMMON)
+    )
+    edges = interaction_edges(spark, sf_dir)
+    bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=True)
+    deg = bi.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    wedge = (
+        a.join(b, (F.col("b.t") == F.col("a.t")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    out = wedge.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    un = F.col("dx") + F.col("dy") - F.col("common")
+    return out.select(
+        "x",
+        "y",
+        "common",
+        un.cast("long").alias("unioned"),
+        (F.col("common").cast("double") / un).alias("jaccard"),
+    )

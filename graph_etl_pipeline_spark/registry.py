@@ -62,6 +62,9 @@ CORE_ORDER = [
     "sink_zorder_write",       # Morton-clustered write + 2-D box read
     "join_salted_skew",        # adaptive split-salted hot-key join
     "mm_video_scene_cut",      # exact-int frame-diff shot boundaries
+    "graph_jaccard_similarity",# wedge-bounded link-prediction similarity
+    "agg_hll_mergeable",       # HLL sketch mergeability contract
+    "pipeline_multimodal_curation",  # decode -> floor -> content-hash dedup
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -98,12 +101,9 @@ CORE_ORDER = [
     "dedup_fuzzy_names",
     "win_sliding_hourly",
     "sim_kmeans_iterate",
-    "src_xlsx_scan",
-    "doc_rule_extract",
     "stream_session_window",
     "embed_quantize_error_contract",
     "sink_partitioned_prune",
-    "join_asof_nearest",
     "mm_audio_frame_rms",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
@@ -117,6 +117,9 @@ CORE_ORDER = [
     "sim_kmeans_assign",       # r5-window green (iterate twin stays in-window)
     "win_retention_cohorts",   # r5-window green
     "agg_event_cooccurrence",  # r5-window green
+    "doc_rule_extract",        # r5-window green
+    "src_xlsx_scan",           # r5-window green
+    "join_asof_nearest",       # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",
