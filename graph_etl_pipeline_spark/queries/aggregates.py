@@ -522,3 +522,34 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("merged_est")).alias("merged_within_bound"),
         (F.col("merged_est") == F.col("direct_est")).alias("merge_consistent"),
     )
+
+
+@register(
+    "agg_exact_median",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           median(value) AS med,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median — the robust-statistics gap between
+    agg_approx_quantiles (bounded-error sketch, the 100 TB default) and
+    agg_mad_outliers (median-based but pre-composed). Spark's
+    percentile() is the exact sort-based aggregate; even-count groups
+    interpolate (a+b)/2 — one IEEE operation both engines perform
+    identically on identical doubles, so the hash holds without decimal
+    bridging. Exact medians at scale shuffle each group's values to one
+    reducer (this plan's cost model — fine for bounded per-group
+    cardinality); unbounded groups use the approx sketch instead."""
+    ev = table(spark, sf_dir, "events")
+    from graph_etl_pipeline_spark.functions.numeric import dec
+
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )

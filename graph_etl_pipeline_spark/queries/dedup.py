@@ -645,3 +645,64 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_id"),
         (F.col("uid") == F.col("component")).alias("keep"),
     )
+
+
+PREFIX_BUCKET_CHARS = 32  # blocking key: first N chars must match exactly
+
+
+@register(
+    "dedup_prefix_containment",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS len,
+               substr(text, 1, {PREFIX_BUCKET_CHARS}) AS p
+        FROM documents
+    )
+    SELECT a.doc_id AS short_doc, b.doc_id AS long_doc,
+           CAST(a.len AS BIGINT) AS short_len, CAST(b.len AS BIGINT) AS long_len
+    FROM d a JOIN d b
+      ON a.p = b.p
+     AND (a.len < b.len OR (a.len = b.len AND a.doc_id < b.doc_id))
+     AND substr(b.text, 1, a.len) = a.text
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: document A is an exact PREFIX of
+    document B — the scraped-corpus pathology (same page captured at
+    different truncation lengths / pagination cutoffs) that MinHash
+    under-scores (Jaccard of a short prefix against a long doc is low)
+    and exact dedup misses entirely. Pairs are generated ONLY within
+    {PREFIX_BUCKET_CHARS}-char-prefix blocks (any true prefix pair
+    shares the block by construction, so blocking loses nothing), then
+    verified by one startswith comparison — the dedup family's
+    candidates-then-verify discipline, never all-pairs. Equal-length
+    ties (exact dupes) orient by doc_id so each pair emits once.
+
+    At 100 TB the block key is a fixed-width substring hash: one
+    shuffle on the block, per-block fanout bounded by the block's
+    cardinality — power-law blocks (boilerplate-prefixed corpora) get
+    the df-cap treatment like hot shingles.""".replace(
+        "{PREFIX_BUCKET_CHARS}", str(PREFIX_BUCKET_CHARS)
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.substring("text", 1, PREFIX_BUCKET_CHARS).alias("p"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    shorter = (F.col("a.len") < F.col("b.len")) | (
+        (F.col("a.len") == F.col("b.len")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & shorter)
+        .filter(F.col("b.text").startswith(F.col("a.text")))
+        .select(
+            F.col("a.doc_id").alias("short_doc"),
+            F.col("b.doc_id").alias("long_doc"),
+            F.col("a.len").cast("long").alias("short_len"),
+            F.col("b.len").cast("long").alias("long_len"),
+        )
+    )

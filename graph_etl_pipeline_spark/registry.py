@@ -65,6 +65,8 @@ CORE_ORDER = [
     "graph_jaccard_similarity",# wedge-bounded link-prediction similarity
     "agg_hll_mergeable",       # HLL sketch mergeability contract
     "pipeline_multimodal_curation",  # decode -> floor -> content-hash dedup
+    "dedup_prefix_containment",# truncation-dupe detection, prefix-blocked
+    "agg_exact_median",        # exact sort-based group median
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -104,7 +106,6 @@ CORE_ORDER = [
     "stream_session_window",
     "embed_quantize_error_contract",
     "sink_partitioned_prune",
-    "mm_audio_frame_rms",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
@@ -120,6 +121,7 @@ CORE_ORDER = [
     "doc_rule_extract",        # r5-window green
     "src_xlsx_scan",           # r5-window green
     "join_asof_nearest",       # r5-window green
+    "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
     "text_pii_scrub",
