@@ -440,15 +440,18 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_wmlate_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -509,14 +512,17 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "conv_id", "user_id", "click_ts", "conv_ts")
     name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -665,13 +671,16 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # horizon is past the final watermark so the ENGINE never emits them;
     # the filter is belt-and-braces for the matched-side projection only
     name = f"stream_lojto_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
