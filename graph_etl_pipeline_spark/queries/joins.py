@@ -467,3 +467,75 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("price") * (F.lit(1) - F.col("disc"))).cast("double").alias("revenue"),
     )
+
+
+BUCKETS = 8  # bucket count for the co-located join pair
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {_osum(_REVENUE_SQL, "revenue")}
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "layout", "bucketing"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED co-located big-big join (SURVEY §1.5) — the layout
+    technique that removes the per-query shuffle from repeated fact-fact
+    joins: both sides are written bucketBy(BUCKETS, join_key) + sortBy,
+    so every later join on that key plans as a SortMergeJoin with NO
+    Exchange and NO per-query Sort on either side. The shuffle is paid
+    ONCE at write time and amortized over every join that follows — at
+    100 TB this is the difference between re-moving both tables per
+    query and never moving them again. tests/test_bucketing.py asserts
+    the no-Exchange plan; this query pins the RESULT through the layout:
+    the bucketed join's aggregate must match the plain-parquet oracle
+    exactly.
+
+    Auto-broadcast is disabled inside the query (restored after): at
+    test scale the dim side would broadcast, which bypasses buckets and
+    would leave the technique unexercised; at the scale bucketing is FOR,
+    neither side fits a broadcast anyway."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", dec("l_extendedprice").alias("price"), dec("l_discount").alias("disc")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    li_name = f"li_bkt_{key}_{os.getpid()}"
+    o_name = f"o_bkt_{key}_{os.getpid()}"
+    cat = spark.catalog
+    if not cat.tableExists(li_name):
+        li.write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(li_name)
+    if not cat.tableExists(o_name):
+        o.write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(o_name)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb = spark.table(li_name)
+        ob = spark.table(o_name)
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("price") * (F.lit(1) - F.col("disc")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        # force planning under the no-broadcast conf (lazy plans would
+        # otherwise resolve after the finally restores it)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    return out

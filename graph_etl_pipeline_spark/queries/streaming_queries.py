@@ -684,3 +684,120 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_session_timeout",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, cents,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS session_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "stateful", "watermark"),
+)
+def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization with EVENT-TIME TIMEOUT
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) — the
+    one state-machine feature the stateful family had not exercised:
+    state that Spark itself expires when the watermark passes a
+    per-group deadline, re-invoking the operator with hasTimedOut so the
+    trailing open session is emitted closed and cleared. In-batch gaps
+    close sessions immediately; only the watermark can close the last
+    one — exactly how a hand-rolled sessionizer must work at unbounded
+    ingest, where 'no more events' is a watermark fact, not an
+    end-of-file.
+
+    Determinism uses the established 3-batch fixture: the whole events
+    table, then one advance row per following batch at tmax + 2h (their
+    own sessions park with deadlines past the final watermark, so they
+    are never emitted), pushing the final watermark to tmax + 1h — past
+    every real session's deadline, so EVERY session is timeout-emitted
+    and the output must equal the full batch sessionization (streaming
+    >= gap split semantics, integer-cents sums). Oracle: the
+    gaps-and-islands twin."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.streaming.stateful import (
+        session_totals_with_timeout,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"sessto_{key}-{os.getpid()}")
+    src = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src, "c-flush.parquet")):
+        os.makedirs(src, exist_ok=True)
+        stage_a = os.path.join(root, "stage_a")
+        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
+        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
+        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
+        for name, uid in (("b-advance", -1), ("c-flush", -2)):
+            stage = os.path.join(root, f"stage_{name}")
+            (
+                ev.agg((F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"))
+                .select(
+                    F.lit(uid).cast("long").alias("event_id"),
+                    F.lit(uid).cast("long").alias("user_id"),
+                    "ts",
+                    F.lit(0.0).alias("value"),
+                )
+                .select("event_id", "user_id", "ts", "value")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            shutil.copy(
+                glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                os.path.join(src, f"{name}.parquet"),
+            )
+        base = 1_000_000_000
+        for i, name in enumerate(
+            ("a-events.parquet", "b-advance.parquet", "c-flush.parquet")
+        ):
+            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    name = f"stream_sessto_{uuid.uuid4().hex[:8]}"
+    with stream_shuffle_partitions(spark):
+        q = (
+            session_totals_with_timeout(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the synthetic advance users' sessions can never be emitted (their
+    # deadlines sit past the final watermark); filter is belt-and-braces
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -67,6 +67,8 @@ CORE_ORDER = [
     "pipeline_multimodal_curation",  # decode -> floor -> content-hash dedup
     "dedup_prefix_containment",# truncation-dupe detection, prefix-blocked
     "agg_exact_median",        # exact sort-based group median
+    "join_bucketed_colocated", # bucketed big-big join, shuffle paid at write
+    "stream_stateful_session_timeout",  # EventTimeTimeout custom sessionizer
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -103,9 +105,7 @@ CORE_ORDER = [
     "dedup_fuzzy_names",
     "win_sliding_hourly",
     "sim_kmeans_iterate",
-    "stream_session_window",
     "embed_quantize_error_contract",
-    "sink_partitioned_prune",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
@@ -121,6 +121,8 @@ CORE_ORDER = [
     "doc_rule_extract",        # r5-window green
     "src_xlsx_scan",           # r5-window green
     "join_asof_nearest",       # r5-window green
+    "stream_session_window",   # r5-window green
+    "sink_partitioned_prune",  # r5-window green (plan test keeps the property)
     "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",

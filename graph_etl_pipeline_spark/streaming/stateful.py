@@ -55,3 +55,87 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_GAP_MIN = 30
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, n_events bigint, session_cents bigint"
+)
+_SESSION_STATE_SCHEMA = (
+    "start_us bigint, last_us bigint, n bigint, cents bigint"
+)
+
+
+def _update_sessions(key, pdfs, state: GroupState):
+    """Custom sessionization with EVENT-TIME TIMEOUT — the state-eviction
+    mechanism session_window hides, exercised directly: in-batch gaps
+    close sessions immediately; the batch's trailing open session parks
+    in the state store with a timeout at (last event + gap), and when the
+    WATERMARK passes that point Spark calls this function again with
+    ``state.hasTimedOut`` — the open session is emitted closed and the
+    state cleared. Splits use the streaming convention (a gap of exactly
+    the threshold starts a new session, matching session_window's
+    interval-overlap semantics)."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    if state.hasTimedOut:
+        start_us, last_us, n, cents = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+                "session_cents": [cents],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["_us"] = rows["ts"].astype("int64") // 1000
+    rows["_cents"] = (rows["value"] * 100).round().astype("int64")
+    rows = rows.sort_values(["_us", "event_id"], ignore_index=True)
+
+    if state.exists:
+        start_us, last_us, n, cents = state.get
+    else:
+        start_us = last_us = None
+        n = cents = 0
+
+    out = {"user_id": [], "session_start": [], "n_events": [], "session_cents": []}
+    for us, cent in zip(rows["_us"], rows["_cents"]):
+        if start_us is None:
+            start_us, last_us, n, cents = us, us, 1, int(cent)
+        elif us - last_us >= gap_us:
+            out["user_id"].append(key[0])
+            out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+            out["n_events"].append(n)
+            out["session_cents"].append(cents)
+            start_us, last_us, n, cents = us, us, 1, int(cent)
+        else:
+            last_us, n, cents = us, n + 1, cents + int(cent)
+    state.update((int(start_us), int(last_us), int(n), int(cents)))
+    # event-time timeout: fire when the watermark passes last event + gap
+    state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def session_totals_with_timeout(stream: DataFrame) -> DataFrame:
+    """Per-user sessions via applyInPandasWithState + EventTimeTimeout.
+    Requires a watermark on ``ts``; every session is emitted exactly once
+    — in-batch when a later event proves the gap, or on state timeout
+    when the watermark proves no more events can join."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
