@@ -741,3 +741,60 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("c") <= RARE_BIGRAM_MAX).alias("n_rare"),
         (F.sum("c").cast("double") / F.count(F.lit(1))).alias("lm_score"),
     )
+
+
+NOVELTY_NGRAM = 3  # n-gram order for the novelty signal
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[i : i + {NOVELTY_NGRAM - 1}], ' ') AS g
+        FROM w, unnest(generate_series(1, len(ws) - {NOVELTY_NGRAM - 1})) AS t(i)
+    ),
+    firstseen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE f.first_doc = grams.doc_id) AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = grams.doc_id) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM grams JOIN firstseen f ON f.g = grams.g
+    GROUP BY grams.doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the incremental-crawl curation signal:
+    what fraction of a document's distinct {NOVELTY_NGRAM}-grams appear
+    for the FIRST time in corpus order (first = minimum doc_id, the
+    ingestion sequence)? Re-crawled boilerplate and templated spam score
+    near zero; genuinely new prose scores high. This is the set-oriented
+    form of the streaming 'have I seen this shingle' bloom check — exact,
+    order-defined, and replayable.
+
+    Scale shape: distinct per-doc grams (map-side explode + distinct —
+    one shuffle on the gram), a min-aggregation per gram (map-combined,
+    same key — AQE reuses the partitioning), one key-partitioned join
+    back, and a final doc re-aggregation. Everything is |grams|-bounded;
+    the double division is one correctly-rounded op over exact
+    int64s.""".replace("{NOVELTY_NGRAM}", str(NOVELTY_NGRAM))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    gram = F.transform(
+        F.sequence(F.lit(0), n - NOVELTY_NGRAM),
+        lambda i: F.array_join(F.slice(F.col("ws"), i + 1, NOVELTY_NGRAM), " "),
+    )
+    grams = docs.select("doc_id", F.explode(gram).alias("g")).distinct()
+    firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firstseen, "g")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )

@@ -535,3 +535,52 @@ def win_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "win_ohlc_resample",
+    oracle="""
+    WITH ordered AS (
+        SELECT date_trunc('hour', ts) AS bar_ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT bar_ts, event_type,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM ordered
+    GROUP BY bar_ts, event_type
+    """,
+    tags=("window", "timeseries"),
+)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC resampling — the bar-building primitive of every
+    metrics/market pipeline: per (hour, series) emit the first (open),
+    max (high), min (low), and last (close) value plus tick count. First/
+    last are ORDER-DEFINED (ts, then event_id as the deterministic
+    tiebreak for same-microsecond ticks), implemented with min_by/max_by
+    over the composite (ts, event_id) key — one map-combined aggregation,
+    ONE exchange, no window function and no sort: at 100 TB the bar table
+    build is a plain shuffle-agg whose partial states are 4 scalars per
+    bar. The oracle derives open/close independently via dual
+    row_numbers."""
+    ev = table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", "ts").alias("bar_ts")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(bar, "event_type").agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

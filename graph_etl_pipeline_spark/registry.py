@@ -69,6 +69,8 @@ CORE_ORDER = [
     "agg_exact_median",        # exact sort-based group median
     "join_bucketed_colocated", # bucketed big-big join, shuffle paid at write
     "stream_stateful_session_timeout",  # EventTimeTimeout custom sessionizer
+    "win_ohlc_resample",       # order-defined OHLC bars, min_by/max_by one-pass
+    "text_ngram_novelty",      # first-occurrence novelty curation signal
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -103,9 +105,7 @@ CORE_ORDER = [
     "sim_cosine_topk",         # D5
     # -- r5 first-timers: second confirmation while slots allow --
     "dedup_fuzzy_names",
-    "win_sliding_hourly",
     "sim_kmeans_iterate",
-    "embed_quantize_error_contract",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
@@ -123,6 +123,8 @@ CORE_ORDER = [
     "join_asof_nearest",       # r5-window green
     "stream_session_window",   # r5-window green
     "sink_partitioned_prune",  # r5-window green (plan test keeps the property)
+    "embed_quantize_error_contract",  # r5-window green
+    "win_sliding_hourly",      # r5-window green
     "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",

@@ -58,7 +58,8 @@ R6_PROMOTED = {
     "mm_video_scene_cut", "graph_jaccard_similarity", "agg_hll_mergeable",
     "pipeline_multimodal_curation", "dedup_prefix_containment",
     "agg_exact_median", "join_bucketed_colocated",
-    "stream_stateful_session_timeout",
+    "stream_stateful_session_timeout", "win_ohlc_resample",
+    "text_ngram_novelty",
     # changed since their last driver CORRECTNESS row (r6 refactors +
     # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
     "graph_kcore_bounded", "graph_sssp_bounded", "graph_triangle_count",
