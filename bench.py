@@ -56,6 +56,13 @@ EXTRA = [
     "mm_image_resize",  # BMP decode→resample→encode→decode (r6)
     "graph_label_propagation",  # LPA communities (r6)
     "graph_sssp_bounded",  # pinned-edge Bellman-Ford (r6 rewrite)
+    "join_salted_skew",  # adaptive split-salted hot-key join (r6)
+    "join_bucketed_colocated",  # bucketed no-exchange big-big join (r6)
+    "stream_stateful_session_timeout",  # EventTimeTimeout sessionizer (r6)
+    "text_ngram_novelty",  # first-occurrence novelty signal (r6)
+    "graph_jaccard_similarity",  # wedge-bounded similarity (r6)
+    "pipeline_multimodal_curation",  # decode→floor→content-dedup (r6)
+    "dedup_prefix_containment",  # truncation-dupe detection (r6)
 ]
 
 

@@ -553,3 +553,46 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.5)).alias("med"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "agg_group_mode",
+    oracle="""
+    SELECT event_type, k_val, n FROM (
+        SELECT event_type, k_val, COUNT(*) AS n,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY COUNT(*) DESC, k_val
+               ) AS rn
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        )
+        GROUP BY event_type, k_val
+    ) WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break — Spark's mode() aggregate breaks ties arbitrarily, so the
+    engine composes it from a two-level count + max_by over the
+    (count DESC, value ASC) struct: exact, engine-stable, and still two
+    map-combined exchanges (value-count, then per-group argmax collapses
+    partial maxima map-side — no window, no sort). The modal value of a
+    parsed JSON attribute per event type is the schema-on-read profiling
+    shape (what is this field's dominant value per source?)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k_val")
+    counts = ev.select("event_type", k).groupBy("event_type", "k_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # argmax by (n DESC, k_val ASC): max_by over struct(n, -k_val) would
+    # break for negatives at type edges; use min_by over (-n, k_val)
+    pick = F.min_by(
+        F.struct(F.col("k_val"), F.col("n")),
+        F.struct((-F.col("n")).alias("neg"), F.col("k_val")),
+    )
+    return counts.groupBy("event_type").agg(pick.alias("m")).select(
+        "event_type", F.col("m.k_val").alias("k_val"), F.col("m.n").alias("n")
+    )

@@ -584,3 +584,56 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 1, 4  # α = 0.25 as an exact ratio
+
+
+@register(
+    "win_ewma_by_user",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(CAST(value AS DOUBLE) ORDER BY rn)),
+                   (acc, v) -> acc + ({EWMA_ALPHA_NUM}.0 / {EWMA_ALPHA_DEN}) * (v - acc)
+               ) AS ewma,
+               COUNT(*) AS n
+        FROM ordered GROUP BY user_id
+    )
+    SELECT user_id, n, ewma FROM folded
+    """,
+    tags=("window", "timeseries"),
+)
+def win_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the smoothing
+    recurrence s ← s + α(v − s) that window frames cannot express (each
+    step depends on the previous OUTPUT, not a frame of inputs). Both
+    engines run the IDENTICAL SEQUENTIAL FOLD over the identically-ordered
+    (ts, event_id) value list — the engine's established determinism tool
+    for order-dependent float math (same as the cosine folds), so the
+    result is bit-stable across engines and partitionings even though
+    float addition is not associative.
+
+    Scale shape: one user_id exchange; collect_list is per-user bounded
+    (a user's event history), and the fold is map-side on the aggregated
+    array. Seeded at 0.0 so the recurrence is total with no
+    first-element special case."""
+    ev = table(spark, sf_dir, "events")
+    alpha = F.lit(EWMA_ALPHA_NUM / EWMA_ALPHA_DEN)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    vals = F.transform(ordered, lambda s: s.getField("value").cast("double"))
+    ewma = F.aggregate(
+        vals, F.lit(0.0), lambda acc, v: acc + alpha * (v - acc)
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), ewma.alias("ewma")
+    )

@@ -71,6 +71,8 @@ CORE_ORDER = [
     "stream_stateful_session_timeout",  # EventTimeTimeout custom sessionizer
     "win_ohlc_resample",       # order-defined OHLC bars, min_by/max_by one-pass
     "text_ngram_novelty",      # first-occurrence novelty curation signal
+    "win_ewma_by_user",        # sequential-fold EWMA recurrence
+    "agg_group_mode",          # deterministic per-group mode via min_by struct
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -104,8 +106,6 @@ CORE_ORDER = [
     "dedup_exact",             # D1
     "sim_cosine_topk",         # D5
     # -- r5 first-timers: second confirmation while slots allow --
-    "dedup_fuzzy_names",
-    "sim_kmeans_iterate",
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
     # git history / prior CORRECTNESS files); every name below is still
@@ -125,6 +125,8 @@ CORE_ORDER = [
     "sink_partitioned_prune",  # r5-window green (plan test keeps the property)
     "embed_quantize_error_contract",  # r5-window green
     "win_sliding_hourly",      # r5-window green
+    "dedup_fuzzy_names",       # r5-window green
+    "sim_kmeans_iterate",      # r5-window green
     "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",

@@ -41,6 +41,10 @@ QUERIES = [
     "text_bigram_lm_score",     # integer join-agg, shuffle-partition-count hostile (r6)
     "graph_kcore_bounded",      # peel rounds + early-exit under hostile topology (r6)
     "stream_watermark_late",    # batch→file mapping + tz pinning in the fixture (r6)
+    "win_ewma_by_user",         # order-dependent sequential float fold (r6)
+    "agg_group_mode",           # mode tie-break must survive any partitioning (r6)
+    "text_ngram_novelty",       # min-doc first-occurrence under hostile topology (r6)
+    "stream_stateful_session_timeout",  # timeout emission + batch mapping (r6)
 ]
 
 _SCRIPT = f"""

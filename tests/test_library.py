@@ -59,7 +59,7 @@ R6_PROMOTED = {
     "pipeline_multimodal_curation", "dedup_prefix_containment",
     "agg_exact_median", "join_bucketed_colocated",
     "stream_stateful_session_timeout", "win_ohlc_resample",
-    "text_ngram_novelty",
+    "text_ngram_novelty", "win_ewma_by_user", "agg_group_mode",
     # changed since their last driver CORRECTNESS row (r6 refactors +
     # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
     "graph_kcore_bounded", "graph_sssp_bounded", "graph_triangle_count",
