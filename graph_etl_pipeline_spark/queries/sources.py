@@ -308,3 +308,42 @@ def src_docx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_docx.mapInPandas(
         _docx_to_text_batches, schema="doc_id bigint, text string, n_paragraphs int"
     )
+
+
+_ORC_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache", "orc",
+)
+
+
+@register(
+    "src_orc_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_acctbal > 0
+    """,
+    tags=("source", "orc"),
+)
+def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan — the second columnar format (S3's parquet twin): the
+    supplier dim round-trips through ORC and reads back with a pushed
+    predicate, so values AND the pushdown path must survive the format
+    exactly (ORC carries its own stripe-level min/max indexes, the same
+    skipping contract the parquet scans rely on; the filter is visible as
+    PushedFilters in the plan). Avro and Delta are external packages not
+    present in this container — ORC is in-box, so this is the one extra
+    on-disk format the engine can genuinely claim. The write keeps
+    upstream parallelism (no coalesce(1) serialization)."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.io import _reap_stale_pid_dirs
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    _reap_stale_pid_dirs(_ORC_CACHE)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(_ORC_CACHE, f"{key}-{os.getpid()}", "supplier")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        s.write.mode("overwrite").orc(dest)
+    return spark.read.orc(dest).filter(F.col("s_acctbal") > 0)

@@ -51,6 +51,7 @@ CORE_ORDER = [
     # -- new in r6: first driver rows --
     "src_pdf_scan",            # PDF byte ingestion, distributed round trip
     "src_docx_scan",           # DOCX byte ingestion (completes the pdf/csv/docx/llm quartet)
+    "src_orc_scan",            # second columnar format, pushdown through ORC
     "stream_watermark_late",   # T3 late data made hash-checkable (3 regimes)
     "stream_interval_join",    # stream-stream event-time range join
     "text_line_dedup",         # CCNet-style cross-doc boilerplate line removal
@@ -77,9 +78,8 @@ CORE_ORDER = [
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
     "graph_sssp_bounded",      # bellman_ford library fn + pinned edge list
-    "graph_triangle_count",    # shares interaction_edges with kcore/sssp now
-    "cdc_apply_changefeed",    # apply_changefeed generic over snapshot schema
     "stream_incremental_upsert",  # size-derived state-write compaction
+    "cdc_apply_changefeed",    # apply_changefeed generic over snapshot schema
     "graph_copurchase_project",  # hot-basket guard wired (c4fd83e, post-r5-row)
     "sim_ann_ivf_trained",     # single-pass Lloyd artifacts (c4fd83e)
     # -- flagship: a hard row every round --
@@ -127,6 +127,7 @@ CORE_ORDER = [
     "win_sliding_hourly",      # r5-window green
     "dedup_fuzzy_names",       # r5-window green
     "sim_kmeans_iterate",      # r5-window green
+    "graph_triangle_count",    # r4/parity-green; edge derivation extracted (pure refactor, plan unchanged)
     "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",

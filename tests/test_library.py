@@ -51,7 +51,7 @@ SURVEY_DECLARED = {
 # a driver-window slot this round.
 R6_PROMOTED = {
     # new in r6
-    "src_pdf_scan", "src_docx_scan", "stream_watermark_late",
+    "src_pdf_scan", "src_docx_scan", "src_orc_scan", "stream_watermark_late",
     "stream_interval_join", "text_line_dedup", "mm_image_resize",
     "graph_label_propagation", "text_bigram_lm_score", "embed_pca_power",
     "stream_left_join_timeout", "sink_zorder_write", "join_salted_skew",
@@ -62,7 +62,7 @@ R6_PROMOTED = {
     "text_ngram_novelty", "win_ewma_by_user", "agg_group_mode",
     # changed since their last driver CORRECTNESS row (r6 refactors +
     # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
-    "graph_kcore_bounded", "graph_sssp_bounded", "graph_triangle_count",
+    "graph_kcore_bounded", "graph_sssp_bounded",
     "cdc_apply_changefeed", "stream_incremental_upsert",
     "graph_copurchase_project", "sim_ann_ivf_trained",
     # the every-round flagship
