@@ -569,10 +569,11 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     max (high), min (low), and last (close) value plus tick count. First/
     last are ORDER-DEFINED (ts, then event_id as the deterministic
     tiebreak for same-microsecond ticks), implemented with min_by/max_by
-    over the composite (ts, event_id) key — one map-combined aggregation,
-    ONE exchange, no window function and no sort: at 100 TB the bar table
-    build is a plain shuffle-agg whose partial states are 4 scalars per
-    bar. The oracle derives open/close independently via dual
+    over the composite (ts, event_id) key — one aggregation with map-side
+    partials and ONE exchange, no window function (min_by/max_by plan as
+    SortAggregate, so the per-partition grouping sorts are the
+    aggregation's own): at 100 TB the bar table build is a plain
+    shuffle-agg whose partial states are 4 scalars per bar. The oracle derives open/close independently via dual
     row_numbers."""
     ev = table(spark, sf_dir, "events")
     bar = F.date_trunc("hour", "ts").alias("bar_ts")

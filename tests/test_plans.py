@@ -261,3 +261,41 @@ def test_zorder_layout_skips_files(spark, sf_dir):
 
     z_files, r_files = files_touched(zdest), files_touched(rdest)
     assert z_files < r_files, (z_files, r_files)
+
+
+def test_line_dedup_hot_set_broadcasts(spark, sf_dir):
+    """text_line_dedup's boilerplate set must come back as a BROADCAST
+    anti-join — a shuffled anti-join would move the corpus-sized line
+    stream for a frequency-bounded hot list."""
+    plan = _plan(spark, "text_line_dedup", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ohlc_single_exchange_no_window(spark, sf_dir):
+    """OHLC bars are one aggregation with map-side partials and a single
+    hash exchange — no window function. (min_by/max_by are typed
+    imperative aggregates, so Spark plans SortAggregate: the grouping
+    sorts inside each side of the exchange are the aggregation's own,
+    not an extra global sort.)"""
+    plan = _plan(spark, "win_ohlc_resample", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine proven
+
+
+def test_salted_skew_join_broadcasts_hot_list(spark, sf_dir):
+    """join_salted_skew's hot-key list must broadcast onto BOTH sides;
+    the salted equi-join itself must not be a nested-loop."""
+    plan = _plan(spark, "join_salted_skew", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # hot list onto fact + dim
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mode_two_exchanges_no_window(spark, sf_dir):
+    """agg_group_mode composes two map-combined aggregations — the
+    row_number-over-counts formulation (the oracle's) would add a window
+    + sort; the engine side must not."""
+    plan = _plan(spark, "agg_group_mode", sf_dir)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
