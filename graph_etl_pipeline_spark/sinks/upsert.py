@@ -24,6 +24,7 @@ def merge_upsert(
     incoming: DataFrame,
     keys: Sequence[str],
     prefer_nonempty_cols: Sequence[str] = (),
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE semantics: match on `keys`; matched rows take incoming values,
     unmatched-incoming rows are inserted, unmatched-existing rows are kept.
@@ -32,6 +33,13 @@ def merge_upsert(
     overwrite (src/etl/facilities.py:119-125 — ``CASE WHEN $v <> '' THEN
     $v ELSE old END``): empty-string incoming values preserve the existing
     value instead of clobbering it.
+
+    ``evolve_schema`` is Delta's ``mergeSchema`` for this plain-Spark
+    MERGE: columns the incoming batch carries that the target lacks are
+    APPENDED to the output schema (incoming value where the incoming row
+    matched or inserted, NULL on keep-existing rows). Off by default —
+    silent schema drift should be an explicit choice; without it,
+    unknown incoming columns are dropped, the target schema is closed.
 
     Scale notes: both sides shuffle on `keys` once (sort-merge full-outer);
     if the incoming batch is small relative to existing, AQE converts the
@@ -73,6 +81,10 @@ def merge_upsert(
             .otherwise(e(c))
             .alias(c)
         )
+    if evolve_schema:
+        for c in incoming.columns:
+            if c not in existing.columns and c != "_inc_present":
+                out.append(i(c).alias(c))
     return joined.select(out)
 
 

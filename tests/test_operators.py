@@ -416,3 +416,28 @@ def test_salted_skew_join_engages_only_hot_keys(spark, sf_dir):
     hot_rows = counts.filter(F.col("lk") == 1).head()["count"]
     assert hot_rows / total > 0.4
     assert SKEW_SALT_R > 1
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """evolve_schema=True appends incoming-only columns (Delta's
+    mergeSchema for the plain-Spark MERGE): matched/inserted rows carry
+    the new value, keep-existing rows carry NULL; with the default
+    evolve_schema=False the target schema stays closed."""
+    from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    )
+    incoming = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.25)], "k long, name string, score double"
+    )
+    closed = merge_upsert(existing, incoming, keys=["k"])
+    assert closed.columns == ["k", "name"]
+
+    evolved = merge_upsert(existing, incoming, keys=["k"], evolve_schema=True)
+    assert evolved.columns == ["k", "name", "score"]
+    rows = {r.k: r for r in evolved.collect()}
+    assert rows[1].score is None          # keep-existing: new column NULL
+    assert rows[2].score == 9.5           # matched: incoming value
+    assert rows[3].score == 1.25          # inserted: incoming value
+    assert rows[2].name == "b2" and rows[1].name == "a"
