@@ -885,3 +885,38 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         un.cast("long").alias("unioned"),
         (F.col("common").cast("double") / un).alias("jaccard"),
     )
+
+
+@register(
+    "graph_connected_components_star",
+    oracle="""
+    SELECT uid, component FROM (
+        SELECT 'C' || CAST(c_custkey AS VARCHAR) AS uid,
+               'C' || CAST(c_custkey AS VARCHAR) AS component
+        FROM customer
+        UNION ALL
+        SELECT 'O' || CAST(o_orderkey AS VARCHAR),
+               'C' || CAST(o_custkey AS VARCHAR)
+        FROM orders
+    )
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR/SMALL-STAR
+    contraction (Kiveris et al., SoCC'14) — the web-scale algorithm whose
+    round count is O(log² n) worst case regardless of component DIAMETER,
+    where hash-min pays one round per hop (a 10⁶-long chain is 10⁶
+    hash-min rounds but ~20 star rounds). graph_connected_components
+    keeps hash-min as its registered path because this graph is shallow;
+    this row proves the star path end to end on the same closed-form
+    oracle — both algorithms must land on the identical min-uid labeling.
+    Long-chain convergence (where the two differ materially) is pinned in
+    tests/test_library.py's planted-chain cases."""
+    from graph_etl_pipeline_spark.graph.model import star_contraction_components
+
+    g = star_graph(spark, sf_dir)
+    vertices = g.vertices.filter(F.col("label").isin("Customer", "Order"))
+    edges = g.edges.filter(F.col("rel_type") == "PLACED_BY")
+    labels, _rounds = star_contraction_components(vertices, edges)
+    return labels

@@ -539,3 +539,109 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     return out
+
+
+BURST_MIN_EVENTS = 5  # events of one type in an hour to call it a burst
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_last
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        ) GROUP BY user_id, sid
+    ),
+    bursts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_burst
+        FROM events GROUP BY 1, 2 HAVING COUNT(*) >= {BURST_MIN_EVENTS}
+    )
+    SELECT s.user_id, s.s_start AS session_start, b.event_type,
+           b.h AS burst_hour, b.n_burst
+    FROM sess s JOIN bursts b
+      ON b.h >= date_trunc('hour', s.s_start)
+     AND b.h <= date_trunc('hour', s.s_last)
+    """,
+    tags=("join", "timeseries"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the two-sided generalization of
+    join_time_range's point-in-interval: which user sessions overlap
+    which per-type activity bursts (hot hours)? The classic hazard is a
+    nested-loop over |sessions| × |bursts|; the scalable form BUCKETIZES:
+    each session explodes into the hour buckets it covers (bounded by
+    session length — sessions are gap-bounded, so the fanout is small
+    and data-derived), bursts are already hour-keyed, and the overlap
+    becomes an EQUI-join on the bucket. Because bursts are exactly
+    one bucket wide, bucket equality IS interval overlap here — no
+    post-join dedup, no residual predicate; wider probe intervals get
+    the dedup step join_time_range documents.
+
+    Both inputs derive from one events scan each (sessions: the
+    gaps-and-islands window, one user shuffle; bursts: one hour×type
+    aggregation); the oracle computes the same overlap as a direct range
+    join, an independent formulation."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) >= gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_last"))
+    )
+    bursts = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_burst"))
+        .filter(F.col("n_burst") >= BURST_MIN_EVENTS)
+    )
+    buckets = sess.select(
+        "user_id",
+        "s_start",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_last"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    return buckets.join(bursts, "h").select(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        "event_type",
+        F.col("h").alias("burst_hour"),
+        "n_burst",
+    )

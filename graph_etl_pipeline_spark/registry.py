@@ -74,6 +74,8 @@ CORE_ORDER = [
     "text_ngram_novelty",      # first-occurrence novelty curation signal
     "win_ewma_by_user",        # sequential-fold EWMA recurrence
     "agg_group_mode",          # deterministic per-group mode via min_by struct
+    "graph_connected_components_star",  # O(log^2 n) star-contraction CC path
+    "join_interval_overlap",   # bucketized interval-x-interval overlap join
     # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
     #    these rewrites) --
     "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
@@ -97,9 +99,7 @@ CORE_ORDER = [
     "fn_hash_uid",             # F1
     "join_broadcast_inner",    # J1
     "join_left_anti",          # J2
-    "join_left_semi",          # J3
     "agg_multi_counter",       # A5
-    "agg_topk",                # A4
     "explode_split_targets",   # X2
     "win_row_number_dedup",    # O3
     "win_lag_running_sum",     # O5
@@ -128,6 +128,8 @@ CORE_ORDER = [
     "dedup_fuzzy_names",       # r5-window green
     "sim_kmeans_iterate",      # r5-window green
     "graph_triangle_count",    # r4/parity-green; edge derivation extracted (pure refactor, plan unchanged)
+    "join_left_semi",          # J3 — driver-green r1-r3 (beyond the VERDICT re-confirm ask)
+    "agg_topk",                # A4 — driver-green r1-r3 (beyond the VERDICT re-confirm ask)
     "mm_audio_frame_rms",      # r5-window green
     "embed_quantize_int8",     # r4 red row fixed -> r5-window green
     "sim_ann_ivf",
@@ -213,12 +215,12 @@ CORE_ORDER = [
 # oracle-checked locally every round; test_library asserts the partition.
 ROTATED_OUT = {
     "agg_collect_set", "agg_count_by_label", "agg_global_count",
-    "agg_group_topn", "arr_contains_lookup", "dedup_docs_exact",
+    "agg_group_topn", "agg_topk", "arr_contains_lookup", "dedup_docs_exact",
     "dedup_embedding_cosine", "dedup_merge_most_complete", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "flt_compound_predicate", "fn_case_classify",
     "fn_code_parse", "fn_dict_normalize", "fn_timestamps",
     "graph_count_by_label", "graph_reachability", "join_consistency_antijoin",
-    "join_two_hop", "mm_binary_features", "mm_image_decode",
+    "join_left_semi", "join_two_hop", "mm_binary_features", "mm_image_decode",
     "mm_metadata_struct", "pipeline_corpus_curation", "proj_select_alias",
     "set_union", "sort_limit", "text_fingerprint", "text_lang_id",
     "text_quality_score", "text_token_count", "win_session_batch",

@@ -60,6 +60,7 @@ R6_PROMOTED = {
     "agg_exact_median", "join_bucketed_colocated",
     "stream_stateful_session_timeout", "win_ohlc_resample",
     "text_ngram_novelty", "win_ewma_by_user", "agg_group_mode",
+    "graph_connected_components_star", "join_interval_overlap",
     # changed since their last driver CORRECTNESS row (r6 refactors +
     # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
     "graph_kcore_bounded", "graph_sssp_bounded",
@@ -72,8 +73,8 @@ R6_PROMOTED = {
     "src_csv_scan", "src_json_flatten", "sink_upsert_node",
     "sink_upsert_edge", "sink_merge_prefer_nonempty",
     "flt_blocklist_predicate", "fn_regexp_extract_all", "fn_hash_uid",
-    "join_broadcast_inner", "join_left_anti", "join_left_semi",
-    "agg_multi_counter", "agg_topk", "explode_split_targets",
+    "join_broadcast_inner", "join_left_anti",
+    "agg_multi_counter", "explode_split_targets",
     "win_row_number_dedup", "win_lag_running_sum", "dedup_exact",
     "sim_cosine_topk",
 }
