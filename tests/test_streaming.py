@@ -578,3 +578,71 @@ def test_state_table_files_stay_bounded_over_restarts(spark, tmp_path):
         assert len(_state_versions(state_dir)) <= 2, "version pruning must cap versions"
         assert n_files <= 4, f"cycle {cycle}: {n_files} part files in state dir"
     assert final.count() == 5  # 5 users, latest state each
+
+
+def test_stateful_session_timeout_mechanics(spark, tmp_path):
+    """Pin the EventTimeTimeout machinery on a hand fixture: in-batch gap
+    splits emit immediately; the trailing session of each user parks in
+    state and is emitted ONLY by the watermark-driven timeout (batch 2
+    runs with the advanced watermark); sessions whose deadline lies past
+    the final watermark are never emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+    from graph_etl_pipeline_spark.streaming.stateful import (
+        session_totals_with_timeout,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0)
+
+    def ev(eid, uid, minutes, val):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), val)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: user 1 has two sessions split by a 40-min gap (first emits
+    # in-batch); user 2 one session. Trailing sessions park in state.
+    a = [ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0),      # s1: 8:00-8:10
+         ev(3, 1, 50, 4.0),                        # s2 (open): 8:50
+         ev(4, 2, 5, 8.0)]                         # user2 (open): 8:05
+    # batch 1: advance row far in the future for user -1 only
+    b = [ev(100, -1, 240, 0.0)]
+    # batch 2: second advance so a batch RUNS with the advanced watermark
+    c = [ev(101, -2, 240, 0.0)]
+    for name, rows, mt in (("a", a, 100), ("b", b, 110), ("c", c, 120)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"{name}.parquet")
+        )
+        os.utime(src / f"{name}.parquet", (1_000_000_000 + mt, 1_000_000_000 + mt))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    name = f"sessto_{uuid.uuid4().hex[:8]}"
+    with stream_shuffle_partitions(spark):
+        q = (
+            session_totals_with_timeout(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = {
+        (r.user_id, r.session_start.minute): (r.n_events, r.session_cents)
+        for r in spark.table(name).collect()
+    }
+    # final wm = (t0+240min) - 60min = t0+180min: all real deadlines pass;
+    # the advance users' own sessions (deadline t0+270min) never emit
+    assert rows == {
+        (1, 0): (2, 300),    # 8:00 session: 2 events, 1.0+2.0 = 300 cents
+        (1, 50): (1, 400),   # 8:50 session, timeout-emitted
+        (2, 5): (1, 800),    # user 2, timeout-emitted
+    }, rows
