@@ -299,3 +299,24 @@ def test_mode_two_exchanges_no_window(spark, sf_dir):
     plan = _plan(spark, "agg_group_mode", sf_dir)
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_morton_code_interleave_roundtrip(spark):
+    """morton_code must be an exact bit interleave: decoding the even and
+    odd bit positions recovers the inputs for the full 16-bit range edge
+    cases and a pseudorandom sample."""
+    from graph_etl_pipeline_spark.queries.sinks import ZORDER_BITS, morton_code
+    from pyspark.sql import functions as F
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (43690, 21845),
+             (12345, 54321), (65535, 0), (0, 65535)]
+    cases += [((i * 2654435761) % 65536, (i * 40503) % 65536) for i in range(50)]
+    df = spark.createDataFrame(cases, "a long, b long").withColumn(
+        "z", morton_code(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        a = b = 0
+        for i in range(ZORDER_BITS):
+            a |= ((r.z >> (2 * i)) & 1) << i
+            b |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
