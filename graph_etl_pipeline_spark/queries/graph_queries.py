@@ -920,3 +920,71 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     edges = g.edges.filter(F.col("rel_type") == "PLACED_BY")
     labels, _rounds = star_contraction_components(vertices, edges)
     return labels
+
+
+WALK_STEPS = 3  # fixed walk length (unrolled oracle, pagerank convention)
+
+
+def _sql_walk_steps() -> str:
+    ctes = []
+    for i in range(1, WALK_STEPS + 1):
+        carried = ", ".join(f"w.p{j}" for j in range(i))
+        ctes.append(f"""w{i} AS (
+        SELECT w.walk_id, {carried},
+               a.nb[1 + (w.p{i - 1} * 2654435761 + {i} * 40503) % len(a.nb)] AS p{i}
+        FROM w{i - 1} w JOIN adj a ON a.node = w.p{i - 1}
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    adj AS (SELECT s AS node, list(t ORDER BY t) AS nb FROM bi GROUP BY s),
+    w0 AS (SELECT node AS walk_id, node AS p0 FROM adj),
+    {_sql_walk_steps()}
+    SELECT walk_id, p0, p1, p2, p3 FROM w{WALK_STEPS}
+    """,
+    tags=("graph", "llm", "embedding"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus generation for graph embeddings (DeepWalk/node2vec
+    data prep): one length-{WALK_STEPS} walk per node over the
+    interaction graph. The step choice is a DETERMINISTIC hash over
+    (position, step) — ``(node·2654435761 + step·40503) mod degree``
+    into the SORTED adjacency list — because training-data generation
+    must be replayable: the same corpus, cluster size, and retry always
+    produce the same walks (seeded determinism is the walk-generation
+    analogue of the engine's no-Math.random rule; vary the multiplier
+    per epoch for fresh walk sets).
+
+    Scale shape: the adjacency table is built once (one groupBy,
+    |V|-bounded rows with degree-bounded arrays) and each step is one
+    key-partitioned join against it — {WALK_STEPS}·|V| join rows total,
+    never materializing anything edge-quadratic. At web scale the
+    adjacency table is the bucketed/bucket-joined artifact every epoch
+    reuses.""".replace("{WALK_STEPS}", str(WALK_STEPS))
+    edges = interaction_edges(spark, sf_dir)
+    bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    adj = bi.groupBy(F.col("s").alias("node")).agg(
+        F.array_sort(F.collect_list("t")).alias("nb")
+    ).localCheckpoint(eager=True)
+
+    walks = adj.select(F.col("node").alias("walk_id"), F.col("node").alias("p0"))
+    for i in range(1, WALK_STEPS + 1):
+        prev = f"p{i - 1}"
+        a = adj.select(F.col("node").alias(prev), F.col("nb").alias("_nb"))
+        idx = (
+            (F.col(prev) * F.lit(2654435761) + F.lit(i * 40503))
+            % F.size("_nb")
+        ).cast("int")
+        walks = (
+            walks.join(a, prev)
+            .withColumn(f"p{i}", F.element_at("_nb", idx + 1))
+            .drop("_nb")
+        )
+    return walks.select("walk_id", *[f"p{i}" for i in range(WALK_STEPS + 1)])
