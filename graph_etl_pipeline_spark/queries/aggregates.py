@@ -596,3 +596,51 @@ def agg_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("event_type").agg(pick.alias("m")).select(
         "event_type", F.col("m.k_val").alias("k_val"), F.col("m.n").alias("n")
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_distinct_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct", "scale"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting by bitmap aggregation — the scalable exact
+    twin of agg_approx_distinct's HLL. COUNT(DISTINCT) over a big fact
+    either expands rows (Spark's distinct-agg rewrite) or shuffles every
+    (group, key) pair; when keys are dense integers (surrogate IDs —
+    orderkeys here), a CHUNKED BITMAP does it exactly with bounded state:
+    key → (chunk = key div 64, bit = 1 << key mod 64), `bit_or` partial
+    aggregation per (group, chunk) word — map-side combine collapses all
+    duplicates of a chunk before the exchange — then sum of
+    `bit_count(word)` per group. Distinct state per group is |key-range| / 64
+    bits spread across chunk keys, never a per-executor giant set, and the
+    words are MERGEABLE (bit_or is associative/commutative), so the same
+    plan maintains incremental distinct counts across partitions or days —
+    the roaring-bitmap pattern (Chambi et al.) with parquet-friendly longs.
+
+    Both exchanges are map-side combined; the second reduces 64-key words
+    to the 3 return flags. Oracle is the direct COUNT(DISTINCT)."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    words = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_orderkey") / F.lit(64)).cast("long").alias("chunk"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("l_orderkey"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("l_returnflag", "chunk")
+        .agg(F.bit_or("bit").alias("word"), F.count(F.lit(1)).alias("n"))
+    )
+    return words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("word")).alias("n_distinct_orders"),
+        F.sum("n").alias("n_rows"),
+    )

@@ -358,3 +358,91 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("r") >= 1.0) | (bucket < thr))
         .select("doc_id", "source")
     )
+
+
+# --- Deterministic fractional upsampling ------------------------------------
+# Knuth multiplicative hash (2654435761 = 2^32/phi) mod 1000: a uniform,
+# engine-exact int64 bucket for the fractional-copy decision. doc_id ≤ ~10^12
+# keeps the product far under int64 overflow.
+UPSAMPLE_KNUTH = 2654435761
+_UP_FACTOR_SQL = "1000 + 250 * (CAST(substr(source, 4) AS INT) % 6)"
+
+
+@register(
+    "sample_upsample_epochs",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source,
+               {_UP_FACTOR_SQL} AS factor_permille,
+               ({_UP_FACTOR_SQL}) // 1000
+               + CASE WHEN (doc_id * {UPSAMPLE_KNUTH}) % 1000
+                           < ({_UP_FACTOR_SQL}) % 1000
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, source, factor_permille,
+               unnest(generate_series(1, n_copies)) AS copy_idx
+        FROM c
+    )
+    SELECT source, factor_permille,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_emitted,
+           (1000 * COUNT(*)) // COUNT(DISTINCT doc_id) AS achieved_permille
+    FROM e GROUP BY source, factor_permille
+    """,
+    tags=("curation", "sampling"),
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional UPSAMPLING — the other half of data-recipe mixing: the
+    downsampling ops (sample_domain_mix, sample_temperature_mix) thin
+    dominant sources, but real recipes also REPEAT high-value sources by
+    non-integer epoch factors (e.g. 2.25 epochs of a curated source per
+    training pass). Each document emits floor(f) copies plus one more
+    iff its multiplicative-hash bucket falls under frac(f)·1000 — so a
+    source's emitted mass converges to exactly f·n_docs, per-row
+    deterministic, no RNG state, restart-safe. The per-source factor
+    here derives from the source id (1.0×–2.25×); a deployment feeds a
+    recipe table instead.
+
+    Plan: one map stage (factor arithmetic + explode of a ≤3-element
+    sequence — fanout is the factor, never data-dependent), then one
+    partial-aggregated exchange on the 20 sources for the audit summary.
+    The exploded rows are what a writer would shuffle-shard to break
+    copy adjacency; the explode happens before the exchange, so the
+    audit covers the real fanout path."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    fp = (
+        F.lit(1000)
+        + F.lit(250) * (F.expr("CAST(substring(source, 4) AS INT)") % 6)
+    ).alias("factor_permille")
+    # n_copies references the factor alias, so it lives in a second narrow
+    # projection (Catalyst collapses both into one map stage).
+    c = docs.select("doc_id", "source", fp).select(
+        "doc_id",
+        "source",
+        "factor_permille",
+        (
+            (F.col("factor_permille") / F.lit(1000)).cast("long")
+            + F.when(
+                F.pmod(F.col("doc_id") * F.lit(UPSAMPLE_KNUTH), F.lit(1000))
+                < F.pmod(F.col("factor_permille"), F.lit(1000)),
+                1,
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    e = c.select(
+        "doc_id",
+        "source",
+        "factor_permille",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias(
+            "copy_idx"
+        ),
+    )
+    return e.groupBy("source", "factor_permille").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.expr("1000 * count(1) DIV count(distinct doc_id)").alias(
+            "achieved_permille"
+        ),
+    )

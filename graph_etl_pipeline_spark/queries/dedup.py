@@ -706,3 +706,89 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.len").cast("long").alias("long_len"),
         )
     )
+
+
+# --- Exact duplicated-span detection ----------------------------------------
+SPAN_W = 8  # words per span; ~50 BPE tokens, the Lee et al. dedup granularity
+
+
+@register(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id, array_to_string(w[i:i + {SPAN_W - 1}], ' ') AS span
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_W - 1})) AS i
+              FROM w WHERE len(w) >= {SPAN_W})
+    ),
+    dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (SELECT doc_id, COUNT(*) AS dup_spans
+            FROM spans WHERE span IN (SELECT span FROM dup) GROUP BY doc_id)
+    SELECT d.doc_id,
+           GREATEST(len(string_split(d.text, ' ')) - {SPAN_W - 1}, 0) AS n_spans,
+           COALESCE(p.dup_spans, 0) AS dup_spans,
+           CASE WHEN GREATEST(len(string_split(d.text, ' ')) - {SPAN_W - 1}, 0) > 0
+                THEN (1000 * COALESCE(p.dup_spans, 0))
+                     // GREATEST(len(string_split(d.text, ' ')) - {SPAN_W - 1}, 0)
+                ELSE 0 END AS dup_permille
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    tags=("dedup", "text", "scale"),
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-SPAN detection — the substring-level dedup signal
+    document-level methods miss (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": train-set duplication lives in
+    repeated PASSAGES inside otherwise-distinct documents). Every
+    {SPAN_W}-word span is emitted with its position, spans seen in ≥2
+    DISTINCT documents are the duplicated set, and each document reports
+    its duplicated-span coverage (exact permille) — the score a curation
+    pass thresholds to drop or trim boilerplate-heavy documents.
+
+    Plan: one map-side explode (spans generated inside the projection —
+    no join to build them), one span-keyed exchange with partial
+    count_distinct, a LEFT SEMI join back (span survivors only), and a
+    per-doc count. Never pairwise in documents. Scale notes: the span
+    exchange carries the span STRINGS here so the DuckDB oracle can
+    reproduce the exact key set; at 100 TB the key is xxhash64(span) —
+    8 bytes instead of ~50, same plan shape, collision odds ~n²/2⁶⁴ —
+    and the hot-span long tail (pathological boilerplate) is bounded by
+    the same document-frequency cap dedup_ngram_jaccard wires."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= SPAN_W, F.sequence(F.lit(1), F.size("w") - (SPAN_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("w", i, SPAN_W), " "))
+        ).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    per = (
+        spans.join(dup, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    totals = docs.select(
+        "doc_id", F.greatest(F.size("w") - (SPAN_W - 1), F.lit(0)).alias("n_spans")
+    )
+    return totals.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.expr("1000 * coalesce(dup_spans, 0) DIV n_spans"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_permille"),
+    )

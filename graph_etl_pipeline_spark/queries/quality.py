@@ -261,3 +261,97 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --- Gopher-style document rule battery -------------------------------------
+GOPHER_STOPWORDS = ("a", "the", "of", "to", "is")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
+GOPHER_WLEN_LO, GOPHER_WLEN_HI = 3_000, 10_000  # mean word length, permille
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_SYM_PERMILLE = 100
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               (1000 * CAST(list_aggregate(list_transform(w, x -> len(x)),
+                                            'sum') AS BIGINT))
+                   // GREATEST(len(w), 1) AS mean_wlen_permille,
+               len(list_filter(w, x -> list_contains({list(GOPHER_STOPWORDS)}, x)))
+                   AS stop_hits,
+               (1000 * len(list_filter(w, x -> regexp_matches(x, '[^a-z0-9]'))))
+                   // GREATEST(len(w), 1) AS sym_permille
+        FROM s
+    )
+    SELECT doc_id, n_words, mean_wlen_permille, stop_hits, sym_permille,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_word_count,
+           mean_wlen_permille BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI} AS r_mean_wlen,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+           sym_permille <= {GOPHER_MAX_SYM_PERMILLE} AS r_symbols,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mean_wlen_permille BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI})
+           AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+           AND sym_permille <= {GOPHER_MAX_SYM_PERMILLE} AS passed
+    FROM m
+    """,
+    tags=("quality", "text", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RULE BATTERY (Rae et al. 2021 §A1.1): where
+    text_quality_score blends signals into one ranking score, a
+    production filter wants NAMED, individually-auditable rules — word
+    count band, mean word length band, minimum stopword evidence,
+    symbol-to-word ceiling — each emitted as its own boolean column plus
+    the AND verdict, so corpus triage can ask "what fraction failed
+    WHICH rule" instead of re-deriving it from a scalar. All metrics are
+    exact integers (permille via integer division), so the verdict is
+    engine-stable.
+
+    Purely map-side: one split, three higher-order-function reductions
+    over the token array, zero exchanges — 100 TB-safe by construction."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.expr(
+            "1000 * aggregate(transform(split(text, ' '), x -> length(x)),"
+            " 0L, (acc, x) -> acc + x) DIV GREATEST(size(split(text, ' ')), 1)"
+        ).alias("mean_wlen_permille"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias(
+            "stop_hits"
+        ),
+        (
+            F.lit(1000)
+            * F.size(F.filter(w, lambda x: x.rlike("[^a-z0-9]")))
+        ).alias("sym_hits_k"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_permille",
+        "stop_hits",
+        F.expr("sym_hits_k DIV GREATEST(n_words, 1)").alias("sym_permille"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_wl = F.col("mean_wlen_permille").between(GOPHER_WLEN_LO, GOPHER_WLEN_HI)
+    r_st = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_sy = F.col("sym_permille") <= GOPHER_MAX_SYM_PERMILLE
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_permille",
+        "stop_hits",
+        "sym_permille",
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_mean_wlen"),
+        r_st.alias("r_stopwords"),
+        r_sy.alias("r_symbols"),
+        (r_wc & r_wl & r_st & r_sy).alias("passed"),
+    )

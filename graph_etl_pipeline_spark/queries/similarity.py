@@ -805,3 +805,91 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mul(v1, out_decimal=True).select(
         F.col("i").cast("int").alias("i"), F.col("w").alias("component")
     )
+
+
+# --- SemDeDup: cluster-bounded semantic near-dup removal --------------------
+# τ = 0.35 → τ²·10⁴ = 1225; the test corpus has no planted semantic dups
+# (PAIR_THRESHOLD note above), so τ sits where real cross-cell cosines land.
+SEMDEDUP_TAU_SQ_E4 = 1225
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+    WITH {_sql_lloyd_ctes()},
+    m AS (SELECT vec_id, cid, qe FROM a{LLOYD_ROUNDS - 1}),
+    p AS (
+        SELECT a.vec_id AS a_id,
+               {_sql_idot("a.qe", "b.qe")} AS d,
+               {_sql_idot("a.qe", "a.qe")} AS na,
+               {_sql_idot("b.qe", "b.qe")} AS nb
+        FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    ),
+    drops AS (
+        SELECT DISTINCT a_id FROM p
+        WHERE d > 0
+          AND CAST(d AS HUGEINT) * d * 10000
+              >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
+    )
+    SELECT m.vec_id, m.cid AS cluster, d.a_id IS NULL AS keep
+    FROM m LEFT JOIN drops d ON m.vec_id = d.a_id
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal with the
+    pairwise work BOUNDED BY K-MEANS CELLS — embed, cluster with Lloyd
+    (the trained sim_kmeans_iterate quantizer, shared code path), then
+    compare cosines only WITHIN each cluster and greedily drop any
+    member with a lower-id near-duplicate above τ. This is the
+    embedding-space complement to the token-space near-dup family:
+    MinHash (dedup_minhash_lsh) bounds candidates by band buckets,
+    SemDeDup bounds them by semantic cells; dedup_cluster_keep's
+    connected-components canonicalization is the transitive-closure
+    upgrade either can feed.
+
+    The τ comparison is EXACT: cos(a,b) ≥ τ ⟺ (a·b)²·10⁴ ≥ τ²10⁴·|a|²|b|²
+    given a·b > 0, evaluated on int64 fixed-point dots widened to
+    decimal/int128 (|dot| ≤ 2^54 ⇒ products ≤ ~3·10^36, inside both
+    engines' 38-digit headroom) — no float sqrt, no engine drift.
+
+    Scale notes: pair fanout is Σ n_c² over cell sizes — the deployment
+    contract is K ∝ N / target_cell_size (the paper uses ~10⁵ cells for
+    10⁸ docs), keeping cells at ~10³ regardless of corpus size; cells
+    exceeding the target get the CHUNK_CAP triangle tiling
+    (_tiled_label_pairs) that bounds any one task. K is a test-scale
+    constant here; the join is cid-keyed, so AQE splits hot cells."""
+    e = table(spark, sf_dir, "embeddings")
+    assigned, _cents = _lloyd(e, LLOYD_ROUNDS)
+    m = assigned.select("vec_id", "cid", "qe")
+    left = m.select(
+        F.col("vec_id").alias("a_id"), "cid", F.col("qe").alias("a_qe")
+    )
+    right = m.select(
+        F.col("vec_id").alias("b_id"), "cid", F.col("qe").alias("b_qe")
+    )
+    pairs = left.join(right, "cid").filter(F.col("b_id") < F.col("a_id"))
+    scored = pairs.select(
+        "a_id",
+        _int_dot("a_qe", "b_qe").alias("d"),
+        _int_dot("a_qe", "a_qe").alias("na"),
+        _int_dot("b_qe", "b_qe").alias("nb"),
+    )
+    dup = scored.filter(
+        (F.col("d") > 0)
+        & (
+            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+            * F.lit(10000)
+            >= F.lit(SEMDEDUP_TAU_SQ_E4)
+            * F.col("na").cast("decimal(19,0)")
+            * F.col("nb").cast("decimal(19,0)")
+        )
+    )
+    drops = dup.select(F.col("a_id").alias("vec_id")).distinct().withColumn(
+        "dropped", F.lit(True)
+    )
+    return (
+        m.select("vec_id", F.col("cid").alias("cluster"))
+        .join(drops, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dropped").isNull().alias("keep"))
+    )

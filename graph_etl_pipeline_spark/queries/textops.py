@@ -798,3 +798,68 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+# --- Markup stripping -------------------------------------------------------
+# Deterministic wrapper: the documents table carries clean text, so the
+# operator manufactures its own HTML shell (title/h1/p/footer + entities)
+# from (doc_id, source, text) and then strips it — both engines replay the
+# wrap AND the strip, so the hash checks the strip logic end to end.
+_HTML_WRAP_SQL = (
+    "'<html><head><title>' || source || '</title></head><body><h1>Doc ' || "
+    "CAST(doc_id AS VARCHAR) || '</h1><p class=\"body\">' || text || "
+    "'</p><footer>&copy; corpus &amp; mirrors&nbsp;archive</footer></body></html>'"
+)
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+               ' {{2,}}', ' ', 'g')) AS clean_text,
+           length(html) - length(trim(regexp_replace(
+               replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+               ' {{2,}}', ' ', 'g'))) AS n_removed
+    FROM (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents)
+    """,
+    tags=("text", "cleaning"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform every web-scraped
+    training corpus applies (CCNet/trafilatura's core loop): drop markup,
+    decode entities, collapse the whitespace the tags leave behind.
+    Tag removal is one `<[^>]*>` pass (replacing with a SPACE so
+    `</h1><p>` doesn't weld adjacent words); entities decode in the
+    fixed order nbsp/lt/gt THEN amp — decoding `&amp;` first would
+    re-decode `&amp;nbsp;` into a live entity, the classic double-decode
+    bug, which the hash would catch; a final `' {{2,}}' → ' '` collapse +
+    trim normalizes spacing. Emits the cleaned text and the per-doc
+    byte shed (markup overhead audit).
+
+    Purely map-side: three regexp/replace passes in whole-stage codegen,
+    zero exchanges, trivially 100 TB-safe."""
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>'),
+        F.col("source"),
+        F.lit('</title></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="body">'),
+        F.col("text"),
+        F.lit('</p><footer>&copy; corpus &amp; mirrors&nbsp;archive</footer></body></html>'),
+    )
+    stripped = F.regexp_replace(html, "<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(stripped, " {2,}", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length(html) - F.length(clean)).alias("n_removed"),
+    )

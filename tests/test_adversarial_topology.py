@@ -45,6 +45,11 @@ QUERIES = [
     "agg_group_mode",           # mode tie-break must survive any partitioning (r6)
     "text_ngram_novelty",       # min-doc first-occurrence under hostile topology (r6)
     "stream_stateful_session_timeout",  # timeout emission + batch mapping (r6)
+    "dedup_ngram_spans",        # span-keyed count_distinct + semi-join (r6 wave 4)
+    "dedup_semdedup_clusters",  # Lloyd cells + exact-int cosine pair drop (r6 wave 4)
+    "join_bloom_prefilter",     # bitmap bit_or agg + broadcast probe + shuffle_hash (r6 wave 4)
+    "sample_upsample_epochs",   # multiplicative-hash fractional explode (r6 wave 4)
+    "agg_bitmap_exact_distinct",  # chunked-bitmap distinct under 200 partitions (r6 wave 4)
 ]
 
 _SCRIPT = f"""
