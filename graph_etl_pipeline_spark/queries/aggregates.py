@@ -644,3 +644,118 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).alias("n_distinct_orders"),
         F.sum("n").alias("n_rows"),
     )
+
+
+# --- Count-min sketch with in-query accuracy contract -----------------------
+# d=3 rows × w=512 counters. Row hashes are engine-exact multiplicative
+# mixes (xxhash prime multipliers, shift, mod) — Spark's native
+# count_min_sketch() emits an opaque binary with no public SQL reader, so
+# the sketch is built from first principles, like the bloom filter.
+CMS_W = 512
+CMS_MULTS = (2654435761, 2246822519, 3266489917)
+CMS_PROBE_K = 10
+
+_CMS_POS_SQL = "((user_id * {m}) // 1024) % " + str(CMS_W)
+
+
+@register(
+    "agg_countmin_contract",
+    oracle=f"""
+    WITH f AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, {_CMS_POS_SQL.format(m=m)} AS pos,"
+            f" COUNT(*) AS c FROM events GROUP BY pos"
+            for i, m in enumerate(CMS_MULTS)
+        )}
+    ),
+    probes AS (
+        SELECT user_id, n FROM f ORDER BY n DESC, user_id LIMIT {CMS_PROBE_K}
+    ),
+    pp AS (
+        SELECT user_id, n, i,
+               CASE i {" ".join(
+                   f"WHEN {i} THEN {_CMS_POS_SQL.format(m=m)}"
+                   for i, m in enumerate(CMS_MULTS)
+               )} END AS pos
+        FROM probes, (SELECT unnest([0, 1, 2]) AS i)
+    )
+    SELECT pp.user_id, pp.n AS true_n,
+           CAST(MIN(c.c) AS BIGINT) AS est_n,
+           MIN(c.c) >= pp.n AS overcount_ok
+    FROM pp JOIN cells c ON c.i = pp.i AND c.pos = pp.pos
+    GROUP BY pp.user_id, pp.n
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation with an in-query accuracy
+    contract (Cormode & Muthukrishnan) — the mergeable fixed-size
+    answer to "how often did key k occur" when the key space is too
+    wide for exact counters: d=3 hash rows × w={CMS_W} counters
+    (~12 KiB total), estimate = min over rows, one-sided error
+    (NEVER undercounts — asserted per probe in `overcount_ok`).
+    Complements the module's other sketches: HLL answers distinct,
+    Misra-Gries answers heavy hitters, CMS answers point frequency.
+
+    Built from pure DataFrame ops (the bloom-filter precedent —
+    Spark's count_min_sketch() binary has no public SQL reader): each
+    event maps to d (row, position) pairs map-side, the cell table is
+    one partial-aggregated exchange producing ≤ d·w rows, and the
+    top-{CMS_PROBE_K} true-frequency keys (deterministic tie-break)
+    are probed back against the broadcast-sized cell table. The cells
+    are MERGEABLE by plain addition — per-partition/per-day sketches
+    sum into the global one, the property every streaming deployment
+    leans on.
+
+    Scale: sketch size is a constant independent of corpus size; the
+    one exchange carries ≤ 3 rows per input row pre-combine, and the
+    probe join is broadcast. All arithmetic is int64-exact, so the
+    estimates (not just the bounds) hash-match across engines."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def pos(m) -> F.Column:
+        return F.pmod(
+            (F.col("user_id") * F.lit(m) / F.lit(1024)).cast("long"), F.lit(CMS_W)
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), pos(m).alias("pos"))
+                        for i, m in enumerate(CMS_MULTS)
+                    ]
+                )
+            ).alias("ip")
+        )
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freqs = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    probes = freqs.orderBy(F.col("n").desc(), "user_id").limit(CMS_PROBE_K)
+    pp = probes.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), pos(m).alias("pos"))
+                    for i, m in enumerate(CMS_MULTS)
+                ]
+            )
+        ).alias("ip"),
+    ).select("user_id", "n", F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+    est = (
+        F.broadcast(pp)
+        .join(cells, ["i", "pos"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").alias("true_n"),
+        "est_n",
+        (F.col("est_n") >= F.col("n")).alias("overcount_ok"),
+    )

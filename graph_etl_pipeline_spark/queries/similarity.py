@@ -893,3 +893,139 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drops, "vec_id", "left")
         .select("vec_id", "cluster", F.col("dropped").isNull().alias("keep"))
     )
+
+
+# --- 1-bit (sign) embedding quantization + Hamming ANN contract -------------
+SIGN_TOPK = 20
+# SIGN_RECALL_FLOOR of SIGN_TOPK. The corpus is RANDOM vectors (cosines near
+# 0, pairwise Hamming ~32±4 noise) — the hardest case for 1-bit codes — so
+# the floor is deliberately coarse: measured hits are 5/8/7 at
+# sf0.001/0.01/0.1 vs E[hits] ≈ SIGN_TOPK²/N ≈ 0 for an uninformative
+# ranking. On a corpus with planted near-dups, sign bits separate far more
+# sharply (E[ham] = 64·θ/π).
+SIGN_RECALL_FLOOR = 4
+LONG_MIN = -9223372036854775808  # dim 64's bit is the sign bit: added, not shifted
+
+_SIGN_SIG_SQL = f"""
+list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN qe[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+          ELSE CAST(0 AS BIGINT) END
+     for i in generate_series(1, 63)]),
+    (acc, v) -> acc + v)
++ CASE WHEN qe[64] >= 0 THEN CAST({LONG_MIN} AS BIGINT) ELSE CAST(0 AS BIGINT) END
+"""
+
+
+def _sign_sig(qe) -> Column:
+    """64 sign bits packed into ONE int64 (DIM == 64 exactly): bit i-1 set
+    iff dimension i is non-negative. Bit 63 (dim 64) is the long's sign
+    bit — shifting 1<<63 overflows DuckDB, so it is ADDED as LONG_MIN
+    (exact in both engines: the bits-0..62 sum is < 2^63, and adding
+    -2^63 stays in range — no wrap)."""
+    bits = F.aggregate(
+        F.sequence(F.lit(1), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(qe, i) >= 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), (i - 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return bits + F.when(F.element_at(qe, 64) >= 0, F.lit(LONG_MIN)).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+@register(
+    "embed_sign_hamming_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, qe, {_SIGN_SIG_SQL} AS sig FROM q),
+    qv AS (SELECT qe AS q_qe, sig AS q_sig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT s.vec_id,
+               CAST(bit_count(xor(s.sig, qv.q_sig)) AS BIGINT) AS ham,
+               CAST({_sql_idot("s.qe", "qv.q_qe")} AS DOUBLE)
+               / sqrt(CAST({_sql_idot("s.qe", "s.qe")} AS DOUBLE)
+                      * CAST({_sql_idot("qv.q_qe", "qv.q_qe")} AS DOUBLE)) AS cos
+        FROM sigs s, qv WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    sign_topk AS (
+        SELECT vec_id FROM scored ORDER BY ham, vec_id LIMIT {SIGN_TOPK}
+    ),
+    exact_topk AS (
+        SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT {SIGN_TOPK}
+    )
+    SELECT {SIGN_TOPK} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sign_topk
+            WHERE vec_id IN (SELECT vec_id FROM exact_topk)) AS hits,
+           (SELECT COUNT(*) FROM sign_topk
+            WHERE vec_id IN (SELECT vec_id FROM exact_topk))
+               >= {SIGN_RECALL_FLOOR} AS recall_ok
+    """,
+    tags=("similarity", "llm", "approx"),
+)
+def embed_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT embedding quantization (sign bits) with a Hamming-space
+    top-k recall contract — the 64×-compression end of the quantization
+    spectrum (int8 → embed_quantize_int8, sign → here), and the bridge
+    between the embedding and bitwise-dedup worlds: after packing each
+    64-dim vector's SIGNS into one int64, angular similarity becomes
+    popcount(xor) — dedup_simhash's machinery pointed at dense
+    embeddings (for random-hyperplane vectors E[ham] = 64·θ/π, the SimHash
+    identity). The query ranks the corpus by exact cosine AND by sign-bit
+    Hamming and emits the overlap of the two top-{SIGN_TOPK} lists with a
+    recall floor — like sim_ann_recall_contract, the driver's hash row
+    checks the ACCURACY claim, not just plumbing.
+
+    Determinism: signs come from the shared int64 fixed-point quantize
+    (exact), the Hamming rank is pure integers, and the exact-cosine
+    tie-break is (cos DESC, vec_id) where cos is a fixed 4-op IEEE
+    expression over exact int dots — bit-identical across engines.
+
+    Scale: signatures are 8 bytes/vector (the ONLY per-vector state —
+    a 10⁹-vector index is 8 GB, memory-resident per executor); the
+    1×N query scan is map-side against a broadcast single-row query,
+    and top-k is TakeOrderedAndProject, never a global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _quantize_fixed(e).select("vec_id", "qe")
+    sigs = q.select("vec_id", "qe", _sign_sig(F.col("qe")).alias("sig"))
+    qv = F.broadcast(
+        sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("qe").alias("q_qe"), F.col("sig").alias("q_sig")
+        )
+    )
+    scored = (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig")))
+            .cast("long")
+            .alias("ham"),
+            (
+                _int_dot("qe", "q_qe").cast("double")
+                / F.sqrt(
+                    _int_dot("qe", "qe").cast("double")
+                    * _int_dot("q_qe", "q_qe").cast("double")
+                )
+            ).alias("cos"),
+        )
+    )
+    sign_topk = scored.orderBy("ham", "vec_id").limit(SIGN_TOPK).select("vec_id")
+    exact_topk = (
+        scored.orderBy(F.col("cos").desc(), "vec_id").limit(SIGN_TOPK).select("vec_id")
+    )
+    hits = sign_topk.join(exact_topk, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.lit(SIGN_TOPK).alias("k"),
+        "hits",
+        (F.col("hits") >= SIGN_RECALL_FLOOR).alias("recall_ok"),
+    )

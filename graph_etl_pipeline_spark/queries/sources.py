@@ -347,3 +347,80 @@ def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         s.write.mode("overwrite").orc(dest)
     return spark.read.orc(dest).filter(F.col("s_acctbal") > 0)
+
+
+# --- JSONL (line-delimited JSON) with corrupt-record accounting -------------
+# Every 97th doc line is corrupted (truncated mid-object — Spark's from_json
+# is lenient about TRAILING garbage, so truncation is the corruption both
+# engines agree is malformed) to drive the bad-line path deterministically.
+JSONL_CORRUPT_MOD = 97
+
+
+@register(
+    "src_jsonl_scan",
+    oracle=f"""
+    WITH full_lines AS (
+        SELECT doc_id,
+               CAST(to_json({{'doc_id': doc_id, 'lang': lang,
+                              'source': source, 'n_chars': n_chars}})
+                    AS VARCHAR) AS fl
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {JSONL_CORRUPT_MOD} = 0
+                    THEN substr(fl, 1, length(fl) - 5)
+                    ELSE fl END AS line
+        FROM full_lines
+    )
+    SELECT doc_id,
+           json_valid(line) AS parse_ok,
+           CASE WHEN json_valid(line)
+                THEN json_extract_string(line, '$.lang') END AS p_lang,
+           CASE WHEN json_valid(line)
+                THEN json_extract_string(line, '$.source') END AS p_source,
+           CASE WHEN json_valid(line)
+                THEN CAST(json_extract(line, '$.n_chars') AS BIGINT) END AS p_n_chars
+    FROM lines
+    """,
+    tags=("source", "jsonl"),
+)
+def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with malformed-line accounting — the interchange
+    format every LLM training corpus actually ships as (one JSON object
+    per line), where real feeds always contain some broken lines and the
+    loader's job is to parse what parses and ACCOUNT for what doesn't,
+    never to abort. Lines are manufactured deterministically from
+    `documents` via to_json (so both engines replay byte-equivalent
+    content) with every {JSONL_CORRUPT_MOD}th line damaged; `from_json`
+    in PERMISSIVE mode yields a null struct for those, which becomes a
+    parse_ok=false row with null payload columns — the quarantine row a
+    production loader routes to a dead-letter table. Completes the
+    source matrix: csv / nested-json / JSONL / parquet / ORC / xlsx /
+    pdf / docx.
+
+    Purely map-side (serialize + parse in whole-stage codegen, zero
+    exchanges); at 100 TB this is `spark.read.json` with
+    columnNameOfCorruptRecord over a line-split text scan, same
+    semantics, file-parallel."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    line = F.when(
+        F.col("doc_id") % JSONL_CORRUPT_MOD == 0,
+        F.expr(
+            "substring(to_json(struct(doc_id, lang, source, n_chars)),"
+            " 1, length(to_json(struct(doc_id, lang, source, n_chars))) - 5)"
+        ),
+    ).otherwise(payload)
+    parsed = F.from_json(
+        line, "doc_id bigint, lang string, source string, n_chars bigint"
+    )
+    # PERMISSIVE from_json returns an all-null struct for corrupt lines;
+    # doc_id is never null in real lines, so it is the parse verdict.
+    return docs.select(
+        "doc_id",
+        parsed.getField("doc_id").isNotNull().alias("parse_ok"),
+        parsed.getField("lang").alias("p_lang"),
+        parsed.getField("source").alias("p_source"),
+        parsed.getField("n_chars").alias("p_n_chars"),
+    )

@@ -638,3 +638,66 @@ def win_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), ewma.alias("ewma")
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_types
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    """,
+    tags=("window", "distinct"),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT count per user — "how many distinct event types
+    has this user touched as of each event", the feature-engineering
+    window SQL engines refuse head-on (COUNT(DISTINCT) OVER a running
+    frame is unsupported in Spark and most engines because distinct
+    state per frame is unbounded). The standard rewrite makes it two
+    cheap windows: flag each row that is the FIRST occurrence of its
+    (user, type) — row_number = 1 over the (user, type) ordering — then
+    a running SUM of the flags over the (user) ordering. Distinct state
+    never materializes; both windows are exact integers with total
+    (ts, event_id) tie-breaks.
+
+    Scale shape: ONE exchange. Left to EnsureRequirements, Spark plans
+    hashpartitioning(user, type) for the first window and then a SECOND
+    user-only exchange for the running sum; the explicit
+    repartition(user_id) below satisfies BOTH windows' clustering
+    (hash(user) ⊆ hash(user, type) in Spark's satisfaction rule), so the
+    plan degrades to one shuffle + two in-partition sorts —
+    test_plans.test_running_distinct_single_exchange pins it. Per-task
+    memory is one counter; the 100 TB caveat is a single user with
+    unbounded history — the same hot-key story every per-user window in
+    the module shares (win_lag_running_sum)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").repartition("user_id")
+    first_seen = F.when(
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        == 1,
+        1,
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", first_seen.alias("first_seen")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("first_seen").over(run).alias("n_distinct_types"),
+    )

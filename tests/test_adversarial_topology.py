@@ -50,6 +50,9 @@ QUERIES = [
     "join_bloom_prefilter",     # bitmap bit_or agg + broadcast probe + shuffle_hash (r6 wave 4)
     "sample_upsample_epochs",   # multiplicative-hash fractional explode (r6 wave 4)
     "agg_bitmap_exact_distinct",  # chunked-bitmap distinct under 200 partitions (r6 wave 4)
+    "win_running_distinct",     # first-seen flag + running sum share one exchange (r6 wave 5)
+    "agg_countmin_contract",    # CMS cells + deterministic top-K probes (r6 wave 5)
+    "embed_sign_hamming_topk",  # sign-bit ham rank + 4-op IEEE cosine ties (r6 wave 5)
 ]
 
 _SCRIPT = f"""

@@ -320,3 +320,11 @@ def test_morton_code_interleave_roundtrip(spark):
             a |= ((r.z >> (2 * i)) & 1) << i
             b |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
+
+
+def test_running_distinct_single_exchange(spark, sf_dir):
+    """win_running_distinct must run both windows off ONE user_id
+    shuffle — the explicit repartition satisfies the (user, type)
+    clustering too, so no second Exchange may appear."""
+    plan = _plan(spark, "win_running_distinct", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
