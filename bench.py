@@ -63,6 +63,12 @@ EXTRA = [
     "graph_jaccard_similarity",  # wedge-bounded similarity (r6)
     "pipeline_multimodal_curation",  # decode→floor→content-dedup (r6)
     "dedup_prefix_containment",  # truncation-dupe detection (r6)
+    "join_bloom_prefilter",  # broadcast bitmap prefilter + shuffle_hash join (r6 w4)
+    "agg_bitmap_exact_distinct",  # chunked-bitmap exact distinct (r6 w4)
+    "dedup_ngram_spans",  # duplicated-span coverage, span exchange (r6 w4)
+    "dedup_semdedup_clusters",  # Lloyd cells + in-cell pair cosines (r6 w4)
+    "win_running_distinct",  # two windows on one exchange (r6 w5)
+    "embed_sign_hamming_topk",  # 1-bit sigs + popcount rank (r6 w5)
 ]
 
 
