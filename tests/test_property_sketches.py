@@ -1,0 +1,160 @@
+"""Differential property tests for the hand-built sketch family (bloom
+bitmap, count-min, sign-bit signatures): a pure-Python replica of the SAME
+documented arithmetic is compared against the Spark expression tree over
+pseudo-random derandomized inputs (seeded generators, one Spark job per
+test — the repo's determinism ethos applied to test cost)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from graph_etl_pipeline_spark.queries.aggregates import CMS_MULTS, CMS_W
+from graph_etl_pipeline_spark.queries.joins import (
+    BLOOM_M_BITS,
+    BLOOM_SEEDS,
+    _bloom_probe,
+)
+from graph_etl_pipeline_spark.queries.similarity import (
+    FIXED_SCALE,
+    LONG_MIN,
+    _quantize_fixed,
+    _sign_sig,
+)
+
+MASK64 = (1 << 64) - 1
+
+
+def _keysets() -> list[tuple[int, list[int]]]:
+    """10 seeded pseudo-random key sets with varied density and skew."""
+    sets = []
+    for seed in range(10):
+        n = 20 + 97 * seed
+        keys = [((k * 2654435761 + seed * 40503) % 10_000_019) for k in range(n)]
+        sets.append((seed, keys))
+    return sets
+
+
+def test_bloom_has_no_false_negatives_on_any_keyset(spark):
+    """Membership of every inserted key must survive the bitmap round
+    trip for all 10 key sets — built per-set in ONE job, probed in one."""
+    rows = [(sid, k) for sid, keys in _keysets() for k in keys]
+    df = spark.createDataFrame(rows, "sid int, key long")
+
+    def positions(key):
+        return [
+            F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_M_BITS))
+            for s in BLOOM_SEEDS
+        ]
+
+    words = (
+        df.select("sid", F.explode(F.array(*positions(F.col("key")))).alias("pos"))
+        .select(
+            "sid",
+            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("sid", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .groupBy("sid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("bf")
+        )
+    )
+    probed = df.join(words, "sid").withColumn(
+        "hit",
+        _bloom_probe(F.col("key"), BLOOM_SEEDS[0])
+        & _bloom_probe(F.col("key"), BLOOM_SEEDS[1])
+        & _bloom_probe(F.col("key"), BLOOM_SEEDS[2]),
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_countmin_cells_match_python_replica_and_never_undercount(spark):
+    """The Spark CMS cell table must equal the pure-Python replica of the
+    multiplicative hash exactly, and min-over-rows must be ≥ the true
+    count for EVERY key (one-sided error), on a skewed multiset."""
+    # Zipf-ish multiset: key k repeated ~ (40 // (k+1)) + 1 times
+    multiset = [k for k in range(60) for _ in range(40 // (k + 1) + 1)]
+    truth: dict[int, int] = {}
+    for k in multiset:
+        truth[k] = truth.get(k, 0) + 1
+
+    cells_py: dict[tuple[int, int], int] = {}
+    for k in multiset:
+        for i, m in enumerate(CMS_MULTS):
+            pos = ((k * m) // 1024) % CMS_W
+            cells_py[(i, pos)] = cells_py.get((i, pos), 0) + 1
+
+    df = spark.createDataFrame([(k,) for k in multiset], "user_id long")
+    cells_spark = {
+        (r.i, r.pos): r.c
+        for r in df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.pmod(
+                                (F.col("user_id") * F.lit(m) / F.lit(1024)).cast(
+                                    "long"
+                                ),
+                                F.lit(CMS_W),
+                            ).alias("pos"),
+                        )
+                        for i, m in enumerate(CMS_MULTS)
+                    ]
+                )
+            ).alias("ip")
+        )
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert cells_spark == cells_py
+    for k, true_n in truth.items():
+        est = min(
+            cells_py[(i, ((k * m) // 1024) % CMS_W)]
+            for i, m in enumerate(CMS_MULTS)
+        )
+        assert est >= true_n, (k, est, true_n)
+
+
+def test_sign_signature_matches_python_bit_packing(spark):
+    """_sign_sig must equal the plain Python sign-packing (including the
+    LONG_MIN encoding of bit 63) for 200 seeded pseudo-random vectors."""
+    vecs = []
+    for v in range(200):
+        vec = [
+            (((v * 64 + i) * 2654435761) % 2001 - 1000) / 1000.0
+            for i in range(64)
+        ]
+        vecs.append((v, vec))
+
+    def py_sig(vec: list[float]) -> int:
+        q = [int((x * FIXED_SCALE + 0.5) // 1) for x in vec]
+        u = 0
+        for i, x in enumerate(q):
+            if x >= 0:
+                u |= 1 << i
+        return u - (1 << 64) if u & (1 << 63) else u
+
+    df = spark.createDataFrame(
+        [(v, vec, 0) for v, vec in vecs], "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.vec_id: r.sig
+        for r in _quantize_fixed(df)
+        .select("vec_id", _sign_sig(F.col("qe")).alias("sig"))
+        .collect()
+    }
+    for v, vec in vecs:
+        # quantization happens on FLOAT-cast values in Spark; replicate
+        fvec = [float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in vec]
+        assert got[v] == py_sig(fvec), v
+    assert LONG_MIN == -(1 << 63)
