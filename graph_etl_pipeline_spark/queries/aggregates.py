@@ -759,3 +759,163 @@ def agg_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") >= F.col("n")).alias("overcount_ok"),
     )
+
+
+# --- KMV (k-minimum-values) distinct + set-intersection sketch --------------
+KMV_K = 256
+KMV_M = 1 << 60  # hash space: 15 md5 hex chars = 60 uniform bits
+KMV_SRC_A, KMV_SRC_B = "src1", "src2"
+KMV_SHINGLE_W = 3
+
+# 60-bit engine-equal uniform hash of a string: decimal value of the first
+# 15 md5 hex chars (Spark conv(x,16,10) == DuckDB ('0x'||x)::BIGINT).
+_KMV_H_SQL = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+
+
+def _kmv_shingle_sql(src: str) -> str:
+    return f"""
+        SELECT DISTINCT {_KMV_H_SQL} AS h FROM (
+            SELECT array_to_string(w[i:i + {KMV_SHINGLE_W - 1}], ' ') AS shingle
+            FROM (SELECT w, unnest(generate_series(1, len(w) - {KMV_SHINGLE_W - 1})) AS i
+                  FROM (SELECT string_split(text, ' ') AS w FROM documents
+                        WHERE source = '{src}')
+                  WHERE len(w) >= {KMV_SHINGLE_W})
+        )
+    """
+
+
+@register(
+    "agg_kmv_distinct_intersection",
+    oracle=f"""
+    WITH wa AS ({_kmv_shingle_sql(KMV_SRC_A)}),
+    wb AS ({_kmv_shingle_sql(KMV_SRC_B)}),
+    ka AS (SELECT h FROM wa ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM wb ORDER BY h LIMIT {KMV_K}),
+    ku AS (SELECT h FROM (SELECT h FROM wa UNION SELECT h FROM wb)
+           ORDER BY h LIMIT {KMV_K}),
+    est AS (
+        SELECT
+            CAST(FLOOR(({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST((SELECT MAX(h) FROM ka) AS DOUBLE)) AS BIGINT) AS est_a,
+            CAST(FLOOR(({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST((SELECT MAX(h) FROM kb) AS DOUBLE)) AS BIGINT) AS est_b,
+            CAST(FLOOR(({KMV_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST((SELECT MAX(h) FROM ku) AS DOUBLE)) AS BIGINT) AS est_union,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ku
+             WHERE h IN (SELECT h FROM wa) AND h IN (SELECT h FROM wb)) AS matches,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wa) AS true_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wb) AS true_b,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wa
+             WHERE h IN (SELECT h FROM wb)) AS true_inter
+    )
+    SELECT {KMV_K} AS k, true_a, est_a, true_b, est_b, true_inter,
+           (matches * est_union) // {KMV_K} AS est_inter,
+           abs(est_a - true_a) * 2 <= true_a AS bound_a_ok,
+           abs(est_b - true_b) * 2 <= true_b AS bound_b_ok
+    FROM est
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch, Bar-Yossef et al. — distinct
+    counting AND set intersection from k·8 bytes of state per set, the
+    capability gap between the module's other sketches: HLL unions but
+    cannot intersect (inclusion-exclusion error explodes), CMS counts
+    points, KMV's k smallest hash values support both union (merge +
+    re-truncate) and intersection (sample-overlap scaling, the theta-
+    sketch trick). Demonstrated on a real curation question: how much
+    3-gram shingle vocabulary do two corpus sources share?
+
+    Estimates are (k-1)·M / kth-min for each set and the merged union;
+    intersection = (|union sample ∩ A ∩ B| / k) · est_union, computed in
+    exact integers except one correctly-rounded double division
+    (operands exact or correctly rounded, so bit-stable across engines).
+    In-query ±50% bounds assert accuracy (k=256 ⇒ ~6% expected error);
+    TRUE cardinalities ride along so the driver hash checks both.
+
+    Scale shape: shingle sets reduce map-side to distinct hashes (one
+    exchange each), k-min is TakeOrderedAndProject (never a global
+    sort), and everything after the k-row sketches is broadcast-sized.
+    Sketch state is O(k) regardless of corpus size — per-day/per-shard
+    KMVs merge by concat + re-truncate, same as production theta
+    sketches."""
+    docs = table(spark, sf_dir, "documents")
+
+    def shingle_hashes(src: str) -> DataFrame:
+        w = F.split("text", " ")
+        idx = F.when(
+            F.size(w) >= KMV_SHINGLE_W,
+            F.sequence(F.lit(1), F.size(w) - (KMV_SHINGLE_W - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            docs.filter(F.col("source") == src)
+            .select(
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.array_join(F.slice(w, i, KMV_SHINGLE_W), " "),
+                    )
+                ).alias("shingle")
+            )
+            .select(
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    # No cache: each reuse below re-derives a one-scan/one-exchange plan;
+    # a production deployment materializes the K-ROW SKETCHES (not the
+    # full hash sets) and merges them downstream.
+    wa = shingle_hashes(KMV_SRC_A)
+    wb = shingle_hashes(KMV_SRC_B)
+    ka = wa.orderBy("h").limit(KMV_K)
+    kb = wb.orderBy("h").limit(KMV_K)
+    ku = wa.union(wb).distinct().orderBy("h").limit(KMV_K)
+
+    def est(kmin: DataFrame, name: str) -> DataFrame:
+        return kmin.agg(
+            F.floor(
+                F.lit(float(KMV_K - 1))
+                * F.lit(float(KMV_M))
+                / F.max("h").cast("double")
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    matches = (
+        ku.join(wa, "h", "left_semi")
+        .join(wb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    truths = (
+        wa.agg(F.count(F.lit(1)).alias("true_a"))
+        .crossJoin(wb.agg(F.count(F.lit(1)).alias("true_b")))
+        .crossJoin(
+            wa.join(wb, "h", "left_semi").agg(F.count(F.lit(1)).alias("true_inter"))
+        )
+    )
+    row = (
+        est(ka, "est_a")
+        .crossJoin(est(kb, "est_b"))
+        .crossJoin(est(ku, "est_union"))
+        .crossJoin(matches)
+        .crossJoin(truths)
+    )
+    return row.select(
+        F.lit(KMV_K).alias("k"),
+        "true_a",
+        "est_a",
+        "true_b",
+        "est_b",
+        "true_inter",
+        F.expr(f"matches * est_union DIV {KMV_K}").alias("est_inter"),
+        (F.abs(F.col("est_a") - F.col("true_a")) * 2 <= F.col("true_a")).alias(
+            "bound_a_ok"
+        ),
+        (F.abs(F.col("est_b") - F.col("true_b")) * 2 <= F.col("true_b")).alias(
+            "bound_b_ok"
+        ),
+    )

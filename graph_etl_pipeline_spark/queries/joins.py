@@ -657,13 +657,51 @@ BLOOM_PRIORITIES = ("1-URGENT", "2-HIGH")
 
 
 def _bloom_probe(key: F.Column, seed: int, bf: str = "bf") -> F.Column:
-    """True iff `key`'s seeded hash position is set in the bitmap map."""
+    """True iff `key`'s seeded hash position is set in the DENSE bitmap
+    array (1-based element_at — O(1) ordinal access on ArrayData; a
+    map<long,long> here would be an O(words) LINEAR scan per probe,
+    Spark maps are not hash tables — measured 8 s vs 0.3 s at sf0.1)."""
     pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_M_BITS))
-    word_idx = (pos / F.lit(64)).cast("long")
+    word_idx = (pos / F.lit(64)).cast("int")
     bit = F.call_function(
         "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
     )
-    return F.coalesce(F.element_at(F.col(bf), word_idx), F.lit(0)).bitwiseAND(bit) != 0
+    return F.element_at(F.col(bf), word_idx + F.lit(1)).bitwiseAND(bit) != 0
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """ONE-row DataFrame holding the dense Bloom bitmap of `keys` as
+    array<long> (BLOOM_M_BITS/64 words, ~128 KiB): k seeded positions per
+    key, `bit_or` partial-aggregated per word, zero-filled to the full
+    domain via a range left-join so probes index by ordinal."""
+    spark = keys.sparkSession
+    n_words = BLOOM_M_BITS // 64
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(BLOOM_M_BITS))
+        for s in BLOOM_SEEDS
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("word_idx"))
+        .join(words, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))).alias("ps")
+    ).select(F.transform("ps", lambda p: p.getField("word")).alias("bf"))
 
 
 @register(
@@ -689,7 +727,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe row is waste: most lineitems can't match. Build a Bloom filter
     of build keys as a word-indexed bitmap — k=3 seeded xxhash64
     positions per key, `bit_or` partial-aggregated per 64-bit word, the
-    sparse words collected into ONE map<long,long> row (~128 KiB) — and
+    words zero-filled into ONE DENSE array<long> row (~128 KiB; see
+    _bloom_probe on why a map would be quadratic) — and
     broadcast THAT to prefilter the probe side before its shuffle. False
     positives are removed by the real join, so the result is EXACT and
     the oracle is the plain join; the bloom changes bytes shuffled, not
@@ -712,27 +751,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
 
-    def _positions(key: F.Column) -> list[F.Column]:
-        return [
-            F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_M_BITS))
-            for s in BLOOM_SEEDS
-        ]
-
-    bf = (
-        orders.select(F.explode(F.array(*_positions(F.col("o_orderkey")))).alias("pos"))
-        .select(
-            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
-            ).alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-        .agg(F.collect_list(F.struct("word_idx", "word")).alias("entries"))
-        .select(F.map_from_entries("entries").alias("bf"))
-    )
+    bf = bloom_bitmap(orders.select("o_orderkey"), "o_orderkey")
 
     survivors = (
         li.join(F.broadcast(bf))

@@ -857,23 +857,45 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is K ∝ N / target_cell_size (the paper uses ~10⁵ cells for
     10⁸ docs), keeping cells at ~10³ regardless of corpus size; cells
     exceeding the target get the CHUNK_CAP triangle tiling
-    (_tiled_label_pairs) that bounds any one task. K is a test-scale
-    constant here; the join is cid-keyed, so AQE splits hot cells."""
+    (_tiled_label_pairs) that bounds any one task. The cell-mates side
+    is broadcast (see inline note) so per-pair dots run in the probe
+    scan's partitioning instead of collapsing to K tasks. Local cost is
+    dominated by Spark evaluating higher-order-function dots WITHOUT
+    codegen (CodegenFallback) — a fixed per-element constant that
+    amortizes across executors at cluster scale; the exactness (int64
+    fold) is what buys the cross-engine hash row."""
     e = table(spark, sf_dir, "embeddings")
     assigned, _cents = _lloyd(e, LLOYD_ROUNDS)
-    m = assigned.select("vec_id", "cid", "qe")
+    # Self-norms once per VECTOR (not per pair — 3× less pair work), and
+    # localCheckpoint so the self-join below doesn't re-derive the whole
+    # Lloyd chain on both sides (the kcore_peel lineage-truncation move).
+    m = assigned.select(
+        "vec_id", "cid", "qe", _int_dot("qe", "qe").alias("nn")
+    ).localCheckpoint()
     left = m.select(
-        F.col("vec_id").alias("a_id"), "cid", F.col("qe").alias("a_qe")
+        F.col("vec_id").alias("a_id"),
+        "cid",
+        F.col("qe").alias("a_qe"),
+        F.col("nn").alias("na"),
     )
     right = m.select(
-        F.col("vec_id").alias("b_id"), "cid", F.col("qe").alias("b_qe")
+        F.col("vec_id").alias("b_id"),
+        "cid",
+        F.col("qe").alias("b_qe"),
+        F.col("nn").alias("nb"),
     )
-    pairs = left.join(right, "cid").filter(F.col("b_id") < F.col("a_id"))
+    # BROADCAST the cell-mates side: the equi-join key has only K values,
+    # so a shuffle join would collapse to K tasks (8-way parallelism no
+    # matter the cluster); broadcasting keeps the probe side in its scan
+    # partitioning and the per-pair dots spread across every core. Sound
+    # because cells are size-bounded by the K ∝ N contract — the
+    # broadcast is target_cell_size × K rows, not the corpus; cells past
+    # the target would switch to the CHUNK_CAP tiling instead.
+    pairs = left.join(F.broadcast(right), "cid").filter(
+        F.col("b_id") < F.col("a_id")
+    )
     scored = pairs.select(
-        "a_id",
-        _int_dot("a_qe", "b_qe").alias("d"),
-        _int_dot("a_qe", "a_qe").alias("na"),
-        _int_dot("b_qe", "b_qe").alias("nb"),
+        "a_id", _int_dot("a_qe", "b_qe").alias("d"), "na", "nb"
     )
     dup = scored.filter(
         (F.col("d") > 0)

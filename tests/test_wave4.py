@@ -21,7 +21,6 @@ def test_bloom_prefilter_filters_without_false_negatives(spark):
     from graph_etl_pipeline_spark.queries.joins import (
         BLOOM_PRIORITIES,
         BLOOM_SEEDS,
-        BLOOM_M_BITS,
         _bloom_probe,
     )
 
@@ -31,32 +30,9 @@ def test_bloom_prefilter_filters_without_false_negatives(spark):
     ).select("o_orderkey")
     li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
 
-    # Rebuild the bitmap exactly as the query does, via its helpers.
-    from graph_etl_pipeline_spark.queries.joins import join_bloom_prefilter  # noqa: F401
+    from graph_etl_pipeline_spark.queries.joins import bloom_bitmap
 
-    def positions(key):
-        return [
-            F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_M_BITS))
-            for s in BLOOM_SEEDS
-        ]
-
-    bf = (
-        build_keys.select(
-            F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
-        )
-        .select(
-            (F.col("pos") / F.lit(64)).cast("long").alias("word_idx"),
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
-            ).alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-        .agg(F.collect_list(F.struct("word_idx", "word")).alias("entries"))
-        .select(F.map_from_entries("entries").alias("bf"))
-    )
+    bf = bloom_bitmap(build_keys, "o_orderkey")
     probed = li.join(F.broadcast(bf)).withColumn(
         "hit",
         _bloom_probe(F.col("l_orderkey"), BLOOM_SEEDS[0])
