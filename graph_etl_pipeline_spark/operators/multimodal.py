@@ -319,3 +319,26 @@ def audio_frame_rms_df(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_frames, schema=AUDIO_RMS_SCHEMA)
+
+
+def average_hash(blob: bytes, grid: int = 8) -> int:
+    """Perceptual average-hash (aHash): decode, nearest-sample to a
+    grid×grid grayscale thumbnail (same index map as resize_image),
+    threshold each cell against the integer mean (STRICT >), pack the
+    bits row-major into one signed int64. All-integer, so the signature
+    is deterministic across platforms — near-identical images differ in
+    a few bits (Hamming), identical renders collide exactly."""
+    img = decode_image(blob)
+    grays: list[int] = []
+    for y in range(grid):
+        sy = y * img.height // grid
+        for x in range(grid):
+            sx = x * img.width // grid
+            s = (sy * img.width + sx) * 3
+            grays.append((img.rgb[s] + img.rgb[s + 1] + img.rgb[s + 2]) // 3)
+    mean = sum(grays) // (grid * grid)
+    u = 0
+    for i, g in enumerate(grays):
+        if g > mean:
+            u |= 1 << i
+    return u - (1 << 64) if u & (1 << 63) else u

@@ -334,3 +334,96 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _cuts, schema="doc_id bigint, frame_no bigint, l1_diff bigint, is_cut boolean"
     )
+
+
+# --- Perceptual image dedup (average hash) ----------------------------------
+AHASH_GROUP = 3  # consecutive docs share visual content → planted dup groups
+_AHASH_BASE = "(g + 7 * (((xy % 8) * w) // 8) + 13 * (((xy // 8) * h) // 8))"
+_AHASH_GRAYS = f"""[({_AHASH_BASE} % 256 + ({_AHASH_BASE} + 101) % 256
+                     + ({_AHASH_BASE} + 202) % 256) // 3
+                    for xy in generate_series(0, 63)]"""
+
+
+@register(
+    "mm_image_ahash_dedup",
+    oracle=f"""
+    WITH hp AS (
+        SELECT doc_id, doc_id // {AHASH_GROUP} AS g,
+               8 + (doc_id // {AHASH_GROUP}) % 9 AS w,
+               8 + (doc_id // {AHASH_GROUP}) % 7 AS h
+        FROM documents
+    ),
+    grays AS (SELECT doc_id, {_AHASH_GRAYS} AS ga FROM hp),
+    sigs AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CASE WHEN ga[xy + 1] >
+                              CAST(list_aggregate(ga, 'sum') AS BIGINT) // 64
+                         AND xy < 63
+                         THEN (CAST(1 AS BIGINT) << xy) ELSE CAST(0 AS BIGINT) END
+                    for xy in generate_series(0, 63)]),
+                   (acc, v) -> acc + v)
+               + CASE WHEN ga[64] >
+                           CAST(list_aggregate(ga, 'sum') AS BIGINT) // 64
+                      THEN CAST(-9223372036854775808 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS sig
+        FROM grays
+    )
+    SELECT s.doc_id, s.sig, c.n AS group_size, s.doc_id = c.mn AS keep
+    FROM sigs s JOIN (
+        SELECT sig, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS mn
+        FROM sigs GROUP BY sig
+    ) c USING (sig)
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup via average-hash — the visual complement to
+    pipeline_multimodal_curation's byte-level content hashing: re-encoded
+    or resampled copies of the same picture have different bytes but the
+    same 64-bit aHash (8×8 mean-thresholded grayscale thumbnail), so
+    grouping by signature finds visual duplicates byte hashing misses.
+    Signatures also support NEAR-dup banding by Hamming distance — the
+    exact machinery of dedup_simhash_hamming / embed_sign_hamming_topk
+    pointed at pixels.
+
+    Every {AHASH_GROUP} consecutive docs render the SAME deterministic
+    image (the planted dup groups); the Spark side runs the REAL
+    pipeline executor-side — BMP encode → codec decode → nearest-grid
+    resample → integer gray/mean/threshold (operators.multimodal
+    .average_hash) — while the oracle replays the arithmetic from the
+    generator formula, so a codec, resampler, or packing bug breaks the
+    hash row. Dedup is one signature-keyed exchange: group size and a
+    min-doc canonical keep flag per image.
+
+    Scale: map-side Arrow batches end to end, 8 bytes of signature per
+    image shuffled once; the thumbnail grid makes per-image cost
+    constant regardless of source resolution."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.multimodal import average_hash
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) // AHASH_GROUP
+                w, h = 8 + g % 9, 8 + g % 7
+                rgb = bytes(
+                    (g + 7 * x + 13 * y + 101 * c) % 256
+                    for y in range(h) for x in range(w) for c in range(3)
+                )
+                sigs.append(average_hash(encode_bmp(w, h, rgb)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    sigs = d.mapInPandas(_synth_hash, schema="doc_id bigint, sig bigint")
+    groups = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("mn")
+    )
+    return sigs.join(groups, "sig").select(
+        "doc_id", "sig", "group_size", (F.col("doc_id") == F.col("mn")).alias("keep")
+    )
