@@ -47,6 +47,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # second confirmation. Multiply-confirmed r4+r5 rows rotate past the cap.
 # Names not listed here (future additions) append at the end in
 # registration order. tests/test_library.py asserts the invariants.
+# The 14 operators added in r6 waves 4-6 (
+# join_bloom_prefilter, agg_bitmap_exact_distinct, dedup_ngram_spans,
+# dedup_semdedup_clusters, text_html_strip, text_gopher_rules,
+# sample_upsample_epochs, agg_countmin_contract, embed_sign_hamming_topk,
+# win_running_distinct, src_jsonl_scan, agg_kmv_distinct_intersection,
+# mm_image_ahash_dedup, graph_random_walks) register past the 50-row
+# driver cap — each is oracle-checked by the local parity replica and
+# the sf0.01 verify sweep this round, and they LEAD THE r7 DRIVER
+# WINDOW for their first hard driver rows.
 CORE_ORDER = [
     # -- new in r6: first driver rows --
     "src_pdf_scan",            # PDF byte ingestion, distributed round trip
