@@ -287,3 +287,117 @@ def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+# --- Time-travel read over the versioned MERGE target -----------------------
+TT_V1_BUMP_CENTS = 10_000   # +100.00 applied to custkey % 7 == 0 at version 1
+TT_V2_BUMP_CENTS = 25_000   # +250.00 applied to custkey % 11 == 0 at version 2
+
+
+@register(
+    "sink_time_travel_read",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN {TT_V1_BUMP_CENTS} ELSE 0 END
+                   AS bal_cents
+        FROM customer
+    ),
+    latest AS (
+        SELECT c_custkey,
+               bal_cents
+               + CASE WHEN c_custkey % 11 = 0 THEN {TT_V2_BUMP_CENTS} ELSE 0 END
+                   AS bal_cents
+        FROM v1
+    )
+    SELECT v1.c_custkey,
+           v1.bal_cents AS bal_v1_cents,
+           latest.bal_cents AS bal_latest_cents,
+           latest.bal_cents - v1.bal_cents AS drift_cents
+    FROM v1 JOIN latest USING (c_custkey)
+    WHERE latest.bal_cents <> v1.bal_cents
+    """,
+    tags=("sink", "versioning"),
+)
+def sink_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL read over the versioned-parquet MERGE target — the
+    Delta `VERSION AS OF` capability for this engine's plain-parquet
+    state tables (the same layout streaming/jobs.incremental_upsert
+    maintains: one `_SUCCESS`-marked directory per committed version,
+    newest-wins). Three versions are materialized through the REAL
+    merge_upsert path (v0 = customer snapshot, v1 = +100.00 to every
+    7th account, v2 = +250.00 to every 11th), then the query reads AS
+    OF VERSION 1 — explicitly not the newest — and diffs it against the
+    latest version: the audit question time travel exists to answer
+    ("which balances changed since the snapshot we reported from?").
+
+    All balances are exact integer cents, so the diff is engine-stable;
+    the oracle replays the two changefeeds closed-form. Writes are
+    content-addressed per (sf_dir, pid) and reused across runs — the
+    versions are a durable table, not per-query scratch.
+
+    Scale notes: each version write is one MERGE (one key shuffle); the
+    time-travel read is a plain parquet scan of the chosen version dir —
+    O(version size), no log replay — and the v1⋈latest diff shuffles on
+    the key once. Version retention/compaction is the state-table story
+    (size-derived write width, streaming/jobs.py)."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
+
+    # floor(x·100 + 0.5): the SAME IEEE expression in both engines — a bare
+    # cast would TRUNCATE here and ROUND in DuckDB, drifting 1 cent on
+    # values like 9764.97.
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias(
+            "bal_cents"
+        ),
+    )
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"ttravel_customer-{key}-{os.getpid()}")
+
+    def version_dir(v: int) -> str:
+        return os.path.join(root, f"v{v}")
+
+    if not os.path.exists(os.path.join(version_dir(2), "_SUCCESS")):
+        base.write.mode("overwrite").parquet(version_dir(0))
+        v0 = spark.read.parquet(version_dir(0))
+        chg1 = v0.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            (F.col("bal_cents") + TT_V1_BUMP_CENTS).alias("bal_cents"),
+        )
+        merge_upsert(v0, chg1, ["c_custkey"]).write.mode("overwrite").parquet(
+            version_dir(1)
+        )
+        v1 = spark.read.parquet(version_dir(1))
+        chg2 = v1.filter(F.col("c_custkey") % 11 == 0).select(
+            "c_custkey",
+            (F.col("bal_cents") + TT_V2_BUMP_CENTS).alias("bal_cents"),
+        )
+        merge_upsert(v1, chg2, ["c_custkey"]).write.mode("overwrite").parquet(
+            version_dir(2)
+        )
+
+    as_of_v1 = spark.read.parquet(version_dir(1)).select(
+        "c_custkey", F.col("bal_cents").alias("bal_v1_cents")
+    )
+    latest = spark.read.parquet(version_dir(2)).select(
+        "c_custkey", F.col("bal_cents").alias("bal_latest_cents")
+    )
+    return (
+        as_of_v1.join(latest, "c_custkey")
+        .filter(F.col("bal_latest_cents") != F.col("bal_v1_cents"))
+        .select(
+            "c_custkey",
+            "bal_v1_cents",
+            "bal_latest_cents",
+            (F.col("bal_latest_cents") - F.col("bal_v1_cents")).alias(
+                "drift_cents"
+            ),
+        )
+    )
