@@ -47,15 +47,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # second confirmation. Multiply-confirmed r4+r5 rows rotate past the cap.
 # Names not listed here (future additions) append at the end in
 # registration order. tests/test_library.py asserts the invariants.
-# The 14 operators added in r6 waves 4-6 (
-# join_bloom_prefilter, agg_bitmap_exact_distinct, dedup_ngram_spans,
-# dedup_semdedup_clusters, text_html_strip, text_gopher_rules,
-# sample_upsample_epochs, agg_countmin_contract, embed_sign_hamming_topk,
-# win_running_distinct, src_jsonl_scan, agg_kmv_distinct_intersection,
-# mm_image_ahash_dedup, graph_random_walks) register past the 50-row
-# driver cap — each is oracle-checked by the local parity replica and
-# the sf0.01 verify sweep this round, and they LEAD THE r7 DRIVER
-# WINDOW for their first hard driver rows.
+# Of the 16 operators added in r6 waves 4-6, the six strongest
+# (join_bloom_prefilter, dedup_semdedup_clusters,
+# agg_kmv_distinct_intersection, dedup_ngram_spans, agg_countmin_contract,
+# win_running_distinct) sit INSIDE the window below for first hard rows
+# this round; the rest (agg_bitmap_exact_distinct, text_html_strip,
+# text_gopher_rules, sample_upsample_epochs, embed_sign_hamming_topk,
+# src_jsonl_scan, mm_image_ahash_dedup, sink_time_travel_read,
+# graph_random_walks, ...) register past the 50-row cap — each is
+# oracle-checked by the local parity replica and the sf0.01 verify sweep
+# this round, and they LEAD THE r7 DRIVER WINDOW.
 CORE_ORDER = [
     # -- new in r6: first driver rows --
     "src_pdf_scan",            # PDF byte ingestion, distributed round trip
@@ -99,21 +100,26 @@ CORE_ORDER = [
     #    (VERDICT r5 #4 — last driver rows r1-r3, io.py scan path changed
     #    under them since) --
     "src_csv_scan",            # S1
-    "src_json_flatten",        # S2
     "sink_upsert_node",        # S4
-    "sink_upsert_edge",        # S5
     "sink_merge_prefer_nonempty",  # S6
     "flt_blocklist_predicate", # P4+F9
     "fn_regexp_extract_all",   # F5
-    "fn_hash_uid",             # F1
     "join_broadcast_inner",    # J1
     "join_left_anti",          # J2
     "agg_multi_counter",       # A5
     "explode_split_targets",   # X2
     "win_row_number_dedup",    # O3
-    "win_lag_running_sum",     # O5
-    "dedup_exact",             # D1
-    "sim_cosine_topk",         # D5
+    # -- r6 waves 4-6: first driver rows for the strongest additions.
+    #    These six slots held S2/S5/F1/O5/D1/D5 re-confirms BEYOND the ten
+    #    VERDICT r5 #4 asked for (kept above); those six rotate out
+    #    (driver-green r1-r3, parity-checked every round) in favor of
+    #    hard rows for the new operators. --
+    "join_bloom_prefilter",    # bitmap runtime filter, exact-result oracle
+    "dedup_semdedup_clusters", # SemDeDup cluster-bounded cosine dedup
+    "agg_kmv_distinct_intersection",  # KMV sketch w/ intersection contract
+    "dedup_ngram_spans",       # duplicated-span coverage (Lee et al.)
+    "agg_countmin_contract",   # CMS point-frequency sketch contract
+    "win_running_distinct",    # first-seen running-distinct rewrite
     # -- r5 first-timers: second confirmation while slots allow --
     "pipeline_training_dataset",
     # ---- position 51+: driver-green in earlier rounds (round noted in
@@ -223,6 +229,8 @@ CORE_ORDER = [
 # driver CORRECTNESS rows in earlier rounds (round noted above). Each stays
 # oracle-checked locally every round; test_library asserts the partition.
 ROTATED_OUT = {
+    "src_json_flatten", "sink_upsert_edge", "fn_hash_uid",
+    "win_lag_running_sum", "dedup_exact", "sim_cosine_topk",
     "agg_collect_set", "agg_count_by_label", "agg_global_count",
     "agg_group_topn", "agg_topk", "arr_contains_lookup", "dedup_docs_exact",
     "dedup_embedding_cosine", "dedup_merge_most_complete", "dedup_minhash_lsh",

@@ -68,15 +68,19 @@ R6_PROMOTED = {
     "graph_copurchase_project", "sim_ann_ivf_trained",
     # the every-round flagship
     "join_four_hop_chain",
-    # §2 relational core re-confirmation (driver rows r1-r3; scan path
-    # changed under them in r5)
-    "src_csv_scan", "src_json_flatten", "sink_upsert_node",
-    "sink_upsert_edge", "sink_merge_prefer_nonempty",
-    "flt_blocklist_predicate", "fn_regexp_extract_all", "fn_hash_uid",
+    # §2 relational core re-confirmation — the TEN rows VERDICT r5 #4
+    # asked for (driver rows r1-r3; scan path changed under them in r5).
+    # Six additional core re-confirms beyond the ask (S2/S5/F1/O5/D1/D5)
+    # rotated out in favor of first hard rows for the wave-4/5 sketches
+    # and dedup operators below.
+    "src_csv_scan", "sink_upsert_node", "sink_merge_prefer_nonempty",
+    "flt_blocklist_predicate", "fn_regexp_extract_all",
     "join_broadcast_inner", "join_left_anti",
-    "agg_multi_counter", "explode_split_targets",
-    "win_row_number_dedup", "win_lag_running_sum", "dedup_exact",
-    "sim_cosine_topk",
+    "agg_multi_counter", "explode_split_targets", "win_row_number_dedup",
+    # r6 waves 4-5: first driver rows
+    "join_bloom_prefilter", "dedup_semdedup_clusters",
+    "agg_kmv_distinct_intersection", "dedup_ngram_spans",
+    "agg_countmin_contract", "win_running_distinct",
 }
 
 
