@@ -792,3 +792,109 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_permille"),
     )
+
+
+# --- Asymmetric shingle containment -----------------------------------------
+CONTAIN_MIN_PERMILLE = 900  # |A∩B| / |A| floor for a containment verdict
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents
+    ),
+    doc_shingles AS (
+        SELECT doc_id, {sql_shingles("t", k=5)} AS shingles FROM toks
+    ),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS s FROM doc_shingles
+    ),
+    hot AS (
+        SELECT s FROM exploded GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    rare AS (
+        SELECT doc_id, s FROM exploded WHERE s NOT IN (SELECT s FROM hot)
+    ),
+    inter AS (
+        SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+               COUNT(*) AS n_inter
+        FROM rare a JOIN rare b
+          ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id)
+    SELECT contained_doc, container_doc,
+           sa.n_sh AS n_contained, sb.n_sh AS n_container,
+           (1000 * n_inter) // sa.n_sh AS containment_permille
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = contained_doc
+    JOIN sizes sb ON sb.doc_id = container_doc
+    WHERE (1000 * n_inter) // sa.n_sh >= {CONTAIN_MIN_PERMILLE}
+      AND (sa.n_sh < sb.n_sh
+           OR (sa.n_sh = sb.n_sh AND contained_doc < container_doc))
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection — the near-dup case Jaccard
+    structurally under-scores: when a short document is a SUBSET of a
+    long one (a quoted article inside a commentary page, a truncated
+    mirror, an excerpt), |A∩B|/|A∪B| is dragged down by the big B while
+    |A∩B|/|A| ≈ 1. Directional containment over the SAME df-capped
+    5-shingle inverted index dedup_ngram_jaccard uses (shared
+    _rare_shingle_index machinery — the materialized arrays and hot
+    list are content-addressed, built once per corpus), emitted as
+    (contained_doc → container_doc) with exact integer permille. The
+    size tie-break (|A| < |B|, ids on equality) keeps exact-dup pairs
+    single-reported; dedup_prefix_containment is the byte-level
+    truncation special case, this is the set-level general one.
+
+    Scale: identical Σ df² bound as the Jaccard path (same cap, same
+    broadcast anti-join); the directional join doubles candidate rows
+    but not the asymptotics."""
+    d = table(spark, sf_dir, "documents")
+    ex, sizes = _rare_shingle_index(
+        d.select("doc_id", shingles(norm_tokens(d.text), k=5).alias("shingles")),
+        "containment_rare",
+    )
+    ea, eb = ex.alias("ca"), ex.alias("cb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") != F.col("cb.doc_id")),
+        )
+        .groupBy(
+            F.col("ca.doc_id").alias("contained_doc"),
+            F.col("cb.doc_id").alias("container_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("contained_doc"), F.col("n_sh").alias("n_contained")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("container_doc"), F.col("n_sh").alias("n_container")
+    )
+    return (
+        inter.join(sa, "contained_doc")
+        .join(sb, "container_doc")
+        .select(
+            "contained_doc",
+            "container_doc",
+            "n_contained",
+            "n_container",
+            F.expr("1000 * n_inter DIV n_contained").alias("containment_permille"),
+        )
+        .filter(
+            (F.col("containment_permille") >= CONTAIN_MIN_PERMILLE)
+            & (
+                (F.col("n_contained") < F.col("n_container"))
+                | (
+                    (F.col("n_contained") == F.col("n_container"))
+                    & (F.col("contained_doc") < F.col("container_doc"))
+                )
+            )
+        )
+    )
