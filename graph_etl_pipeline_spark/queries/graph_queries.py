@@ -988,3 +988,91 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_nb")
         )
     return walks.select("walk_id", *[f"p{i}" for i in range(WALK_STEPS + 1)])
+
+
+# --- HITS hubs/authorities ---------------------------------------------------
+HITS_TOPK = 20
+
+_HITS_EDGES_SQL = """
+        SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH e AS ({_HITS_EDGES_SQL}),
+    a1 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY dst),
+    h1 AS (SELECT e.src AS v, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src),
+    a2 AS (SELECT e.dst AS v, CAST(SUM(h1.h) AS BIGINT) AS a
+           FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst),
+    h2 AS (SELECT e.src AS v, CAST(SUM(a2.a) AS BIGINT) AS h
+           FROM e JOIN a2 ON e.dst = a2.v GROUP BY e.src),
+    top_auth AS (SELECT 'authority' AS role, v AS vertex, a AS score_fp
+                 FROM a2 ORDER BY a DESC, v LIMIT {HITS_TOPK}),
+    top_hub AS (SELECT 'hub' AS role, v AS vertex, h AS score_fp
+                FROM h2 ORDER BY h DESC, v LIMIT {HITS_TOPK})
+    SELECT * FROM top_auth UNION ALL SELECT * FROM top_hub
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the customer→supplier
+    purchase graph — pagerank's companion eigenvector method, and the
+    natural one for BIPARTITE influence: a customer is a good HUB if it
+    buys from many good suppliers, a supplier a good AUTHORITY if good
+    hubs buy from it. Two unrolled mutual-reinforcement rounds (h⁰ = 1 ⇒
+    a¹ = in-degree, then h¹ = Σa¹, a² = Σh¹, h² = Σa²) in exact int64 —
+    the standard L2 normalization only rescales rankings, so dropping it
+    keeps every score an exact integer and the hash engine-stable;
+    int64 headroom bounds the unrolled depth at ~4 rounds for this
+    graph shape (score ≤ |E|·maxdeg per round), after which a
+    production run rescales by a power of two, same plan.
+
+    Per round: one equi-join of the score table to the static distinct
+    edge list + one map-combined aggregation — the pagerank step with
+    src/dst alternating. Top-{HITS_TOPK} per role is
+    TakeOrderedAndProject with a total (score DESC, vertex) order."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    a = e.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    h = (
+        e.join(a, e.dst == a.v)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h, e.src == h.v)
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        e.join(a2, e.dst == a2.v)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("a").alias("h"))
+    )
+    top_auth = (
+        a2.orderBy(F.col("a").desc(), "v")
+        .limit(HITS_TOPK)
+        .select(F.lit("authority").alias("role"), F.col("v").alias("vertex"),
+                F.col("a").alias("score_fp"))
+    )
+    top_hub = (
+        h2.orderBy(F.col("h").desc(), "v")
+        .limit(HITS_TOPK)
+        .select(F.lit("hub").alias("role"), F.col("v").alias("vertex"),
+                F.col("h").alias("score_fp"))
+    )
+    return top_auth.unionAll(top_hub)
