@@ -919,3 +919,70 @@ def agg_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
             "bound_b_ok"
         ),
     )
+
+
+# --- Exact distributed moments ----------------------------------------------
+MOMENT_UNIT = 1_000_000  # micro-units: value quantized once, moments exact
+
+
+@register(
+    "agg_exact_moments",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(FLOOR(value * {MOMENT_UNIT} + 0.5) AS BIGINT) AS x
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_micro,
+           CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+               - CAST(SUM(x) AS HUGEINT) * SUM(x) AS var_numer,
+           CAST((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+                 - CAST(SUM(x) AS HUGEINT) * SUM(x))
+                // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+               AS var_micro2
+    FROM q GROUP BY event_type
+    """,
+    tags=("agg", "profile"),
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed moments — mean and variance with NO float
+    accumulation drift: naive Σ(x-μ)² needs two passes, float Σx/Σx² is
+    catastrophically cancellation-prone, and Welford's streaming update
+    is ORDER-dependent (different partitionings give different low
+    bits). The parallel-safe exact form quantizes once to integer
+    micro-units, then keeps (n, Σx, Σx²) in int64/decimal(38) — all
+    map-side combinable, order-independent, and mergeable across
+    partitions/shards/days (Chan et al.'s pairwise update degenerates to
+    plain sums on integers). Population variance arrives as the exact
+    integer numerator n·Σx² − (Σx)² plus its floor-divided micro²
+    value, so the hash row certifies every bit.
+
+    Headroom: |x| ≤ ~10⁹ micro ⇒ Σx² ≤ 10²³ per group at sf0.1 —
+    decimal(38) holds to ~10¹⁵ rows per group; beyond that, shard the
+    sums (they merge by addition). One scan, one map-combined exchange
+    on the 5 types."""
+    x = F.floor(F.col("value") * MOMENT_UNIT + F.lit(0.5)).cast("long")
+    q = table(spark, sf_dir, "events").select("event_type", x.alias("x"))
+    d38 = "decimal(38,0)"
+    agg = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_micro"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sum_sq"),
+    )
+    var_numer = (
+        F.col("n").cast(d38) * F.col("sum_sq")
+        - F.col("sum_micro").cast(d38) * F.col("sum_micro")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sum_micro",
+        var_numer.alias("var_numer"),
+        F.expr(
+            "CAST((CAST(n AS decimal(38,0)) * sum_sq"
+            " - CAST(sum_micro AS decimal(38,0)) * sum_micro)"
+            " DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)"
+        ).alias("var_micro2"),
+    )
