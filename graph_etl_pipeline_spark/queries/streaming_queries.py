@@ -801,3 +801,98 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     # the synthetic advance users' sessions can never be emitted (their
     # deadlines sit past the final watermark); filter is belt-and-braces
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, event_type, ts FROM events       -- batch 0: every key, once
+    UNION ALL                                          -- batch 1: the advance row
+    SELECT -1, 'wm_advance', MAX(ts) + INTERVAL 1 HOUR FROM events
+    -- batch 2 (byte-identical replay): contributes NOTHING — see docstring
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark, HASH-CHECKED — the BOUNDED-state
+    streaming dedup stream_dedup_keys' docstring defers to: plain
+    dropDuplicates keeps every key forever, the watermark variant evicts
+    a key once the watermark passes its event time + delay, trading
+    "exactly once ever" for "exactly once within the late-data horizon"
+    with O(horizon) state. The same three-micro-batch fixture as
+    stream_watermark_late (full table → watermark-advance row →
+    byte-identical replay) drives the full state machine, and the replay
+    batch must contribute ZERO rows — for two different reasons the
+    operator composes (verified against the engine; a naive
+    state-eviction model predicts re-emissions and is WRONG):
+
+      - replayed rows with ts ≥ the batch watermark (tmax - 1h): key
+        still in state (its expiry ts + 2h exceeds the watermark) →
+        deduplicated;
+      - replayed rows with ts < tmax - 1h: discarded by the stateful
+        operator's LATE-INPUT filter before dedup is even consulted —
+        this is how bounded state stays sound: a duplicate can only be
+        re-admitted once it is too late to be accepted at all.
+
+    So the hash row certifies "exactly one output per key under replay"
+    plus the late-filter cut, end to end through real streaming state.
+    Emitting full row content is safe (replays are byte-identical).
+    State note at 100 TB/day: one entry per key seen within the
+    watermark horizon, independent of stream age."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"wmdedup_{key}-{os.getpid()}")
+    src = os.path.join(root, "src")
+    if not os.path.exists(os.path.join(src, "c-replay.parquet")):
+        os.makedirs(src, exist_ok=True)
+        stage_a = os.path.join(root, "stage_a")
+        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
+        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
+        advance = ev.agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("wm_advance").alias("event_type"),
+            (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        ).select("event_id", "event_type", "ts")
+        stage_b = os.path.join(root, "stage_b")
+        advance.coalesce(1).write.mode("overwrite").parquet(stage_b)
+        part_b = glob.glob(os.path.join(stage_b, "part-*.parquet"))[0]
+        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
+        shutil.copy(part_b, os.path.join(src, "b-advance.parquet"))
+        shutil.copy(part_a, os.path.join(src, "c-replay.parquet"))
+        base = 1_000_000_000
+        for i, name in enumerate(
+            ("a-events.parquet", "b-advance.parquet", "c-replay.parquet")
+        ):
+            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"stream_wmdedup_{uuid.uuid4().hex[:8]}"
+    with stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
