@@ -427,3 +427,100 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.join(groups, "sig").select(
         "doc_id", "sig", "group_size", (F.col("doc_id") == F.col("mn")).alias("keep")
     )
+
+
+# --- Voice-activity segmentation over the framed stream ---------------------
+VAD_RMS_FLOOR = 99_000  # fixed-point RMS floor: ~the corpus median, so both
+# active and inactive frames are common and segment structure is real
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH ascii_docs AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id,
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS s
+        FROM ascii_docs WHERE length(t) > 0
+    ),
+    frames AS (
+        SELECT doc_id, s,
+               unnest(generate_series(0,
+                   CAST(FLOOR((len(s) - 1) / 256.0) AS INT))) AS frame_idx
+        FROM samples
+    ),
+    cut AS (
+        SELECT doc_id, frame_idx,
+               s[frame_idx * 256 + 1 : LEAST((frame_idx + 1) * 256, len(s))] AS chunk
+        FROM frames
+    ),
+    scored AS (
+        SELECT doc_id, frame_idx,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(chunk, x -> x * x)), (a, b) -> a + b) AS energy,
+               CAST(FLOOR(sqrt(
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(chunk, x -> x * x)), (a, b) -> a + b) AS DOUBLE)
+                   / len(chunk)) * 1000) AS BIGINT) AS rms_fp
+        FROM cut
+    ),
+    active AS (
+        SELECT doc_id, frame_idx, energy,
+               frame_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM scored WHERE rms_fp >= {VAD_RMS_FLOOR}
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM active GROUP BY doc_id, island
+    """,
+    tags=("multimodal", "audio", "timeseries"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation — the silence-trimming pass every
+    audio-training pipeline runs before transcription/tokenization:
+    frame the stream (mm_audio_frame_rms's exact-integer framing),
+    threshold per-frame RMS, and collapse CONSECUTIVE active frames
+    into segments with the gaps-and-islands window (frame_idx −
+    row_number over active frames — win_session_batch's machinery
+    pointed at the audio axis). Emits one row per activity segment
+    with exact frame bounds and integer energy mass; a real deployment
+    maps segments back to byte ranges and cuts the waveform.
+
+    Plan: Arrow-batched framing map-side, one doc-keyed window pass,
+    one segment aggregation — the frame table never re-shuffles
+    (window and groupBy share the doc partitioning). Threshold is a
+    corpus-calibrated constant here; production uses a rolling noise
+    floor (the EWMA machinery, win_ewma_by_user) feeding the same
+    island collapse."""
+    from pyspark.sql import Window as W
+
+    from graph_etl_pipeline_spark.operators.multimodal import audio_frame_rms_df
+
+    d = table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(d.text, r"[^\x00-\x7F]", "?")
+    blobs = d.filter(F.length(ascii_text) > 0).select(
+        "doc_id", F.encode(ascii_text, "UTF-8").alias("blob")
+    )
+    frames = audio_frame_rms_df(blobs)
+    active = frames.filter(F.col("rms_fp") >= VAD_RMS_FLOOR).select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (
+            F.col("frame_idx")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx"))
+        ).alias("island"),
+    )
+    return active.groupBy("doc_id", "island").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("energy_sum"),
+    ).drop("island")
