@@ -54,6 +54,11 @@ QUERIES = [
     "agg_countmin_contract",    # CMS cells + deterministic top-K probes (r6 wave 5)
     "embed_sign_hamming_topk",  # sign-bit ham rank + 4-op IEEE cosine ties (r6 wave 5)
     "agg_kmv_distinct_intersection",  # k-min sketch, TakeOrdered + double division (r6 wave 5)
+    "agg_exact_moments",        # decimal(38) moment sums under any partitioning (r6 wave 6)
+    "graph_hits",               # alternating join-agg rounds + top-k ties (r6 wave 6)
+    "dedup_shingle_containment",  # df-capped directional index join (r6 wave 6)
+    "mm_audio_vad_segments",    # Arrow framing + islands window under hostile topology (r6 wave 6)
+    "stream_dedup_within_watermark",  # replay dedup + late filter, batch→file mapping (r6 wave 6)
 ]
 
 _SCRIPT = f"""
