@@ -355,3 +355,65 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_sy.alias("r_symbols"),
         (r_wc & r_wl & r_st & r_sy).alias("passed"),
     )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+KANON_K = 5
+KANON_CHAR_BUCKET = 200  # n_chars coarsened to this width as a quasi-identifier
+
+
+@register(
+    "privacy_kanonymity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               (n_chars // {KANON_CHAR_BUCKET}) * {KANON_CHAR_BUCKET} AS len_bucket
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM q GROUP BY lang, source, len_bucket
+    )
+    SELECT q.doc_id, q.lang, q.source, q.len_bucket, g.class_size,
+           g.class_size < {KANON_K} AS at_risk
+    FROM q JOIN g USING (lang, source, len_bucket)
+    """,
+    tags=("quality", "privacy"),
+)
+def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney) — the re-identification check that
+    complements text_pii_scrub's masking: scrubbing direct identifiers
+    is not enough when a COMBINATION of quasi-identifiers (language ×
+    source × coarsened length here) is rare enough to single a record
+    out. Every row joins its equivalence-class size; classes smaller
+    than k = {KANON_K} are flagged `at_risk` — the rows a release
+    pipeline must generalize further (wider buckets), suppress, or
+    hold back. Coarsening n_chars into {KANON_CHAR_BUCKET}-wide buckets
+    IS the generalization step of the k-anonymity algorithm, applied
+    one level down from raw.
+
+    Plan: one map-combined aggregation over the quasi-identifier tuple
+    (equivalence classes ≪ rows), joined back row-level — Spark reuses
+    the tuple partitioning for both sides, and at 100 TB the class
+    table is orders smaller than the corpus (broadcastable for any
+    realistic generalization lattice level)."""
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            (F.col("n_chars") / F.lit(KANON_CHAR_BUCKET)).cast("long")
+            * KANON_CHAR_BUCKET
+        ).alias("len_bucket"),
+    )
+    g = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return q.join(g, ["lang", "source", "len_bucket"]).select(
+        "doc_id",
+        "lang",
+        "source",
+        "len_bucket",
+        "class_size",
+        (F.col("class_size") < KANON_K).alias("at_risk"),
+    )
