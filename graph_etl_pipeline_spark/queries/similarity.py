@@ -1051,3 +1051,136 @@ def embed_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         (F.col("hits") >= SIGN_RECALL_FLOOR).alias("recall_ok"),
     )
+
+
+# --- Johnson-Lindenstrauss sign projection ----------------------------------
+JL_OUT_DIM = 16
+JL_PAIR_MAX = 10  # contract pairs: query vec 0 vs vecs 1..JL_PAIR_MAX
+# sign(i, j): a middle bit of a Knuth multiply — NOT the low bit, which a
+# multiplication by an odd constant would leave equal to parity(i*131 + j).
+_JL_SIGN_SQL = (
+    "CASE WHEN (((i * 131 + j) * 2654435761) // 1024) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+
+def _jl_sign(i, j):
+    knuth = ((i * 131 + j) * F.lit(2654435761) / F.lit(1024)).cast("long")
+    return F.when(F.pmod(knuth, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+@register(
+    "embed_jl_projection",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings WHERE vec_id <= {JL_PAIR_MAX}
+    ),
+    proj AS (
+        SELECT vec_id, qe,
+               [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [{_JL_SIGN_SQL} * qe[i] for i in generate_series(1, {DIM})]),
+                    (acc, v) -> acc + v)
+                for j in generate_series(1, {JL_OUT_DIM})] AS p
+        FROM q
+    ),
+    qv AS (SELECT qe AS a_qe, p AS a_p FROM proj WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [(qv.a_qe[i] - b.qe[i]) * (qv.a_qe[i] - b.qe[i])
+                for i in generate_series(1, {DIM})]),
+               (acc, v) -> acc + v) AS orig_d2,
+           CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               [CAST(qv.a_p[j] - b.p[j] AS HUGEINT) * (qv.a_p[j] - b.p[j])
+                for j in generate_series(1, {JL_OUT_DIM})]),
+               (acc, v) -> acc + v) AS DECIMAL(38,0)) AS proj_d2,
+           (list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               [CAST(qv.a_p[j] - b.p[j] AS HUGEINT) * (qv.a_p[j] - b.p[j])
+                for j in generate_series(1, {JL_OUT_DIM})]), (acc, v) -> acc + v)
+            <= 3 * {JL_OUT_DIM} * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [(qv.a_qe[i] - b.qe[i]) * (qv.a_qe[i] - b.qe[i])
+                for i in generate_series(1, {DIM})]), (acc, v) -> acc + v) AS HUGEINT))
+           AND
+           (3 * list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               [CAST(qv.a_p[j] - b.p[j] AS HUGEINT) * (qv.a_p[j] - b.p[j])
+                for j in generate_series(1, {JL_OUT_DIM})]), (acc, v) -> acc + v)
+            >= {JL_OUT_DIM} * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [(qv.a_qe[i] - b.qe[i]) * (qv.a_qe[i] - b.qe[i])
+                for i in generate_series(1, {DIM})]), (acc, v) -> acc + v) AS HUGEINT))
+           AS distortion_ok
+    FROM proj b, qv WHERE b.vec_id <> {QUERY_VEC_ID}
+    """,
+    tags=("similarity", "llm", "approx"),
+)
+def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, {DIM}→{JL_OUT_DIM} dims —
+    the OBLIVIOUS dimension reduction complementing embed_pca_power's
+    data-driven one: a ±1 sign matrix (Achlioptas 2003 — database-
+    friendly projections) needs no training pass, no stored model
+    beyond a hash formula, and preserves pairwise distances in
+    expectation (E[‖Pd‖²] = k·‖d‖² for ±1 entries). Signs come from a
+    middle bit of a Knuth multiply (the LOW bit of odd-constant
+    products would just replay the input's parity — a classic trap),
+    so the matrix is engine-exact and never materialized.
+
+    Projections are exact int64 folds over the shared fixed-point
+    quantize; the per-pair distortion contract (k·orig/3 ≤ proj ≤
+    3k·orig, integer cross-multiplied in int128/decimal — squared
+    projected deltas overflow int64) rides in the hash row for the
+    query vector against its {JL_PAIR_MAX} successors.
+
+    Scale: map-only per vector ({DIM}·{JL_OUT_DIM} multiply-adds), no
+    shuffle at all until a consumer aggregates; the projected table is
+    4× narrower for downstream ANN/clustering passes."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= JL_PAIR_MAX)
+    q = _quantize_fixed(e).select("vec_id", "qe")
+
+    def project(qe_col):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + _jl_sign(i, F.lit(j)) * F.element_at(qe_col, i),
+                )
+                for j in range(1, JL_OUT_DIM + 1)
+            ]
+        )
+
+    proj = q.select("vec_id", "qe", project(F.col("qe")).alias("p"))
+    qv = F.broadcast(
+        proj.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("qe").alias("a_qe"), F.col("p").alias("a_p")
+        )
+    )
+    pairs = proj.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(qv)
+    orig_d2 = F.aggregate(
+        F.zip_with("a_qe", "qe", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d38 = "decimal(38,0)"
+    proj_d2 = F.aggregate(
+        F.zip_with("a_p", "p", lambda x, y: (x - y).cast(d38) * (x - y)),
+        F.lit(0).cast(d38),
+        lambda acc, v: acc + v,
+    )
+    out = pairs.select(
+        "vec_id",
+        orig_d2.alias("orig_d2"),
+        proj_d2.alias("proj_d2"),
+    )
+    return out.select(
+        "vec_id",
+        "orig_d2",
+        "proj_d2",
+        (
+            (F.col("proj_d2") <= F.lit(3 * JL_OUT_DIM) * F.col("orig_d2").cast(d38))
+            & (
+                F.lit(3) * F.col("proj_d2")
+                >= F.lit(JL_OUT_DIM) * F.col("orig_d2").cast(d38)
+            )
+        ).alias("distortion_ok"),
+    )
