@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("name")
     se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    sr2 = sub.add_parser("run", help="execute a registered query, print JSON rows")
+    sr2.add_argument("name")
+    sr2.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sr2.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list", help="list registered queries with their tags")
+
     pf = sub.add_parser(
         "profile", help="per-column completeness/cardinality report (one scan)"
     )
@@ -102,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
 
         spec = all_queries()[args.name]
         spec.fn(spark, args.sf_dir).explain("formatted")
+    elif args.cmd == "run":
+        from graph_etl_pipeline_spark.registry import all_queries
+
+        spec = all_queries()[args.name]
+        rows = spec.fn(spark, args.sf_dir).limit(args.limit).collect()
+        for row in rows:
+            print(json.dumps(row.asDict(recursive=True), default=str))
+    elif args.cmd == "list":
+        from graph_etl_pipeline_spark.registry import all_queries
+
+        for name, spec in all_queries().items():
+            print(json.dumps({"name": name, "tags": list(spec.tags),
+                              "oracle": spec.oracle is not None}))
     elif args.cmd == "profile":
         from graph_etl_pipeline_spark.io import table
         from graph_etl_pipeline_spark.queries.relational import profile_columns
