@@ -986,3 +986,69 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)"
         ).alias("var_micro2"),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle=f"""
+    WITH per AS (
+        SELECT l_suppkey,
+               CAST(FLOOR(SUM({sdec('l_extendedprice')} * (1 - {sdec('l_discount')}))
+                          * 100) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, l_suppkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM per
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST((1000 * SUM((2 * i - n - 1) * CAST(cents AS HUGEINT)))
+                // (CAST(MAX(n) AS HUGEINT) * SUM(cents)) AS BIGINT)
+               AS gini_permille
+    FROM ranked
+    """,
+    tags=("agg", "profile"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of supplier revenue concentration — the standard
+    inequality/concentration metric (market concentration audits, and in
+    corpus curation the same formula reports how skewed token mass is
+    across sources). Computed exactly: per-supplier revenue reduces to
+    integer cents via the exact decimal sum (FLOOR pinned identically in
+    both engines), then G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over the ascending
+    rank — one integer expression, emitted as exact permille with the
+    numerator widened to int128/decimal.
+
+    Scale shape: the heavy work is the map-combined per-supplier
+    aggregation (|suppliers| ≪ |lineitem|); the global rank then runs
+    on the AGGREGATED table — a single-partition window over n_supplier
+    rows, the same small-profile trade agg_equidepth_histogram
+    documents (sketch-based cut points replace the exact rank when even
+    the group table is too wide)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.floor(
+            F.sum(dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))) * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = per.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "l_suppkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.sum("cents").alias("total_cents"),
+        F.expr(
+            "CAST((1000 * SUM((2 * i - n - 1) * CAST(cents AS decimal(38,0))))"
+            " DIV (CAST(MAX(n) AS decimal(38,0)) * SUM(cents)) AS BIGINT)"
+        ).alias("gini_permille"),
+    )

@@ -236,3 +236,76 @@ def apply_changefeed(
         F.when(F.col("op").isin("U", "I"), F.col("payload")).alias(payload_col)
     )
     return kept.select(cols)
+
+
+@register(
+    "join_scd2_asof",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type = 'purchase'
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, value FROM ordered
+        WHERE prev IS DISTINCT FROM value
+    ),
+    dim AS (
+        SELECT user_id, value AS attr_value, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.attr_value, d.valid_from
+    FROM events f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'click'
+    """,
+    tags=("cdc", "join", "temporal"),
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL dimension lookup — the join every SCD2 table exists to
+    serve and the half scd2_history alone doesn't prove: each fact row
+    (clicks) joins the dimension VERSION that was valid at the fact's
+    event time (fact.ts ∈ [valid_from, valid_to)), so late-arriving
+    analytics reconstruct the world as it was, not as it is. The SCD2
+    versions come from the same change-detection chain as scd2_history
+    (shared derivation, inlined here so both sides stay one plan).
+
+    Scale shape: this is NOT a range join — both sides hash-partition
+    on user_id (one equi-join exchange each) and the validity predicate
+    is a residual filter; per-key fanout is the key's VERSION COUNT
+    (bounded by change frequency, typically ≪ 100), never a
+    time-bucket fanout, which is why warehouses can run SCD2 lookups
+    at fact-table scale. Versions-per-key skew is the same hot-key
+    story as every per-user operator here (join_salted_skew is the
+    escape hatch). Non-matching facts (clicks before the first
+    purchase version) are dropped by the inner join — the LEFT variant
+    adds a null-version row, same plan."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        purch.select(
+            "user_id", "ts", "event_id", "value",
+            F.lag("value").over(w).alias("prev"),
+        )
+        .filter(~F.col("prev").eqNullSafe(F.col("value")))
+    )
+    dim = changes.select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(dim, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    ).select("event_id", "user_id", "ts", "attr_value", "valid_from")
