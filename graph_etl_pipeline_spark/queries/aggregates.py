@@ -1052,3 +1052,57 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(MAX(n) AS decimal(38,0)) * SUM(cents)) AS BIGINT)"
         ).alias("gini_permille"),
     )
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ),
+    r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n,
+           (1000 * t.n) // r.row_n AS p_permille
+    FROM t JOIN r USING (from_type)
+    """,
+    tags=("agg", "sequence"),
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences — the behavioral model behind next-event prediction,
+    anomaly scoring (improbable transitions), and session simulation:
+    P(next = b | current = a) estimated as exact integer permille from
+    lag pairs. Distinct from agg_event_cooccurrence (unordered same-hour
+    pairs): transitions are ORDERED and sequence-adjacent, so the (ts,
+    event_id) total order inside each user partition is load-bearing.
+
+    One user-keyed window pass builds the lag pairs, then two
+    map-combined aggregations over the 5×5 type space — output is
+    |types|², independent of corpus size; the row-normalization join
+    moves 5 rows."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("1000 * n DIV row_n").alias("p_permille"),
+    )

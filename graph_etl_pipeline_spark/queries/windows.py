@@ -701,3 +701,69 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("first_seen").over(run).alias("n_distinct_types"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS equity
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT user_id, ts, equity,
+               MAX(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(equity) AS BIGINT) AS peak_equity_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM d GROUP BY user_id
+    """,
+    tags=("window", "timeseries"),
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user — the risk metric every equity-curve /
+    KPI-trend monitor reports: the deepest peak-to-trough drop of the
+    cumulative series. Three chained exact steps on integer cents: a
+    running sum builds the equity curve, a running MAX tracks the peak,
+    and max(peak − equity) per user is the drawdown — the two running
+    windows and the final aggregate all share ONE user-keyed sort
+    (Spark plans a single Exchange + in-partition sorts, the
+    win_running_distinct pattern; same hot-user caveat).
+
+    Quantization is floor(x·100 + 0.5) pinned identically in both
+    engines (the sink_time_travel_read convention) so the running sums
+    never see a float."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).repartition("user_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = ev.select(
+        "user_id", "ts", "event_id", F.sum(cents).over(run).alias("equity")
+    )
+    curve = curve.select(
+        "user_id",
+        "ts",
+        "equity",
+        F.max("equity").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ).alias("peak"),
+    )
+    return curve.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("equity")).alias("max_drawdown_cents"),
+        F.max("equity").alias("peak_equity_cents"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
