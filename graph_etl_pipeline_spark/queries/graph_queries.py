@@ -1076,3 +1076,84 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("h").alias("score_fp"))
     )
     return top_auth.unionAll(top_hub)
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH per_user_hour AS (
+        SELECT date_trunc('hour', ts) AS h, user_id, MIN(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    chained AS (
+        SELECT h, user_id,
+               LAG(user_id) OVER (PARTITION BY h ORDER BY first_ts, user_id) AS prev_id
+        FROM per_user_hour
+    ),
+    base AS (
+        SELECT DISTINCT LEAST(user_id, prev_id) AS u,
+               GREATEST(user_id, prev_id) AS v
+        FROM chained WHERE prev_id IS NOT NULL
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM base UNION ALL SELECT v FROM base
+        ) GROUP BY node
+    ),
+    j AS (
+        SELECT du.d AS dj, dv.d AS dk FROM base
+        JOIN deg du ON du.node = base.u
+        JOIN deg dv ON dv.node = base.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dj * dk) AS BIGINT) AS s_jk,
+               CAST(SUM(dj + dk) AS BIGINT) AS s_sum,
+               CAST(SUM(dj * dj + dk * dk) AS BIGINT) AS s_sq
+        FROM j
+    )
+    SELECT m, s_jk, s_sum, s_sq,
+           CAST(4 * m * s_jk - s_sum * s_sum AS DOUBLE)
+           / CAST(2 * m * s_sq - s_sum * s_sum AS DOUBLE) AS assortativity
+    FROM s
+    """,
+    tags=("graph", "profile"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY (Newman 2002) of the interaction graph — do
+    high-degree nodes attach to other high-degree nodes (r > 0, social
+    networks) or to low-degree ones (r < 0, technological/star
+    topologies)? The one-number structural profile that predicts
+    whether hub-capping guards (copurchase, jaccard) will actually be
+    exercised. Computed exactly: per-edge endpoint-degree pairs feed
+    integer sums (m, Σjk, Σ(j+k), Σ(j²+k²)), and r arrives as ONE
+    double division of the half-cleared Pearson form
+    (4m·Σjk − (Σ(j+k))²) / (2m·Σ(j²+k²) − (Σ(j+k))²) — exact integers
+    in the hash row certify the moments, the IEEE quotient is
+    bit-stable.
+
+    Plan: the edge list derives once (same hour×type construction as
+    the graph family), degrees are one map-combined agg joined to both
+    endpoints, and everything reduces to a single row."""
+    edges = interaction_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dj"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dk"))
+    j = edges.join(du, "u").join(dv, "v")
+    s = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).alias("s_jk"),
+        F.sum(F.col("dj") + F.col("dk")).alias("s_sum"),
+        F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk")).alias("s_sq"),
+    )
+    num = F.lit(4) * F.col("m") * F.col("s_jk") - F.col("s_sum") * F.col("s_sum")
+    den = F.lit(2) * F.col("m") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")
+    return s.select(
+        "m", "s_jk", "s_sum", "s_sq",
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )

@@ -863,3 +863,113 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         (F.length(html) - F.length(clean)).alias("n_removed"),
     )
+
+
+# --- Winnowing fingerprint selection ----------------------------------------
+WINNOW_K = 4      # words per k-gram
+WINNOW_W = 5      # consecutive k-grams per selection window
+# Selection key: (h mod 2^48)·4096 + (4095 − pos). Minimizing it picks the
+# smallest hash and, on (vanishingly rare but engine-identical) hash ties,
+# the RIGHTMOST position — the winnowing paper's tie rule — as one integer
+# min both engines order identically.
+_WINNOW_KEY_SQL = (
+    "(('0x' || substr(md5(gram), 1, 15))::BIGINT % 281474976710656) * 4096"
+    " + (4095 - pos % 4096)"
+)
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[i:i + {WINNOW_K - 1}], ' ') AS gram,
+               len(t) - {WINNOW_K - 1} AS n_kgrams
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS i
+              FROM toks WHERE len(t) >= {WINNOW_K})
+    ),
+    keyed AS (
+        SELECT doc_id, pos, n_kgrams, {_WINNOW_KEY_SQL} AS key
+        FROM grams
+    ),
+    sel AS (
+        SELECT doc_id, n_kgrams,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               pos
+        FROM keyed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, n_kgrams, fp FROM sel
+        WHERE pos <= n_kgrams - {WINNOW_W - 1}
+    )
+    SELECT doc_id,
+           CAST(MAX(n_kgrams) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           (1000 * COUNT(*)) // MAX(n_kgrams) AS density_permille,
+           CAST(MIN(fp) AS BIGINT) AS fp_min,
+           CAST(MAX(fp) AS BIGINT) AS fp_max
+    FROM fps GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer et al. 2003 — the MOSS
+    algorithm): from every window of {WINNOW_W} consecutive
+    {WINNOW_K}-gram hashes keep the minimum (rightmost on ties), which
+    GUARANTEES any shared substring of ≥ w+k−1 words yields at least one
+    shared fingerprint — the positional-coverage property
+    text_fingerprint's whole-document rolling hash and dedup_minhash's
+    set sketches both lack, and what plagiarism/clone detectors actually
+    index. Hash and tie-break are fused into one engine-identical
+    integer key (see _WINNOW_KEY_SQL), so selection is deterministic
+    even under hash collisions.
+
+    Emits the per-document fingerprint-set profile (count, density —
+    theory says ≈ 2/(w+1) ≈ {1000 * 2 // (WINNOW_W + 1)}‰ — and exact
+    extremes). Plan: map-side gram explode, ONE doc-keyed window pass
+    for all selections, one distinct + aggregation; the fingerprint
+    table this builds is what a corpus-scale clone index joins on."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= WINNOW_K, F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        (F.size(t) - (WINNOW_K - 1)).alias("n_kgrams"),
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, WINNOW_K), " "))
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", "n_kgrams", (F.col("p0") + 1).alias("pos"), "gram"
+    )
+    h48 = F.pmod(
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
+        F.lit(1 << 48),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_kgrams",
+        "pos",
+        (h48 * F.lit(4096) + (F.lit(4095) - F.pmod("pos", F.lit(4096)))).alias(
+            "key"
+        ),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = keyed.select(
+        "doc_id", "n_kgrams", "pos", F.min("key").over(win).alias("fp")
+    ).filter(F.col("pos") <= F.col("n_kgrams") - (WINNOW_W - 1))
+    fps = sel.select("doc_id", "n_kgrams", "fp").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.max("n_kgrams").alias("n_kgrams"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.expr("1000 * count(1) DIV max(n_kgrams)").alias("density_permille"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
