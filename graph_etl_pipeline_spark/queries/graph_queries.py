@@ -1157,3 +1157,139 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "s_jk", "s_sum", "s_sq",
         (num.cast("double") / den.cast("double")).alias("assortativity"),
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM bi),
+    cnt1 AS (
+        SELECT b.t AS node, l.label, COUNT(*) AS c
+        FROM bi b JOIN l0 l ON l.node = b.s
+        GROUP BY b.t, l.label
+    ),
+    pick1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM cnt1
+        ) WHERE rn = 1
+    ),
+    labels AS (
+        SELECT l.node, COALESCE(p.label, l.label) AS label
+        FROM l0 l LEFT JOIN pick1 p ON p.node = l.node
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    intra AS (
+        SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM e0 JOIN labels lu ON lu.node = e0.u
+        JOIN labels lv ON lv.node = e0.v AND lv.label = lu.label
+        GROUP BY lu.label
+    ),
+    degsum AS (
+        SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
+        FROM bi JOIN labels l ON l.node = bi.s GROUP BY l.label
+    ),
+    per AS (
+        SELECT d.label,
+               COALESCE(i.e_c, 0) AS e_c, d.d_c,
+               4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c AS q_num_c
+        FROM degsum d LEFT JOIN intra i USING (label), m
+    )
+    SELECT (SELECT m FROM m) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(q_num_c) AS BIGINT) AS q_num,
+           CAST(SUM(q_num_c) AS DOUBLE)
+           / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE)
+               AS modularity
+    FROM per
+    """,
+    tags=("graph", "profile"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY (Newman-Girvan Q) of the round-1 LPA communities — the quality
+    score that closes the community-detection loop: LPA produces a
+    partition, Q says whether it beats random (Q > 0 means more
+    intra-community edges than a degree-preserving null model expects).
+    Exact arithmetic throughout: with e_c = intra-community edges and
+    d_c = community degree sum, 4m²·Q = Σ_c (4m·e_c − d_c²) is one
+    integer — emitted alongside m and n_communities — and the double Q
+    is a single IEEE division of exact ints (Q's sign never falls to an
+    engine-dependent negative integer division).
+
+    Plan: one LPA vote round (see inline note on why round 1), then
+    intra-edge counting is ONE join of the edge list to the label table
+    on each endpoint (label-equality filtered), and degree mass is a
+    map-combined count — everything |E|-bounded, reduced to one row."""
+    from pyspark.sql import Window
+
+    edges = interaction_edges(spark, sf_dir)
+    # ONE LPA round (not graph_label_propagation's LPA_ROUNDS=2): on the
+    # dense per-hour chain graph the plurality vote collapses to a single
+    # label by round 2 (Q degenerates to exactly 0 — 4m·m == (2m)²); the
+    # round-1 partition has real communities at every test SF, which is
+    # what a quality score should score. Same vote + tie-break as LPA.
+    bi0 = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    l0 = bi0.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    cnt = (
+        bi0.join(l0, l0.node == bi0.s)
+        .groupBy(F.col("t").alias("cnode"), "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("cnode").orderBy(F.desc("c"), F.asc("label"))
+    pick = (
+        cnt.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cnode").alias("node"), F.col("label").alias("new_label"))
+    )
+    labels = (
+        l0.join(pick, "node", "left")
+        .select("node", F.coalesce("new_label", "label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    bi = edges.select(F.col("u").alias("s")).unionAll(
+        edges.select(F.col("v").alias("s"))
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    degsum = (
+        bi.join(labels.select(F.col("node").alias("s"), "label"), "s")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    m_row = edges.agg(F.count(F.lit(1)).alias("m"))
+    per = (
+        degsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+            "m",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("q_num_c"),
+        )
+    )
+    return per.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("q_num_c").alias("q_num"),
+        (
+            F.sum("q_num_c").cast("double")
+            / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+        ).alias("modularity"),
+    ).select("m", "n_communities", "q_num", "modularity")
