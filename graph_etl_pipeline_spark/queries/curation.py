@@ -446,3 +446,60 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_permille"
         ),
     )
+
+
+# --- In-batch negative sampling ---------------------------------------------
+NEG_BATCH = 32  # vectors per training batch (deterministic: vec_id DIV 32)
+
+
+@register(
+    "sample_inbatch_negatives",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, vec_id // {NEG_BATCH} AS batch FROM embeddings)
+    SELECT a.vec_id AS anchor_id, a.batch, a.label,
+           CAST(COUNT(*) AS BIGINT) AS n_batchmates,
+           CAST(SUM(CASE WHEN b.label <> a.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negatives,
+           CAST(SUM(CASE WHEN b.label <> a.label THEN b.vec_id ELSE 0 END) AS BIGINT)
+               AS neg_id_sum
+    FROM v a JOIN v b ON a.batch = b.batch AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, a.batch, a.label
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-BATCH NEGATIVE pairing — how contrastive embedding training
+    (CLIP/SimCLR/sentence-encoder recipes) actually gets its negatives:
+    instead of mining pairs across the corpus (quadratic), each anchor
+    uses the OTHER members of its own training batch, filtered to
+    different-class (label) examples. Batches are deterministic
+    (vec_id div {NEG_BATCH}), so the pairing — and therefore the
+    training run — is exactly reproducible; the audit row per anchor
+    carries the batchmate/negative counts and an exact id-sum
+    checksum of its negative set.
+
+    Plan: ONE self-equi-join on the batch key with fanout bounded by
+    {NEG_BATCH} (never corpus-sized), partial-aggregated to one row
+    per anchor. A class-imbalanced batch shows up as n_negatives ≪
+    n_batchmates — the signal recipes use to re-shard before training.
+    At 100 TB the batch key comes from the pack_sequences layout pass;
+    the join shape is unchanged."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", (F.col("vec_id") / NEG_BATCH).cast("long").alias("batch")
+    )
+    a = v.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label"), "batch"
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"), "batch"
+    )
+    pairs = a.join(b, "batch").filter(F.col("anchor_id") != F.col("b_id"))
+    neg = F.when(F.col("b_label") != F.col("a_label"), 1).otherwise(0)
+    neg_id = F.when(F.col("b_label") != F.col("a_label"), F.col("b_id")).otherwise(0)
+    return pairs.groupBy(
+        F.col("anchor_id"), "batch", F.col("a_label").alias("label")
+    ).agg(
+        F.count(F.lit(1)).alias("n_batchmates"),
+        F.sum(neg).alias("n_negatives"),
+        F.sum(neg_id).alias("neg_id_sum"),
+    )
