@@ -69,6 +69,9 @@ EXTRA = [
     "dedup_semdedup_clusters",  # Lloyd cells + in-cell pair cosines (r6 w4)
     "win_running_distinct",  # two windows on one exchange (r6 w5)
     "embed_sign_hamming_topk",  # 1-bit sigs + popcount rank (r6 w5)
+    "text_winnowing_fingerprint",  # per-doc window-min selection (r6 w7)
+    "join_scd2_asof",  # temporal dimension lookup (r6 w7)
+    "agg_kmv_distinct_intersection",  # KMV sketches + k-min TakeOrdered (r6 w5)
 ]
 
 

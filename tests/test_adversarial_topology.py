@@ -59,6 +59,11 @@ QUERIES = [
     "dedup_shingle_containment",  # df-capped directional index join (r6 wave 6)
     "mm_audio_vad_segments",    # Arrow framing + islands window under hostile topology (r6 wave 6)
     "stream_dedup_within_watermark",  # replay dedup + late filter, batch→file mapping (r6 wave 6)
+    "text_winnowing_fingerprint",  # leading window frames must not move selections (r6 wave 7)
+    "graph_modularity",         # one-round vote + exact Q moments under partitioning (r6 wave 7)
+    "agg_markov_transitions",   # ordered lag pairs under hostile partitioning (r6 wave 7)
+    "win_max_drawdown",         # chained running windows on one exchange (r6 wave 7)
+    "join_scd2_asof",           # version windows + residual validity filter (r6 wave 7)
 ]
 
 _SCRIPT = f"""
