@@ -898,3 +898,145 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- LSH recall contract -----------------------------------------------------
+LSH_RECALL_FLOOR_PERMILLE = 700  # theory at j=θ: 1-(1-j²)^4 ≈ 0.68; planted
+# near-dups sit well above θ where the S-curve saturates, so measured recall
+# is far higher — the floor certifies the curve, not its worst point.
+
+
+@register(
+    "dedup_lsh_recall_contract",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM doc_shingles),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_inter >= sa.n_sh + sb.n_sh - i.n_inter
+    ),
+    mhs AS (SELECT doc_id, {_SQL_MINHASH} FROM exploded GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_SQL_BANDS} FROM mhs),
+    unpivoted AS (
+        {" UNION ALL ".join(f"SELECT doc_id, 'b{b}' AS band, band{b} AS sig FROM bands" for b in range(N_BANDS))}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM unpivoted a JOIN unpivoted b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+        SELECT t.doc_a FROM truth t
+        WHERE EXISTS (SELECT 1 FROM candidates c
+                      WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM candidates) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hit,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN (1000 * (SELECT COUNT(*) FROM hits))
+                     // (SELECT COUNT(*) FROM truth)
+                ELSE 1000 END AS recall_permille,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN (1000 * (SELECT COUNT(*) FROM hits))
+                     // (SELECT COUNT(*) FROM truth)
+                ELSE 1000 END >= {LSH_RECALL_FLOOR_PERMILLE} AS recall_ok
+    """,
+    tags=("dedup", "llm", "approx"),
+)
+def dedup_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL certified against exact ground truth — the missing
+    audit between dedup_minhash_lsh (candidates, then verify) and
+    trusting its PARAMETERS: ground truth is EVERY pair with exact
+    Jaccard ≥ {JACCARD_THRESHOLD} from the full inverted-index
+    self-join (no LSH restriction — affordable as a periodic audit,
+    and exactly what you run on a sample at 100 TB), candidates are
+    the production band-bucket pairs, and the hash row carries
+    n_true / n_candidates / n_hit with an exact-permille recall floor.
+    The sim_ann_recall_contract pattern applied to the dedup family:
+    if someone retunes N_BANDS/N_HASHES and silently drops recall,
+    THIS row goes red, not a downstream training run.
+
+    The θ comparison is integer cross-multiplied (2·|∩| ≥ |∪|), so
+    truth membership never touches a float."""
+    ds = materialize(_doc_shingles(spark, sf_dir), "lsh_doc_shingles")
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = ds.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    ea, eb = ex.alias("ra"), ex.alias("rb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ra.s") == F.col("rb.s"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .groupBy(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(2) * F.col("n_inter")
+            >= F.col("na") + F.col("nb") - F.col("n_inter")
+        )
+        .select("doc_a", "doc_b")
+    )
+    sigs = _signatures_from_arrays(ds)
+    unpivoted = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    ua, ub = unpivoted.alias("ua"), unpivoted.alias("ub")
+    candidates = (
+        ua.join(
+            ub,
+            (F.col("ua.band") == F.col("ub.band"))
+            & (F.col("ua.sig") == F.col("ub.sig"))
+            & (F.col("ua.doc_id") < F.col("ub.doc_id")),
+        )
+        .select(
+            F.col("ua.doc_id").alias("doc_a"), F.col("ub.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    hits = truth.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(candidates.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    recall = F.when(
+        F.col("n_true") > 0, F.expr("1000 * n_hit DIV n_true")
+    ).otherwise(F.lit(1000))
+    return row.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        recall.alias("recall_permille"),
+        (recall >= LSH_RECALL_FLOOR_PERMILLE).alias("recall_ok"),
+    )
