@@ -1184,3 +1184,111 @@ def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("distortion_ok"),
     )
+
+
+# --- Product quantization ----------------------------------------------------
+PQ_SUBSPACES = 8   # 64 dims → 8 subvectors of 8 dims
+PQ_SUBDIM = 8
+PQ_CODEBOOK = 16   # centroids per subspace → 4 bits; packed code < 2^32
+# Codebooks seed from the first PQ_CODEBOOK vectors' subvectors (the module's
+# deterministic first-K convention); the Lloyd machinery (_lloyd) trains them
+# per-subspace in a deployment — assignment shape is unchanged.
+
+
+@register(
+    "embed_pq_codes",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS c, s.s,
+               qe[{PQ_SUBDIM} * s.s + 1 : {PQ_SUBDIM} * (s.s + 1)] AS ce
+        FROM q, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s) s
+        WHERE vec_id < {PQ_CODEBOOK}
+    ),
+    scored AS (
+        SELECT v.vec_id, c.s, c.c,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [(v.qe[{PQ_SUBDIM} * c.s + i] - c.ce[i])
+                    * (v.qe[{PQ_SUBDIM} * c.s + i] - c.ce[i])
+                    for i in generate_series(1, {PQ_SUBDIM})]),
+                   (acc, x) -> acc + x) AS d2
+        FROM q v, cents c
+    ),
+    best AS (
+        SELECT vec_id, s, c, d2 FROM (
+            SELECT vec_id, s, c, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, c) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(c * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS err2
+    FROM best GROUP BY vec_id
+    """,
+    tags=("similarity", "llm", "approx"),
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION (Jégou et al. 2011) — the workhorse ANN
+    compression between this module's scalar int8 and 1-bit extremes:
+    the 64-dim vector splits into {PQ_SUBSPACES} subvectors, each
+    assigned to the nearest of {PQ_CODEBOOK} per-subspace centroids, and
+    the vector becomes {PQ_SUBSPACES} 4-bit codes packed into ONE int —
+    32 bits per vector (64× compression) while distances remain
+    computable per-subspace from lookup tables. Assignment is exact
+    int64 (fixed-point subvector L2, (d2, c) struct-min tie-break), and
+    every row hash-checks its packed code AND reconstruction error, so
+    a subspace-slicing off-by-one or packing bug is caught per vector.
+
+    Scale shape: the codebook is {PQ_CODEBOOK}×{PQ_SUBSPACES} subvectors
+    — broadcast; scoring explodes each vector into {PQ_SUBSPACES}
+    subvector rows map-side, the struct-min collapses the
+    {PQ_CODEBOOK}-way scores before the one per-vector exchange. The
+    ADC search path (query-to-codebook lookup tables) reuses
+    sim_ann_ivf's probe shape on 32-bit codes."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _quantize_fixed(e).select("vec_id", "qe")
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qe", PQ_SUBDIM * s + 1, PQ_SUBDIM).alias("xs"),
+                )
+                for s in range(PQ_SUBSPACES)
+            ]
+        )
+    ).alias("sub")
+    vx = q.select("vec_id", sub).select(
+        "vec_id", F.col("sub.s").alias("s"), F.col("sub.xs").alias("xs")
+    )
+    cents = F.broadcast(
+        q.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("c"), sub)
+        .select("c", F.col("sub.s").alias("s"), F.col("sub.xs").alias("ce"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("xs", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = vx.join(cents, "s").select("vec_id", "s", "c", d2.alias("d2"))
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d2", "c")).alias("m")
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.col("m.c").cast("long"),
+                (F.lit(4) * F.col("s")).cast("int"),
+            )
+        ).alias("pq_code"),
+        F.sum("m.d2").alias("err2"),
+    )
