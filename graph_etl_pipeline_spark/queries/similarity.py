@@ -1292,3 +1292,156 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_code"),
         F.sum("m.d2").alias("err2"),
     )
+
+
+# --- PQ asymmetric-distance search ------------------------------------------
+PQ_TOPK = 20
+PQ_RECALL_FLOOR = 4  # of PQ_TOPK — same random-corpus calibration as the
+# sign-bit contract: 16-centroid seeded codebooks on unstructured vectors
+# are the hardest case; trained codebooks + real clusters separate sharply.
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS c, s.s,
+               qe[{PQ_SUBDIM} * s.s + 1 : {PQ_SUBDIM} * (s.s + 1)] AS ce
+        FROM q, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s) s
+        WHERE vec_id < {PQ_CODEBOOK}
+    ),
+    scored AS (
+        SELECT v.vec_id, c.s, c.c,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [(v.qe[{PQ_SUBDIM} * c.s + i] - c.ce[i])
+                    * (v.qe[{PQ_SUBDIM} * c.s + i] - c.ce[i])
+                    for i in generate_series(1, {PQ_SUBDIM})]),
+                   (acc, x) -> acc + x) AS d2
+        FROM q v, cents c
+    ),
+    best AS (
+        SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    -- query lookup table: subspace distance from vec 0 to every centroid
+    lut AS (
+        SELECT s.s, s.c, s.d2
+        FROM scored s WHERE s.vec_id = {QUERY_VEC_ID}
+    ),
+    adc AS (
+        SELECT b.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        FROM best b JOIN lut l ON l.s = b.s AND l.c = b.c
+        WHERE b.vec_id <> {QUERY_VEC_ID}
+        GROUP BY b.vec_id
+    ),
+    pq_topk AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT {PQ_TOPK}),
+    exact AS (
+        SELECT v.vec_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [(v.qe[i] - qv.qe[i]) * (v.qe[i] - qv.qe[i])
+                    for i in generate_series(1, {DIM})]),
+                   (acc, x) -> acc + x) AS d2
+        FROM q v, (SELECT qe FROM q WHERE vec_id = {QUERY_VEC_ID}) qv
+        WHERE v.vec_id <> {QUERY_VEC_ID}
+    ),
+    exact_topk AS (SELECT vec_id FROM exact ORDER BY d2, vec_id LIMIT {PQ_TOPK})
+    SELECT {PQ_TOPK} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pq_topk
+            WHERE vec_id IN (SELECT vec_id FROM exact_topk)) AS hits,
+           (SELECT COUNT(*) FROM pq_topk
+            WHERE vec_id IN (SELECT vec_id FROM exact_topk))
+               >= {PQ_RECALL_FLOOR} AS recall_ok
+    """,
+    tags=("similarity", "llm", "approx"),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ codes (Jégou et al.'s asymmetric distance
+    computation) — what makes embed_pq_codes USABLE: the query builds a
+    {PQ_SUBSPACES}×{PQ_CODEBOOK} lookup table of exact subspace
+    distances ONCE, and every database vector's approximate distance is
+    just {PQ_SUBSPACES} table lookups summed over its 4-bit codes — no
+    decompression, no per-vector float math. Top-{PQ_TOPK} by
+    (approx distance, vec_id) is compared against the exact fixed-point
+    L2 top-{PQ_TOPK} with a recall floor in the hash row, the
+    sim_ann_recall_contract convention.
+
+    Everything is exact int64 (assignment, table, sums), so the
+    approximate ranking itself — not just the contract — is engine- and
+    partitioning-stable. Scale: the LUT is 128 longs broadcast; the
+    scan is map-side adds; top-k is TakeOrderedAndProject. In a full
+    deployment this composes with the IVF cell probe
+    (sim_ann_ivf_trained) — probe cells first, ADC within them."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _quantize_fixed(e).select("vec_id", "qe")
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qe", PQ_SUBDIM * s + 1, PQ_SUBDIM).alias("xs"),
+                )
+                for s in range(PQ_SUBSPACES)
+            ]
+        )
+    ).alias("sub")
+    vx = q.select("vec_id", sub).select(
+        "vec_id", F.col("sub.s").alias("s"), F.col("sub.xs").alias("xs")
+    )
+    cents = F.broadcast(
+        q.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("c"), sub)
+        .select("c", F.col("sub.s").alias("s"), F.col("sub.xs").alias("ce"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("xs", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = vx.join(cents, "s").select("vec_id", "s", "c", d2.alias("d2"))
+    best = scored.groupBy("vec_id", "s").agg(F.min(F.struct("d2", "c")).alias("m"))
+    lut = F.broadcast(
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            "s", "c", F.col("d2").alias("qd2")
+        )
+    )
+    adc = (
+        best.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "s", F.col("m.c").alias("c"))
+        .join(lut, ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("adist"))
+    )
+    pq_topk = adc.orderBy("adist", "vec_id").limit(PQ_TOPK).select("vec_id")
+    qv = F.broadcast(
+        q.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("qe").alias("q_qe"))
+    )
+    exact = (
+        q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qe", "q_qe", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    exact_topk = exact.orderBy("d2", "vec_id").limit(PQ_TOPK).select("vec_id")
+    hits = pq_topk.join(exact_topk, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.lit(PQ_TOPK).alias("k"),
+        "hits",
+        (F.col("hits") >= PQ_RECALL_FLOOR).alias("recall_ok"),
+    )
