@@ -64,6 +64,10 @@ QUERIES = [
     "agg_markov_transitions",   # ordered lag pairs under hostile partitioning (r6 wave 7)
     "win_max_drawdown",         # chained running windows on one exchange (r6 wave 7)
     "join_scd2_asof",           # version windows + residual validity filter (r6 wave 7)
+    "embed_pq_codes",           # subspace argmin + nibble packing under partitioning (r6 wave 7)
+    "sim_ann_pq_adc",           # LUT join + integer adc ranking ties (r6 wave 7)
+    "dedup_lsh_recall_contract",  # truth/candidate joins under hostile topology (r6 wave 7)
+    "pipeline_incremental_ingest",  # batch-vs-corpus verdict chain (r6 wave 7)
 ]
 
 _SCRIPT = f"""
