@@ -767,3 +767,54 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("equity").alias("peak_equity_cents"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+@register(
+    "win_rolling_range_1h",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll_1h_cents,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll_1h_n
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("window", "timeseries"),
+)
+def win_rolling_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-ANCHORED rolling window — RANGE frames, the third windowing
+    semantics after tumbling/sliding grids (win_sliding_hourly) and row
+    frames (win_lag_running_sum): each event looks back exactly one
+    hour FROM ITS OWN timestamp, so the frame boundary moves with the
+    data, not a grid — the "spend in the last hour" fraud/velocity
+    check that grid windows approximate with up-to-one-bucket error.
+    Spark has no INTERVAL range frames, but an integer range frame over
+    epoch seconds is the same thing exactly (rangeBetween(-3600, 0) on
+    unix_timestamp); DuckDB runs the genuine INTERVAL frame — the hash
+    row proves the two formulations coincide row for row, ties
+    included (RANGE frames include ALL rows at equal ts, so no
+    event_id tie-break is needed — or valid — in the ORDER BY).
+
+    Integer cents (the pinned floor(x·100+0.5) quantize) keep the sums
+    exact; one user-keyed exchange, one sort, both aggregates share
+    the frame."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(cents).over(w).alias("roll_1h_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_1h_n"),
+    )
