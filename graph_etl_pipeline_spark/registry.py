@@ -51,12 +51,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (join_bloom_prefilter, dedup_semdedup_clusters,
 # agg_kmv_distinct_intersection, dedup_ngram_spans, agg_countmin_contract,
 # win_running_distinct) sit INSIDE the window below for first hard rows
-# this round; the rest (agg_bitmap_exact_distinct, text_html_strip,
-# text_gopher_rules, sample_upsample_epochs, embed_sign_hamming_topk,
-# src_jsonl_scan, mm_image_ahash_dedup, sink_time_travel_read,
-# graph_random_walks, ...) register past the 50-row cap — each is
-# oracle-checked by the local parity replica and the sf0.01 verify sweep
-# this round, and they LEAD THE r7 DRIVER WINDOW.
+# this round; the other ~28 wave-4..7 additions (bitmap distinct, html
+# strip, gopher rules, upsampling, sign-bit/JL/PQ/ADC embeddings, jsonl,
+# ahash, time travel, k-anonymity, containment, HITS, moments, gini,
+# markov, drawdown, assortativity, modularity, winnowing, VAD,
+# wm-bounded stream dedup, scd2-asof, KMV/CMS sketches, LSH recall
+# contract, incremental ingest, in-batch negatives, range-frame rolling,
+# random walks) register past the 50-row cap — each is oracle-checked by
+# the local parity replica and the sf0.01 verify sweep this round, and
+# they LEAD THE r7 DRIVER WINDOW.
 CORE_ORDER = [
     # -- new in r6: first driver rows --
     "src_pdf_scan",            # PDF byte ingestion, distributed round trip
