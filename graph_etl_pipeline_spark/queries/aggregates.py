@@ -842,13 +842,17 @@ def agg_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = table(spark, sf_dir, "documents")
 
     def shingle_hashes(src: str) -> DataFrame:
-        w = F.split("text", " ")
+        # alias the split ONCE; an inline split inside the per-element
+        # lambda re-tokenizes the whole document per shingle (the O(n²)
+        # text_winnowing_fingerprint bug, same fix)
+        w = F.col("w")
         idx = F.when(
             F.size(w) >= KMV_SHINGLE_W,
             F.sequence(F.lit(1), F.size(w) - (KMV_SHINGLE_W - 1)),
         ).otherwise(F.array().cast("array<int>"))
         return (
             docs.filter(F.col("source") == src)
+            .select(F.split("text", " ").alias("w"))
             .select(
                 F.explode(
                     F.transform(

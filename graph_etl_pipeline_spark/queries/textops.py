@@ -936,11 +936,17 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
+    # The token array is ALIASED in its own projection and referenced by
+    # name below. Inlining `F.split(...)` into the transform lambda would
+    # make Catalyst re-split the whole document PER GRAM — O(n²) per doc,
+    # 278 s for one 50k-word document vs 0.6 s aliased
+    # (tests/test_giant_document.py pins the fast path).
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
     idx = F.when(
         F.size(t) >= WINNOW_K, F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
+    grams = toks.select(
         "doc_id",
         (F.size(t) - (WINNOW_K - 1)).alias("n_kgrams"),
         F.posexplode(
