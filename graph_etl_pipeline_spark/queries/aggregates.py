@@ -1110,3 +1110,76 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("1000 * n DIV row_n").alias("p_permille"),
     )
+
+
+@register(
+    "agg_linear_trend",
+    oracle=f"""
+    WITH m0 AS (SELECT MIN(ts) AS t0 FROM events),
+    q AS (
+        SELECT event_type,
+               CAST(date_diff('second', m0.t0, ts) AS BIGINT) AS x,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events, m0
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
+           CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS slope_cents_per_sec
+    FROM s
+    """,
+    tags=("agg", "profile", "timeseries"),
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares TREND fit per event type — "is spend
+    drifting up?" as a single distributed pass: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) over (seconds-since-corpus-start, integer cents).
+    The agg_exact_moments design extended to the cross-moment: all five
+    sufficient statistics are exact int64/int128 sums — map-side
+    combinable, order-independent, mergeable across shards — and the
+    hash row carries the exact integer numerator AND denominator, so
+    the regression itself (not a float approximation of it) is
+    certified; the double slope is one IEEE division.
+
+    Headroom: x ≤ ~10⁷ s, y ≤ ~10⁹ cents ⇒ Σxy ≤ 10²¹ per group at
+    sf0.1 — int128/decimal(38) holds to ~10¹⁷ rows. One scan, one
+    5-group exchange; the x-offset (MIN(ts)) is a broadcast scalar
+    that keeps the moments small (epoch-absolute x would waste 30 bits
+    of headroom on a constant)."""
+    ev = table(spark, sf_dir, "events")
+    t0 = F.broadcast(ev.agg(F.min("ts").alias("t0")))
+    q = ev.crossJoin(t0).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0")).alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")
+    den = F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_sec"),
+    )
