@@ -424,3 +424,82 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("source").alias("p_source"),
         parsed.getField("n_chars").alias("p_n_chars"),
     )
+
+
+# --- Format sniffing / dispatch ---------------------------------------------
+SNIFF_FORMATS = ("pdf", "docx", "bmp", "jsonl")  # doc_id % 4 picks the writer
+
+
+@register(
+    "src_format_sniff",
+    oracle=f"""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                           WHEN 2 THEN 'bmp' ELSE 'jsonl' END AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY 1
+    """,
+    tags=("source", "multimodal", "extraction"),
+)
+def src_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAGIC-BYTE format dispatch — the router in front of the
+    byte-format family: a real ingest directory mixes formats, and the
+    loader's first decision is per-blob sniffing, never trusting file
+    extensions. Each document is rendered through a REAL writer chosen
+    by doc_id (the stdlib PDF writer, the WordprocessingML zip
+    container, the BMP encoder, a JSONL line), then the DISPATCHER
+    classifies the produced bytes from their magic alone — %PDF-,
+    PK\\x03\\x04, BM, '{{' — in pure JVM expressions over the binary
+    column (substring/startswith on binary, no UDF). The oracle knows
+    only the doc_id → writer mapping, so the hash row fails if ANY
+    writer stops emitting its own format's magic or the sniffer
+    misroutes — the integration check across all four byte-format
+    implementations at once.
+
+    Scale: writers run in Arrow-batched mapInPandas (the byte-family
+    convention); sniffing is map-side; output is a 4-row summary."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.operators.docx import build_docx
+    from graph_etl_pipeline_spark.operators.multimodal import encode_bmp
+    from graph_etl_pipeline_spark.operators.pdf import build_pdf
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            blobs = []
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                i = int(doc_id)
+                head = str(text)[:60]
+                if i % 4 == 0:
+                    blobs.append(build_pdf(head))
+                elif i % 4 == 1:
+                    blobs.append(build_docx(head))
+                elif i % 4 == 2:
+                    blobs.append(encode_bmp(2, 2, bytes(12)))
+                else:
+                    blobs.append(('{"doc_id": %d}' % i).encode())
+            yield pd.DataFrame(
+                {"doc_id": pdf_batch["doc_id"], "lang": pdf_batch["lang"],
+                 "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(_render, schema="doc_id bigint, lang string, blob binary")
+    magic4 = F.substring("blob", 1, 4)
+    magic2 = F.substring("blob", 1, 2)
+    detected = (
+        F.when(F.substring("blob", 1, 5) == F.lit(b"%PDF-"), "pdf")
+        .when(magic4 == F.lit(b"PK\x03\x04"), "docx")
+        .when(magic2 == F.lit(b"BM"), "bmp")
+        .when(F.substring("blob", 1, 1) == F.lit(b"{"), "jsonl")
+        .otherwise("unknown")
+    )
+    return blobs.select(detected.alias("detected"), "lang").groupBy(
+        "detected"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
