@@ -818,3 +818,81 @@ def win_rolling_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("roll_1h_cents"),
         F.count(F.lit(1)).over(w).alias("roll_1h_n"),
     )
+
+
+@register(
+    "win_share_of_parent",
+    oracle=f"""
+    WITH rev AS (
+        SELECT r_name, n_name,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rv
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(CAST(rv AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST((100000 * CAST(CAST(rv * 1000000 AS HUGEINT) AS HUGEINT))
+                // SUM(CAST(rv * 1000000 AS HUGEINT))
+                   OVER (PARTITION BY r_name) AS BIGINT) AS share_of_region_c%,
+           CAST((100000 * CAST(CAST(rv * 1000000 AS HUGEINT) AS HUGEINT))
+                // SUM(CAST(rv * 1000000 AS HUGEINT)) OVER () AS BIGINT)
+               AS share_of_total_c%
+    FROM rev
+    """.replace("c%", "permyriad"),
+    tags=("window", "agg"),
+)
+def win_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION analysis — percent-of-parent and percent-of-total in
+    one pass, the report-layer verb behind every drill-down ("France is
+    31% of Europe, 6% of world revenue"): unordered window SUMs over
+    the AGGREGATED nation×region table partition by region and
+    globally, and each share is an exact integer division of exact
+    decimal sums (scaled to 1/100 of a percent — permyriad×10 — so no
+    float ratio enters the hash).
+
+    Plan: the heavy work is the star join + 25-row aggregation the
+    flagship already prices; both window sums then run over 25 rows —
+    the global one is the documented single-partition small-profile
+    trade. Exact decimals make share_of_region sum to ≤100 000 per
+    region by construction."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        li.select("l_orderkey", (dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))).alias("rv"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rv").alias("rv"))
+    )
+    w_region = W.partitionBy("r_name")
+    w_all = W.partitionBy()
+    # Integer micros for the share division: DuckDB's `//` on DECIMAL
+    # routes through doubles (off-by-one at quotient boundaries); exact
+    # int128/decimal integer division matches bit-for-bit.
+    rev = rev.withColumn(
+        "rv_micros", (F.col("rv") * 1000000).cast("decimal(38,0)")
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("rv").cast("double").alias("revenue"),
+        F.expr(
+            "CAST((100000 * rv_micros)"
+            " DIV SUM(rv_micros) OVER (PARTITION BY r_name) AS BIGINT)"
+        ).alias("share_of_region_permyriad"),
+        F.expr(
+            "CAST((100000 * rv_micros) DIV SUM(rv_micros) OVER () AS BIGINT)"
+        ).alias("share_of_total_permyriad"),
+    )
