@@ -655,7 +655,27 @@ CMS_W = 512
 CMS_MULTS = (2654435761, 2246822519, 3266489917)
 CMS_PROBE_K = 10
 
-_CMS_POS_SQL = "((user_id * {m}) // 1024) % " + str(CMS_W)
+# Position hash: EXACT integer arithmetic end to end (ADVICE r6). The key is
+# pre-masked to 31 bits so (masked_key * mult) ≤ 2^31 · 3.27e9 < 2^63 — the
+# product can never wrap int64, and integer `DIV`/`//` (never double
+# division, which loses low bits past 2^53) keeps every engine's positions
+# bit-identical for ALL int64 keys, not just small ones.
+CMS_KEY_MASK = 1 << 31
+
+_CMS_POS_SQL = (
+    "(((user_id % " + str(CMS_KEY_MASK) + ") * {m}) // 1024) % " + str(CMS_W)
+)
+
+
+def _cms_pos(key: F.Column, m: int) -> F.Column:
+    """Spark twin of ``_CMS_POS_SQL`` — exact int64 arithmetic only.
+
+    ``shiftright(x, 10)`` == ``x // 1024`` for the non-negative product
+    (mask and multiplier are both positive), with no float round-trip."""
+    return F.pmod(
+        F.shiftright(F.pmod(key, F.lit(CMS_KEY_MASK)) * F.lit(m), 10),
+        F.lit(CMS_W),
+    )
 
 
 @register(
@@ -715,9 +735,7 @@ def agg_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id")
 
     def pos(m) -> F.Column:
-        return F.pmod(
-            (F.col("user_id") * F.lit(m) / F.lit(1024)).cast("long"), F.lit(CMS_W)
-        )
+        return _cms_pos(F.col("user_id"), m)
 
     cells = (
         ev.select(
@@ -1132,8 +1150,8 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY event_type
     )
     SELECT event_type, n, sx, sy,
-           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
-           CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS slope_num,
+           CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS slope_den,
            CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
            / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                AS slope_cents_per_sec
@@ -1174,12 +1192,15 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")
     den = F.col("n").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    # Exact int128 numerator/denominator exported as strings: decimal
+    # value-hash rendering differs across engines (the embed_pca_power
+    # lesson), and the integers here exceed int64.
     return s.select(
         "event_type",
         "n",
         "sx",
         "sy",
-        num.alias("slope_num"),
-        den.alias("slope_den"),
+        num.cast("string").alias("slope_num"),
+        den.cast("string").alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope_cents_per_sec"),
     )

@@ -32,22 +32,22 @@ def _keysets() -> list[tuple[int, list[int]]]:
 
 def test_bloom_has_no_false_negatives_on_any_keyset(spark):
     """Membership of every inserted key must survive the bitmap round
-    trip for all 10 key sets — built per-set in ONE job, probed in one."""
+    trip for ALL 10 key sets (one build per set, one probe job)."""
     rows = [(sid, k) for sid, keys in _keysets() for k in keys]
     df = spark.createDataFrame(rows, "sid int, key long")
 
     from graph_etl_pipeline_spark.queries.joins import bloom_bitmap
 
+    n_sets = len(_keysets())
     bitmaps = [
         bloom_bitmap(
             df.filter(F.col("sid") == sid).select("key"), "key"
         ).withColumn("sid", F.lit(sid))
-        for sid in range(3)  # 3 of the 10 sets exercise the build; all probe below
+        for sid in range(n_sets)
     ]
     words = bitmaps[0]
     for b in bitmaps[1:]:
         words = words.union(b)
-    df = df.filter(F.col("sid") < 3)
     probed = df.join(words, "sid").withColumn(
         "hit",
         _bloom_probe(F.col("key"), BLOOM_SEEDS[0])
@@ -60,9 +60,17 @@ def test_bloom_has_no_false_negatives_on_any_keyset(spark):
 def test_countmin_cells_match_python_replica_and_never_undercount(spark):
     """The Spark CMS cell table must equal the pure-Python replica of the
     multiplicative hash exactly, and min-over-rows must be ≥ the true
-    count for EVERY key (one-sided error), on a skewed multiset."""
-    # Zipf-ish multiset: key k repeated ~ (40 // (k+1)) + 1 times
+    count for EVERY key (one-sided error), on a skewed multiset.
+
+    The multiset deliberately includes keys past 2^53/m (where the old
+    double-division positions went wrong — ADVICE r6) and near int64
+    max, so the exact-integer path is regression-locked for ALL keys."""
+    from graph_etl_pipeline_spark.queries.aggregates import CMS_KEY_MASK, _cms_pos
+
+    # Zipf-ish multiset: key k repeated ~ (40 // (k+1)) + 1 times,
+    # plus giant keys that break float arithmetic but not ours.
     multiset = [k for k in range(60) for _ in range(40 // (k + 1) + 1)]
+    multiset += [2**53 + 7, 2**62 + 12345, (1 << 63) - 1, 2_750_001_337] * 3
     truth: dict[int, int] = {}
     for k in multiset:
         truth[k] = truth.get(k, 0) + 1
@@ -70,7 +78,7 @@ def test_countmin_cells_match_python_replica_and_never_undercount(spark):
     cells_py: dict[tuple[int, int], int] = {}
     for k in multiset:
         for i, m in enumerate(CMS_MULTS):
-            pos = ((k * m) // 1024) % CMS_W
+            pos = (((k % CMS_KEY_MASK) * m) // 1024) % CMS_W
             cells_py[(i, pos)] = cells_py.get((i, pos), 0) + 1
 
     df = spark.createDataFrame([(k,) for k in multiset], "user_id long")
@@ -82,12 +90,7 @@ def test_countmin_cells_match_python_replica_and_never_undercount(spark):
                     *[
                         F.struct(
                             F.lit(i).alias("i"),
-                            F.pmod(
-                                (F.col("user_id") * F.lit(m) / F.lit(1024)).cast(
-                                    "long"
-                                ),
-                                F.lit(CMS_W),
-                            ).alias("pos"),
+                            _cms_pos(F.col("user_id"), m).alias("pos"),
                         )
                         for i, m in enumerate(CMS_MULTS)
                     ]
@@ -101,7 +104,7 @@ def test_countmin_cells_match_python_replica_and_never_undercount(spark):
     assert cells_spark == cells_py
     for k, true_n in truth.items():
         est = min(
-            cells_py[(i, ((k * m) // 1024) % CMS_W)]
+            cells_py[(i, (((k % CMS_KEY_MASK) * m) // 1024) % CMS_W)]
             for i, m in enumerate(CMS_MULTS)
         )
         assert est >= true_n, (k, est, true_n)
