@@ -97,18 +97,24 @@ def bounded_self_pairs(
     order_col: str,
     cap: int,
     select_pairs: Callable[[DataFrame], DataFrame],
+    plain_impl: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """All within-``key`` (a, b) pairs with a.order_col < b.order_col,
     hot groups triangle-tiled (module docstring). ``select_pairs``
     projects the a/b-aliased pair join down to the caller's columns; it
-    runs once per branch so the cold/hot union has a consistent schema."""
+    runs once per branch so the cold/hot union has a consistent schema.
+
+    ``plain_impl`` overrides HOW the bounded (non-hot) branch builds its
+    a/b-aliased pair join — e.g. a broadcast equi-join when the key has
+    few distinct values and a shuffle join would collapse parallelism to
+    the key count (the SemDeDup cell join). It must emit exactly
+    ``plain_self_pairs``' pair set; only the physical strategy differs."""
+    plain = plain_impl or (lambda d: plain_self_pairs(d, key, order_col))
     hot = hot_keys(df, key, cap)
     if hot.limit(1).count() == 0:
-        return select_pairs(plain_self_pairs(df, key, order_col))
+        return select_pairs(plain(df))
     hot_b = F.broadcast(hot)
-    cold = select_pairs(
-        plain_self_pairs(df.join(hot_b, key, "left_anti"), key, order_col)
-    )
+    cold = select_pairs(plain(df.join(hot_b, key, "left_anti")))
     hot_p = select_pairs(
         tiled_self_pairs(df.join(hot_b, key, "left_semi"), key, order_col, cap)
     )

@@ -656,14 +656,18 @@ CMS_MULTS = (2654435761, 2246822519, 3266489917)
 CMS_PROBE_K = 10
 
 # Position hash: EXACT integer arithmetic end to end (ADVICE r6). The key is
-# pre-masked to 31 bits so (masked_key * mult) ≤ 2^31 · 3.27e9 < 2^63 — the
-# product can never wrap int64, and integer `DIV`/`//` (never double
-# division, which loses low bits past 2^53) keeps every engine's positions
-# bit-identical for ALL int64 keys, not just small ones.
-CMS_KEY_MASK = 1 << 31
+# pre-masked to 31 bits with a BITWISE AND — sign-safe (ADVICE r7: `%` has
+# engine-divergent sign semantics for negative dividends; `&` agrees in
+# DuckDB and Spark for any int64 key) — so (masked_key * mult) ≤
+# (2^31-1) · 3.27e9 < 2^63: the product can never wrap int64, and integer
+# `DIV`/`//` (never double division, which loses low bits past 2^53) keeps
+# every engine's positions bit-identical for ALL int64 keys, negative
+# included. For non-negative keys the positions are unchanged from the
+# earlier modulo form (x % 2^31 == x & (2^31-1) when x ≥ 0).
+CMS_KEY_MASK = (1 << 31) - 1
 
 _CMS_POS_SQL = (
-    "(((user_id % " + str(CMS_KEY_MASK) + ") * {m}) // 1024) % " + str(CMS_W)
+    "(((user_id & " + str(CMS_KEY_MASK) + ") * {m}) // 1024) % " + str(CMS_W)
 )
 
 
@@ -671,9 +675,10 @@ def _cms_pos(key: F.Column, m: int) -> F.Column:
     """Spark twin of ``_CMS_POS_SQL`` — exact int64 arithmetic only.
 
     ``shiftright(x, 10)`` == ``x // 1024`` for the non-negative product
-    (mask and multiplier are both positive), with no float round-trip."""
+    (masked key and multiplier are both non-negative), with no float
+    round-trip."""
     return F.pmod(
-        F.shiftright(F.pmod(key, F.lit(CMS_KEY_MASK)) * F.lit(m), 10),
+        F.shiftright(key.bitwiseAND(F.lit(CMS_KEY_MASK)) * F.lit(m), 10),
         F.lit(CMS_W),
     )
 

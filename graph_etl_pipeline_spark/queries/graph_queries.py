@@ -203,9 +203,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized table, joined by BROADCAST onto the edge list — the edge fact
     table shuffles only for the wedge join itself.
 
-    Chain derivation windows are PER-HOUR partitions (no global
-    ordering anywhere); the hour key gives time-bounded, evenly-sized
-    window partitions at any scale."""
+    Chain derivation windows are per-(hour, bucket) partitions (no
+    global ordering anywhere); the time-bounded key plus the
+    CHAIN_HOUR_CAP adaptive bucket width keeps window tasks evenly
+    sized at any scale."""
     edges = interaction_edges(spark, sf_dir)
     # degree-rank orientation: node table is tiny relative to edges
     deg = (
@@ -355,16 +356,37 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected user-interaction chain edges (u < v): users linked when
     consecutive in an hour's activity chain — the shared sparse graph under
     triangle counting, SSSP, k-core, and the adversarial-topology tests.
-    Chain windows are per-hour partitions (no global ordering), so the
-    derivation shuffles by a time-bounded key at any scale."""
+    Chain windows are per-(hour, bucket) partitions with the bucket count
+    derived from the observed per-hour max (CHAIN_HOUR_CAP note above):
+    the derivation shuffles by a time-bounded key AND no single window
+    task sorts more than ~cap users, whatever one hot hour holds. The
+    probe is a map-combined per-hour count folded to one broadcast row —
+    no driver collect, no plan nondeterminism (the bucket count is a pure
+    function of the data both engines compute identically)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
-    per_uh = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).agg(F.min("ts").alias("first_ts"))
-    w = Window.partitionBy("h").orderBy("first_ts", "user_id")
-    chained = per_uh.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
+    # localCheckpoint: the width probe, the chain window, AND callers'
+    # u/v union branches all reference this frame — without truncation
+    # the events aggregation would re-execute once per reference (the
+    # kcore_peel lineage discipline). The checkpoint is (hours × active
+    # users) rows, far smaller than events.
+    per_uh = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .localCheckpoint(eager=True)
+    )
+    width = per_uh.groupBy("h").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.max("n") / F.lit(float(CHAIN_HOUR_CAP))).cast("long"),
+        ).alias("nb")
+    )
+    bucketed = per_uh.crossJoin(F.broadcast(width)).withColumn(
+        "bkt", F.abs(F.col("user_id")) % F.col("nb")
+    )
+    w = Window.partitionBy("h", "bkt").orderBy("first_ts", "user_id")
+    chained = bucketed.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
     return (
         chained.filter(F.col("prev_id").isNotNull())
         .select(
@@ -513,56 +535,11 @@ _COPURCHASE_ORACLE = f"""
     """
 
 
-def _plain_basket_pairs(basket: DataFrame) -> DataFrame:
-    """Per-basket a<b self-join on the order key — one shuffle, no
-    replication. Correct and optimal while every basket fits the cap."""
-    a, b = basket.alias("a"), basket.alias("b")
-    return a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
+def _basket_pair_select(pairs: DataFrame) -> DataFrame:
+    """Project the a/b-aliased within-basket pair join to (part_a, part_b)."""
+    return pairs.select(
         F.col("a.l_partkey").alias("part_a"),
         F.col("b.l_partkey").alias("part_b"),
-    )
-
-
-def _tiled_basket_pairs(basket: DataFrame, cap: int) -> DataFrame:
-    """Within-basket pairs for HOT baskets (> ``cap`` items),
-    TRIANGLE-TILED: items are chunked into runs of ≤ cap in part-key
-    order and the join shuffles on (l_orderkey, tile_i, tile_j), so one
-    k-item basket becomes (k/cap)² independent tiles of ≤ cap² pair
-    candidates each instead of a single k(k-1)/2-pair task. The emitted
-    pair set is IDENTICAL to the plain self-join — a pair with
-    part_a < part_b has chunk_a ≤ chunk_b and meets in exactly one tile,
-    (chunk_a, chunk_b). Replication is linear (each row ships to at most
-    nchunks tiles) vs the quadratic straggler it removes. The chunk
-    assignment is deterministic under any partitioning: (l_orderkey,
-    l_partkey) is distinct upstream, so the row_number window has no
-    ties. Mechanism shared with the embedding-cosine hot-label tiling
-    (q/similarity.py:_tiled_label_pairs)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    # max_chunk rides the same per-basket exchange as row_number (second
-    # WindowExec, zero extra shuffle).
-    chunked = basket.withColumn(
-        "chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("int")
-    ).withColumn("max_chunk", F.max("chunk").over(Window.partitionBy("l_orderkey")))
-    left = chunked.withColumn(
-        "tile_j", F.explode(F.sequence(F.col("chunk"), F.col("max_chunk")))
-    ).select("l_orderkey", "l_partkey", F.col("chunk").alias("tile_i"), "tile_j")
-    right = chunked.withColumn(
-        "tile_i", F.explode(F.sequence(F.lit(0), F.col("chunk")))
-    ).select("l_orderkey", "l_partkey", "tile_i", F.col("chunk").alias("tile_j"))
-    return (
-        left.alias("a")
-        .join(right.alias("b"), ["l_orderkey", "tile_i", "tile_j"])
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
     )
 
 
@@ -590,31 +567,19 @@ def graph_copurchase_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by cap², and the two disjoint pair sets union. The
     min-support HAVING prunes the long tail map-side-partially before
     the final exchange. Guard engagement is asserted by
-    tests/test_adversarial_topology.py's skewed-basket fixture."""
+    tests/test_adversarial_topology.py's skewed-basket fixture. The
+    cap/probe/tile mechanics live in the ONE shared helper,
+    operators/pairs.py:bounded_self_pairs (VERDICT r6 #4 extraction)."""
     from graph_etl_pipeline_spark.io import materialize
+    from graph_etl_pipeline_spark.operators.pairs import bounded_self_pairs
 
     li = table(spark, sf_dir, "lineitem")
     basket = materialize(
         li.select("l_orderkey", "l_partkey").distinct(), "copurchase_basket"
     )
-    hot = (
-        basket.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > COPURCHASE_BASKET_CAP)
-        .select("l_orderkey")
+    pairs = bounded_self_pairs(
+        basket, "l_orderkey", "l_partkey", COPURCHASE_BASKET_CAP, _basket_pair_select
     )
-    if hot.limit(1).count() == 0:
-        pairs = _plain_basket_pairs(basket)
-    else:
-        hot_b = F.broadcast(hot)
-        pairs = _plain_basket_pairs(
-            basket.join(hot_b, "l_orderkey", "left_anti")
-        ).unionByName(
-            _tiled_basket_pairs(
-                basket.join(hot_b, "l_orderkey", "left_semi"),
-                COPURCHASE_BASKET_CAP,
-            )
-        )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -625,15 +590,34 @@ def graph_copurchase_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 2
 KCORE_ROUNDS = 3
 
-_SQL_CHAIN_EDGES = """
+# Max users one chain-window task may sort (VERDICT r6 #7 / r7 #8: the
+# per-hour window used to be unbounded — a hot hour with 10M actives was
+# one 10M-row sort task). The bucket count is derived IN-QUERY from the
+# observed per-hour max (B = ceil(max_n / cap), the pairs.py adaptive
+# probe applied to a window key), so at every test SF B = 1 and the graph
+# is bit-identical to the unbucketed chain, while a hot hour splits into
+# B hash buckets of ~cap users chained independently (abs(user_id) % B is
+# engine-identical; user_id is non-negative in the events domain). The
+# closed-form oracle implements the SAME rule, so parity holds on any
+# density.
+CHAIN_HOUR_CAP = 256
+
+_SQL_CHAIN_EDGES = f"""
     per_user_hour AS (
         SELECT date_trunc('hour', ts) AS h, user_id, MIN(ts) AS first_ts
         FROM events GROUP BY 1, 2
     ),
+    chain_width AS (
+        SELECT GREATEST(1, CAST(CEIL(MAX(n) / {CHAIN_HOUR_CAP}.0) AS BIGINT)) AS nb
+        FROM (SELECT h, COUNT(*) AS n FROM per_user_hour GROUP BY h)
+    ),
     chained AS (
         SELECT h, user_id,
-               LAG(user_id) OVER (PARTITION BY h ORDER BY first_ts, user_id) AS prev_id
-        FROM per_user_hour
+               LAG(user_id) OVER (
+                   PARTITION BY h, abs(user_id) % nb
+                   ORDER BY first_ts, user_id
+               ) AS prev_id
+        FROM per_user_hour, chain_width
     ),
     e0 AS (
         SELECT DISTINCT LEAST(user_id, prev_id) AS u, GREATEST(user_id, prev_id) AS v
@@ -819,6 +803,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_MIN_COMMON = 1  # wedge support floor for candidate pairs
+JACCARD_WEDGE_CAP = 256  # max neighbors through one wedge vertex before the
+# hot-node guard triangle-tiles its pair generation (operators/pairs.py) —
+# a degree-d hub otherwise makes one d² task
 
 
 @register(
@@ -855,22 +842,31 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64s, so the hash is engine-stable.
 
     At 100 TB the wedge fanout at a hub node is its degree squared — the
-    same power-law hazard as copurchase baskets, bounded the same way
-    (hot-node tiling via the COPURCHASE_BASKET_CAP machinery) when the
-    degree distribution demands it; the interaction chain graph's
-    per-hour construction caps degrees structurally here.""".replace(
+    same power-law hazard as copurchase baskets, bounded the same way:
+    wedge generation runs through the shared hot-group guard
+    (operators/pairs.py:bounded_self_pairs, keyed on the common
+    neighbor, capped at JACCARD_WEDGE_CAP), so a degree-d hub becomes
+    (d/cap)² bounded tiles instead of one d² task; graphs with no hub
+    pay nothing (plain-join fast path). Guard engagement on a planted
+    hub is asserted by tests/test_adversarial_topology.py.""".replace(
         "{JACCARD_MIN_COMMON}", str(JACCARD_MIN_COMMON)
     )
+    from graph_etl_pipeline_spark.operators.pairs import bounded_self_pairs
+
     edges = interaction_edges(spark, sf_dir)
     bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).localCheckpoint(eager=True)
     deg = bi.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    a = bi.alias("a")
-    b = bi.alias("b")
+    wedge_pairs = bounded_self_pairs(
+        bi,
+        "t",
+        "s",
+        JACCARD_WEDGE_CAP,
+        lambda j: j.select(F.col("a.s").alias("x"), F.col("b.s").alias("y")),
+    )
     wedge = (
-        a.join(b, (F.col("b.t") == F.col("a.t")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        wedge_pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= JACCARD_MIN_COMMON)
     )

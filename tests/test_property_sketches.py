@@ -78,7 +78,7 @@ def test_countmin_cells_match_python_replica_and_never_undercount(spark):
     cells_py: dict[tuple[int, int], int] = {}
     for k in multiset:
         for i, m in enumerate(CMS_MULTS):
-            pos = (((k % CMS_KEY_MASK) * m) // 1024) % CMS_W
+            pos = (((k & CMS_KEY_MASK) * m) // 1024) % CMS_W
             cells_py[(i, pos)] = cells_py.get((i, pos), 0) + 1
 
     df = spark.createDataFrame([(k,) for k in multiset], "user_id long")
@@ -104,7 +104,7 @@ def test_countmin_cells_match_python_replica_and_never_undercount(spark):
     assert cells_spark == cells_py
     for k, true_n in truth.items():
         est = min(
-            cells_py[(i, (((k % CMS_KEY_MASK) * m) // 1024) % CMS_W)]
+            cells_py[(i, (((k & CMS_KEY_MASK) * m) // 1024) % CMS_W)]
             for i, m in enumerate(CMS_MULTS)
         )
         assert est >= true_n, (k, est, true_n)
