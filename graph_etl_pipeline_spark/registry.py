@@ -31,126 +31,138 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Driver-facing registration order. The correctness driver checks the FIRST
 # 50 registered queries. The window ROTATES across rounds (VERDICT r3 #1) so
 # every declared operator earns a hard driver CORRECTNESS row at least once:
-# names in ROTATED_OUT below were driver-green in r1-r3 and now sit past the
-# cap (still oracle-checked every round by the local parity replica,
-# tests/test_oracle_parity.py).
+# names past the cap were driver-green in earlier rounds (round noted in git
+# history / prior CORRECTNESS files) and stay oracle-checked every round by
+# the local parity replica (tests/test_oracle_parity.py).
 #
-# r6 window policy (VERDICT r5 #4): with every registered operator now
-# holding ≥1 hard driver row (r1-r5 union), priority shifts to
-# RE-CONFIRMATION — (a) queries new in r6, (b) queries whose
-# implementations materially changed since their last driver row (the
-# graph refactor onto interaction_edges/kcore_peel/bellman_ford, the
-# generic apply_changefeed, the compacting state write, and the two
-# c4fd83e rewrites that postdate CORRECTNESS_r05), (c) the §2 relational
-# core, whose last driver rows are r1-r3 while io.py's scan path changed
-# under them in r5 (row-aware floor), then (d) the r5 first-timers for a
-# second confirmation. Multiply-confirmed r4+r5 rows rotate past the cap.
-# Names not listed here (future additions) append at the end in
+# r8 window policy (VERDICT r7 #1): the 32 operators that registered in the
+# r6 waves but NEVER earned a hard driver row lead the window for their
+# first driver validation (this includes embed_jl_projection and
+# agg_linear_trend, whose int128→string output form from 6e10792 has never
+# been driver-checked). Next come the seven queries whose implementations
+# changed in r8 — the shared pair-tiling guard rewiring
+# (dedup_semdedup_clusters, graph_jaccard_similarity,
+# graph_copurchase_project, dedup_embedding_cosine), the sign-safe CMS
+# mask (agg_countmin_contract), FlateDecode in the PDF codec
+# (src_pdf_scan), and sim_ann_recall_contract (now the sole registered
+# surface of the retired sim_ann_ivf plan). Then the every-round flagship
+# and ten §2/streaming anchors. Multiply-confirmed rows rotate past the
+# cap. Names not listed here (future additions) append at the end in
 # registration order. tests/test_library.py asserts the invariants.
-# Of the 16 operators added in r6 waves 4-6, the six strongest
-# (join_bloom_prefilter, dedup_semdedup_clusters,
-# agg_kmv_distinct_intersection, dedup_ngram_spans, agg_countmin_contract,
-# win_running_distinct) sit INSIDE the window below for first hard rows
-# this round; the other ~28 wave-4..7 additions (bitmap distinct, html
-# strip, gopher rules, upsampling, sign-bit/JL/PQ/ADC embeddings, jsonl,
-# ahash, time travel, k-anonymity, containment, HITS, moments, gini,
-# markov, drawdown, assortativity, modularity, winnowing, VAD,
-# wm-bounded stream dedup, scd2-asof, KMV/CMS sketches, LSH recall
-# contract, incremental ingest, in-batch negatives, range-frame rolling,
-# random walks) register past the 50-row cap — each is oracle-checked by
-# the local parity replica and the sf0.01 verify sweep this round, and
-# they LEAD THE r7 DRIVER WINDOW.
 CORE_ORDER = [
-    # -- new in r6: first driver rows --
-    "src_pdf_scan",            # PDF byte ingestion, distributed round trip
-    "src_docx_scan",           # DOCX byte ingestion (completes the pdf/csv/docx/llm quartet)
-    "src_orc_scan",            # second columnar format, pushdown through ORC
-    "stream_watermark_late",   # T3 late data made hash-checkable (3 regimes)
-    "stream_interval_join",    # stream-stream event-time range join
-    "text_line_dedup",         # CCNet-style cross-doc boilerplate line removal
-    "mm_image_resize",         # nearest-neighbor resample through the BMP codec
-    "graph_label_propagation", # LPA plurality-vote communities, 2 unrolled rounds
-    "text_bigram_lm_score",    # count-based LM quality scoring (perplexity stand-in)
-    "embed_pca_power",         # fixed-point power iteration, top principal direction
-    "stream_left_join_timeout",# outer-join watermark timeout emission
-    "sink_zorder_write",       # Morton-clustered write + 2-D box read
-    "join_salted_skew",        # adaptive split-salted hot-key join
-    "mm_video_scene_cut",      # exact-int frame-diff shot boundaries
-    "graph_jaccard_similarity",# wedge-bounded link-prediction similarity
-    "agg_hll_mergeable",       # HLL sketch mergeability contract
-    "pipeline_multimodal_curation",  # decode -> floor -> content-hash dedup
-    "dedup_prefix_containment",# truncation-dupe detection, prefix-blocked
-    "agg_exact_median",        # exact sort-based group median
-    "join_bucketed_colocated", # bucketed big-big join, shuffle paid at write
-    "stream_stateful_session_timeout",  # EventTimeTimeout custom sessionizer
-    "win_ohlc_resample",       # order-defined OHLC bars, min_by/max_by one-pass
-    "text_ngram_novelty",      # first-occurrence novelty curation signal
-    "win_ewma_by_user",        # sequential-fold EWMA recurrence
-    "agg_group_mode",          # deterministic per-group mode via min_by struct
-    "graph_connected_components_star",  # O(log^2 n) star-contraction CC path
-    "join_interval_overlap",   # bucketized interval-x-interval overlap join
-    # -- r6-changed implementations: re-confirm (CORRECTNESS_r05 predates
-    #    these rewrites) --
-    "graph_kcore_bounded",     # kcore_peel: anti-join + checkpoint (3.3s→1.3s)
-    "graph_sssp_bounded",      # bellman_ford library fn + pinned edge list
-    "stream_incremental_upsert",  # size-derived state-write compaction
-    "cdc_apply_changefeed",    # apply_changefeed generic over snapshot schema
-    "graph_copurchase_project",  # hot-basket guard wired (c4fd83e, post-r5-row)
-    "sim_ann_ivf_trained",     # single-pass Lloyd artifacts (c4fd83e)
+    # -- first driver rows: the 32 never-checked operators (VERDICT r7 #1) --
+    "src_jsonl_scan",
+    "src_format_sniff",
+    "text_html_strip",
+    "text_gopher_rules",
+    "text_winnowing_fingerprint",
+    "dedup_lsh_recall_contract",
+    "dedup_shingle_containment",
+    "embed_jl_projection",       # string-typed int128 output (6e10792) — first driver validation
+    "embed_pq_codes",
+    "embed_sign_hamming_topk",
+    "sim_ann_pq_adc",
+    "agg_bitmap_exact_distinct",
+    "agg_exact_moments",
+    "agg_gini_concentration",
+    "agg_linear_trend",          # string-typed int128 output (6e10792) — first driver validation
+    "agg_markov_transitions",
+    "graph_assortativity",
+    "graph_hits",
+    "graph_modularity",
+    "graph_random_walks",
+    "join_scd2_asof",
+    "mm_audio_vad_segments",
+    "mm_image_ahash_dedup",
+    "pipeline_incremental_ingest",
+    "privacy_kanonymity_audit",
+    "sample_inbatch_negatives",
+    "sample_upsample_epochs",
+    "sink_time_travel_read",
+    "stream_dedup_within_watermark",
+    "win_max_drawdown",
+    "win_rolling_range_1h",
+    "win_share_of_parent",
+    # -- r8-changed implementations: re-confirm --
+    "dedup_semdedup_clusters",   # pairs.py guard replaces unconditional broadcast
+    "graph_jaccard_similarity",  # wedge generation through pairs.py hot-node guard
+    "graph_copurchase_project",  # basket pairs through pairs.py (shared helper)
+    "dedup_embedding_cosine",    # label pairs through pairs.py (shared helper)
+    "agg_countmin_contract",     # sign-safe bitwise-AND key mask (ADVICE r7)
+    "src_pdf_scan",              # FlateDecode content streams (VERDICT r7 #4)
+    "sim_ann_recall_contract",   # sole registered surface of the IVF stand-in plan
     # -- flagship: a hard row every round --
     "join_four_hop_chain",
-    # -- SURVEY §2 relational core: re-confirm under the r5/r6 engine layer
-    #    (VERDICT r5 #4 — last driver rows r1-r3, io.py scan path changed
-    #    under them since) --
-    "src_csv_scan",            # S1
-    "sink_upsert_node",        # S4
+    # -- §2 / streaming anchors --
+    "src_csv_scan",              # S1
+    "sink_upsert_node",          # S4
     "sink_merge_prefer_nonempty",  # S6
-    "flt_blocklist_predicate", # P4+F9
-    "fn_regexp_extract_all",   # F5
-    "join_broadcast_inner",    # J1
-    "join_left_anti",          # J2
-    "agg_multi_counter",       # A5
-    "explode_split_targets",   # X2
-    "win_row_number_dedup",    # O3
-    # -- r6 waves 4-6: first driver rows for the strongest additions.
-    #    These six slots held S2/S5/F1/O5/D1/D5 re-confirms BEYOND the ten
-    #    VERDICT r5 #4 asked for (kept above); those six rotate out
-    #    (driver-green r1-r3, parity-checked every round) in favor of
-    #    hard rows for the new operators. --
-    "join_bloom_prefilter",    # bitmap runtime filter, exact-result oracle
-    "dedup_semdedup_clusters", # SemDeDup cluster-bounded cosine dedup
-    "agg_kmv_distinct_intersection",  # KMV sketch w/ intersection contract
-    "dedup_ngram_spans",       # duplicated-span coverage (Lee et al.)
-    "agg_countmin_contract",   # CMS point-frequency sketch contract
-    "win_running_distinct",    # first-seen running-distinct rewrite
-    # -- r5 first-timers: second confirmation while slots allow --
-    "pipeline_training_dataset",
-    # ---- position 51+: driver-green in earlier rounds (round noted in
-    # git history / prior CORRECTNESS files); every name below is still
+    "flt_blocklist_predicate",   # P4+F9
+    "fn_regexp_extract_all",     # F5
+    "join_broadcast_inner",      # J1
+    "join_left_anti",            # J2
+    "agg_multi_counter",         # A5
+    "win_row_number_dedup",      # O3
+    "stream_incremental_upsert", # T2
+    # ---- position 51+: driver-green in earlier rounds; still
     # oracle-checked locally every round by tests/test_oracle_parity.py ----
-    "text_pack_sequences",     # r5-window green (integer bucket rewrite confirmed)
-    "agg_equidepth_histogram", # r5-window green
-    "stream_sliding_hourly",   # r5-window green
-    "sample_temperature_mix",  # r5-window green
-    "win_gapfill_hourly",      # r5-window green
-    "sim_kmeans_assign",       # r5-window green (iterate twin stays in-window)
-    "win_retention_cohorts",   # r5-window green
-    "agg_event_cooccurrence",  # r5-window green
-    "doc_rule_extract",        # r5-window green
-    "src_xlsx_scan",           # r5-window green
-    "join_asof_nearest",       # r5-window green
-    "stream_session_window",   # r5-window green
-    "sink_partitioned_prune",  # r5-window green (plan test keeps the property)
-    "embed_quantize_error_contract",  # r5-window green
-    "win_sliding_hourly",      # r5-window green
-    "dedup_fuzzy_names",       # r5-window green
-    "sim_kmeans_iterate",      # r5-window green
-    "graph_triangle_count",    # r4/parity-green; edge derivation extracted (pure refactor, plan unchanged)
-    "join_left_semi",          # J3 — driver-green r1-r3 (beyond the VERDICT re-confirm ask)
-    "agg_topk",                # A4 — driver-green r1-r3 (beyond the VERDICT re-confirm ask)
-    "mm_audio_frame_rms",      # r5-window green
-    "embed_quantize_int8",     # r4 red row fixed -> r5-window green
-    "sim_ann_ivf",
+    "src_docx_scan",
+    "src_orc_scan",
+    "stream_watermark_late",
+    "stream_interval_join",
+    "text_line_dedup",
+    "mm_image_resize",
+    "graph_label_propagation",
+    "text_bigram_lm_score",
+    "embed_pca_power",
+    "stream_left_join_timeout",
+    "sink_zorder_write",
+    "join_salted_skew",
+    "mm_video_scene_cut",
+    "agg_hll_mergeable",
+    "pipeline_multimodal_curation",
+    "dedup_prefix_containment",
+    "agg_exact_median",
+    "join_bucketed_colocated",
+    "stream_stateful_session_timeout",
+    "win_ohlc_resample",
+    "text_ngram_novelty",
+    "win_ewma_by_user",
+    "agg_group_mode",
+    "graph_connected_components_star",
+    "join_interval_overlap",
+    "graph_kcore_bounded",
+    "graph_sssp_bounded",
+    "cdc_apply_changefeed",
+    "sim_ann_ivf_trained",
+    "explode_split_targets",
+    "join_bloom_prefilter",
+    "agg_kmv_distinct_intersection",
+    "dedup_ngram_spans",
+    "win_running_distinct",
+    "pipeline_training_dataset",
+    "text_pack_sequences",
+    "agg_equidepth_histogram",
+    "stream_sliding_hourly",
+    "sample_temperature_mix",
+    "win_gapfill_hourly",
+    "sim_kmeans_assign",
+    "win_retention_cohorts",
+    "agg_event_cooccurrence",
+    "doc_rule_extract",
+    "src_xlsx_scan",
+    "join_asof_nearest",
+    "stream_session_window",
+    "sink_partitioned_prune",
+    "embed_quantize_error_contract",
+    "win_sliding_hourly",
+    "dedup_fuzzy_names",
+    "sim_kmeans_iterate",
+    "graph_triangle_count",
+    "join_left_semi",
+    "agg_topk",
+    "mm_audio_frame_rms",
+    "embed_quantize_int8",
     "text_pii_scrub",
     "dedup_cluster_keep",
     "agg_heavy_hitters",
@@ -168,7 +180,6 @@ CORE_ORDER = [
     "set_union",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_simhash",
     "pipeline_corpus_curation",
     "win_session_batch",
@@ -183,7 +194,6 @@ CORE_ORDER = [
     "profile_table_stats",
     "agg_histogram",
     "agg_winsorize",
-    "sim_ann_recall_contract",
     "agg_approx_distinct",
     "win_asof_last_click",
     "agg_rollup",
@@ -239,6 +249,7 @@ ROTATED_OUT = {
     "dedup_embedding_cosine", "dedup_merge_most_complete", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "flt_compound_predicate", "fn_case_classify",
     "fn_code_parse", "fn_dict_normalize", "fn_timestamps",
+    "explode_split_targets",
     "graph_count_by_label", "graph_reachability", "join_consistency_antijoin",
     "join_left_semi", "join_two_hop", "mm_binary_features", "mm_image_decode",
     "mm_metadata_struct", "pipeline_corpus_curation", "proj_select_alias",

@@ -15,8 +15,10 @@ def test_cli_list_enumerates_registry(spark, capsys):
     names = {r["name"] for r in lines}
     assert {"join_four_hop_chain", "dedup_minhash_lsh", "src_pdf_scan"} <= names
     assert all(set(r) == {"name", "tags", "oracle"} for r in lines)
-    # exactly one rows-only query (the raw ANN list)
-    assert [r["name"] for r in lines if not r["oracle"]] == ["sim_ann_ivf"]
+    # zero rows-only queries: every registered entry carries an oracle
+    # (sim_ann_ivf retired from the registry, VERDICT r7 #5 — its plan is
+    # hash-checked through sim_ann_recall_contract)
+    assert [r["name"] for r in lines if not r["oracle"]] == []
 
 
 def test_cli_run_executes_registered_query(spark, capsys):

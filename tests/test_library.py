@@ -45,42 +45,36 @@ SURVEY_DECLARED = {
 }
 
 
-# r6 window priorities (VERDICT r5 #4): new queries, implementations
-# changed since their last driver row, and the §2 relational core whose
-# last driver rows predate the r5 io.py scan-path change — each must hold
-# a driver-window slot this round.
-R6_PROMOTED = {
-    # new in r6
-    "src_pdf_scan", "src_docx_scan", "src_orc_scan", "stream_watermark_late",
-    "stream_interval_join", "text_line_dedup", "mm_image_resize",
-    "graph_label_propagation", "text_bigram_lm_score", "embed_pca_power",
-    "stream_left_join_timeout", "sink_zorder_write", "join_salted_skew",
-    "mm_video_scene_cut", "graph_jaccard_similarity", "agg_hll_mergeable",
-    "pipeline_multimodal_curation", "dedup_prefix_containment",
-    "agg_exact_median", "join_bucketed_colocated",
-    "stream_stateful_session_timeout", "win_ohlc_resample",
-    "text_ngram_novelty", "win_ewma_by_user", "agg_group_mode",
-    "graph_connected_components_star", "join_interval_overlap",
-    # changed since their last driver CORRECTNESS row (r6 refactors +
-    # the two c4fd83e rewrites that postdate CORRECTNESS_r05)
-    "graph_kcore_bounded", "graph_sssp_bounded",
-    "cdc_apply_changefeed", "stream_incremental_upsert",
-    "graph_copurchase_project", "sim_ann_ivf_trained",
+# r8 window priorities (VERDICT r7 #1): the 32 operators that never
+# earned a hard driver row lead the window, then the seven queries whose
+# implementations changed in r8, then the flagship and §2/streaming
+# anchors — each must hold a driver-window slot this round.
+R8_PROMOTED = {
+    # first driver rows: never checked through r7
+    "src_jsonl_scan", "src_format_sniff", "text_html_strip",
+    "text_gopher_rules", "text_winnowing_fingerprint",
+    "dedup_lsh_recall_contract", "dedup_shingle_containment",
+    "embed_jl_projection", "embed_pq_codes", "embed_sign_hamming_topk",
+    "sim_ann_pq_adc", "agg_bitmap_exact_distinct", "agg_exact_moments",
+    "agg_gini_concentration", "agg_linear_trend", "agg_markov_transitions",
+    "graph_assortativity", "graph_hits", "graph_modularity",
+    "graph_random_walks", "join_scd2_asof", "mm_audio_vad_segments",
+    "mm_image_ahash_dedup", "pipeline_incremental_ingest",
+    "privacy_kanonymity_audit", "sample_inbatch_negatives",
+    "sample_upsample_epochs", "sink_time_travel_read",
+    "stream_dedup_within_watermark", "win_max_drawdown",
+    "win_rolling_range_1h", "win_share_of_parent",
+    # changed in r8: pairs.py guard rewiring, CMS mask, PDF FlateDecode
+    "dedup_semdedup_clusters", "graph_jaccard_similarity",
+    "graph_copurchase_project", "dedup_embedding_cosine",
+    "agg_countmin_contract", "src_pdf_scan", "sim_ann_recall_contract",
     # the every-round flagship
     "join_four_hop_chain",
-    # §2 relational core re-confirmation — the TEN rows VERDICT r5 #4
-    # asked for (driver rows r1-r3; scan path changed under them in r5).
-    # Six additional core re-confirms beyond the ask (S2/S5/F1/O5/D1/D5)
-    # rotated out in favor of first hard rows for the wave-4/5 sketches
-    # and dedup operators below.
+    # §2 / streaming anchors
     "src_csv_scan", "sink_upsert_node", "sink_merge_prefer_nonempty",
     "flt_blocklist_predicate", "fn_regexp_extract_all",
     "join_broadcast_inner", "join_left_anti",
-    "agg_multi_counter", "explode_split_targets", "win_row_number_dedup",
-    # r6 waves 4-5: first driver rows
-    "join_bloom_prefilter", "dedup_semdedup_clusters",
-    "agg_kmv_distinct_intersection", "dedup_ngram_spans",
-    "agg_countmin_contract", "win_running_distinct",
+    "agg_multi_counter", "win_row_number_dedup", "stream_incremental_upsert",
 }
 
 
@@ -93,8 +87,8 @@ def test_registration_order_covers_survey_within_driver_cap():
     assert ROTATED_OUT <= SURVEY_DECLARED
     missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
     assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
-    not_promoted = R6_PROMOTED - in_window
-    assert not not_promoted, f"r6-promoted queries outside driver window: {not_promoted}"
+    not_promoted = R8_PROMOTED - in_window
+    assert not not_promoted, f"r8-promoted queries outside driver window: {not_promoted}"
     # every rotated-out row must still carry a local oracle for the parity replica
     specs = all_queries()
     missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}
@@ -230,7 +224,9 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
 
 def test_ann_ivf_recall(spark, sf_dir):
     exact = {r.vec_id for r in all_queries()["sim_cosine_topk"].fn(spark, sf_dir).collect()}
-    approx = {r.vec_id for r in all_queries()["sim_ann_ivf"].fn(spark, sf_dir).collect()}
+    from graph_etl_pipeline_spark.queries.similarity import sim_ann_ivf
+
+    approx = {r.vec_id for r in sim_ann_ivf(spark, sf_dir).collect()}
     # nprobe=2 of 10 cells; random embeddings spread neighbors, so demand
     # a sane floor, not perfection
     assert len(exact & approx) >= 2

@@ -47,7 +47,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     """BroadcastNestedLoopJoin/CartesianProduct in a hot path is a scale
     bug. The only sanctioned cross joins are 1-row broadcast query
     vectors (similarity family)."""
-    allowed_cross = {"sim_cosine_topk", "sim_ann_ivf"}
+    allowed_cross = {"sim_cosine_topk"}
     for name, spec in sorted(all_queries().items()):
         if name in allowed_cross or name == "stream_tumbling_hourly":
             continue
