@@ -380,50 +380,33 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     it — the fixture-build path is test-scale by design, while the
     streaming plan itself (watermark + windowed agg) is the exact shape
     that runs unbounded at 100 TB/day."""
-    import glob
-    import os
-    import shutil
-
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
-    from graph_etl_pipeline_spark.streaming.jobs import dec
-
-    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
-
-    _reap_stale_pid_dirs(SCRATCH_DIR)
+    import datetime
     import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        dec, stage_three_batch_fixture,
+    )
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(SCRATCH_DIR, f"wmlate_{key}-{os.getpid()}")
-    src = os.path.join(root, "src")
-    if not os.path.exists(os.path.join(src, "c-replay.parquet")):
-        os.makedirs(src, exist_ok=True)
-        stage_a = os.path.join(root, "stage_a")
-        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
-        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
-        advance = ev.agg(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit("wm_advance").alias("event_type"),
-            (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
-            F.lit(0.0).alias("value"),
-        ).select("event_id", "event_type", "ts", "value")
-        stage_b = os.path.join(root, "stage_b")
-        advance.coalesce(1).write.mode("overwrite").parquet(stage_b)
-        part_b = glob.glob(os.path.join(stage_b, "part-*.parquet"))[0]
-        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
-        shutil.copy(part_b, os.path.join(src, "b-advance.parquet"))
-        shutil.copy(part_a, os.path.join(src, "c-replay.parquet"))
-        # the file source orders by (mtime, path): pin both
-        base = 1_000_000_000
-        for i, name in enumerate(
-            ("a-events.parquet", "b-advance.parquet", "c-replay.parquet")
-        ):
-            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
-
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [(
+            "b-advance",
+            [lambda t: (-1, t + datetime.timedelta(hours=1), -1, "wm_advance", 0.0)],
+        )],
+        replay_events=True,
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
+        .select("event_id", "event_type", "ts", "value")
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -579,58 +562,36 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     The production plan is the same join running unbounded: per-side
     state is bounded by the 30-minute horizon plus watermark delay, so
     state size tracks ingest RATE, not history."""
-    import glob
+    import datetime
     import hashlib
     import os
-    import shutil
 
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import stage_three_batch_fixture
 
-    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-
-    _reap_stale_pid_dirs(SCRATCH_DIR)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(SCRATCH_DIR, f"lojto_{key}-{os.getpid()}")
-    src = os.path.join(root, "src")
-    if not os.path.exists(os.path.join(src, "c-evict.parquet")):
-        os.makedirs(src, exist_ok=True)
-        stage_a = os.path.join(root, "stage_a")
-        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
-        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
 
-        def advance_rows(ids):
-            # one even (click-side) and one odd (conv-side) id per batch,
-            # both at tmax + 1h: raises BOTH per-input watermarks
-            return (
-                ev.agg((F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
-                .select(
-                    F.explode(F.array(*[F.lit(i).cast("long") for i in ids])).alias(
-                        "event_id"
-                    ),
-                    "ts",
-                )
-                .select(
-                    "event_id",
-                    # DISTINCT user per synthetic row — they must never
-                    # match each other (same user at the same instant
-                    # would emit as a pair)
-                    (F.lit(-100).cast("long") + F.col("event_id")).alias("user_id"),
-                    "ts",
+    # per following batch: one even (click-side) and one odd (conv-side)
+    # id, both at tmax + 1h — raises BOTH per-input watermarks. DISTINCT
+    # user per synthetic row (-100 + id): they must never match each
+    # other (same user at the same instant would emit as a pair).
+    def advance_rows(ids):
+        return [
+            (
+                lambda t, i=i: (
+                    i, t + datetime.timedelta(hours=1), -100 + i, "wm_advance", 0.0
                 )
             )
+            for i in ids
+        ]
 
-        for name, ids in (("b-advance", (-2, -1)), ("c-evict", (-4, -3))):
-            stage = os.path.join(root, f"stage_{name}")
-            advance_rows(ids).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            shutil.copy(part, os.path.join(src, f"{name}.parquet"))
-        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
-        base = 1_000_000_000
-        for i, name in enumerate(
-            ("a-events.parquet", "b-advance.parquet", "c-evict.parquet")
-        ):
-            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
-
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
+    )
     schema = spark.read.parquet(src).schema
 
     def side_stream():
@@ -638,6 +599,7 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
+            .select("event_id", "user_id", "ts")
         )
 
     clicks = (
@@ -731,58 +693,36 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     and the output must equal the full batch sessionization (streaming
     >= gap split semantics, integer-cents sums). Oracle: the
     gaps-and-islands twin."""
-    import glob
+    import datetime
     import hashlib
     import os
-    import shutil
 
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import stage_three_batch_fixture
     from graph_etl_pipeline_spark.streaming.stateful import (
         session_totals_with_timeout,
     )
 
-    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-
-    _reap_stale_pid_dirs(SCRATCH_DIR)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(SCRATCH_DIR, f"sessto_{key}-{os.getpid()}")
-    src = os.path.join(root, "src")
-    if not os.path.exists(os.path.join(src, "c-flush.parquet")):
-        os.makedirs(src, exist_ok=True)
-        stage_a = os.path.join(root, "stage_a")
-        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
-        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
-        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
-        for name, uid in (("b-advance", -1), ("c-flush", -2)):
-            stage = os.path.join(root, f"stage_{name}")
-            (
-                ev.agg((F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"))
-                .select(
-                    F.lit(uid).cast("long").alias("event_id"),
-                    F.lit(uid).cast("long").alias("user_id"),
-                    "ts",
-                    F.lit(0.0).alias("value"),
-                )
-                .select("event_id", "user_id", "ts", "value")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
-            shutil.copy(
-                glob.glob(os.path.join(stage, "part-*.parquet"))[0],
-                os.path.join(src, f"{name}.parquet"),
-            )
-        base = 1_000_000_000
-        for i, name in enumerate(
-            ("a-events.parquet", "b-advance.parquet", "c-flush.parquet")
-        ):
-            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
 
+    def marker(uid):
+        return [
+            lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
+        ]
+
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
+        .select("event_id", "user_id", "ts", "value")
     )
     from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
 
@@ -839,47 +779,33 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     Emitting full row content is safe (replays are byte-identical).
     State note at 100 TB/day: one entry per key seen within the
     watermark horizon, independent of stream age."""
-    import glob
+    import datetime
     import hashlib
     import os
-    import shutil
 
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
-    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        stage_three_batch_fixture, stream_shuffle_partitions,
+    )
 
-    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
-
-    _reap_stale_pid_dirs(SCRATCH_DIR)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(SCRATCH_DIR, f"wmdedup_{key}-{os.getpid()}")
-    src = os.path.join(root, "src")
-    if not os.path.exists(os.path.join(src, "c-replay.parquet")):
-        os.makedirs(src, exist_ok=True)
-        stage_a = os.path.join(root, "stage_a")
-        ev.coalesce(1).write.mode("overwrite").parquet(stage_a)
-        part_a = glob.glob(os.path.join(stage_a, "part-*.parquet"))[0]
-        advance = ev.agg(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit("wm_advance").alias("event_type"),
-            (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
-        ).select("event_id", "event_type", "ts")
-        stage_b = os.path.join(root, "stage_b")
-        advance.coalesce(1).write.mode("overwrite").parquet(stage_b)
-        part_b = glob.glob(os.path.join(stage_b, "part-*.parquet"))[0]
-        shutil.copy(part_a, os.path.join(src, "a-events.parquet"))
-        shutil.copy(part_b, os.path.join(src, "b-advance.parquet"))
-        shutil.copy(part_a, os.path.join(src, "c-replay.parquet"))
-        base = 1_000_000_000
-        for i, name in enumerate(
-            ("a-events.parquet", "b-advance.parquet", "c-replay.parquet")
-        ):
-            os.utime(os.path.join(src, name), (base + 10 * i, base + 10 * i))
-
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [(
+            "b-advance",
+            [lambda t: (-1, t + datetime.timedelta(hours=1), -1, "wm_advance", 0.0)],
+        )],
+        replay_events=True,
+    )
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
+        .select("event_id", "event_type", "ts")
     )
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]

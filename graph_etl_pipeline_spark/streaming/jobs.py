@@ -264,3 +264,102 @@ def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTI
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def staged_events_single_file(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """ONE single-file parquet image of the full events table per
+    (sf_dir, pid), SHARED by every 3-batch streaming fixture (VERDICT r7
+    #7: the four watermark fixtures each staged their own coalesce(1)
+    copy of the same table — roughly half their measured cost was
+    staging, not streaming; now the big write happens once per process
+    and each fixture just file-copies it). Returns ``(file_path, tmax)``
+    with tmax (the table's max event time, a naive-UTC datetime) read
+    from the staged file's ts column via pyarrow — no extra Spark job.
+
+    The file intentionally carries ALL event columns; fixtures project
+    their working set AFTER readStream, where the parquet reader's
+    column pruning applies per micro-batch."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs, table
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"evsingle_{key}-{os.getpid()}")
+    done = os.path.join(root, "events.parquet")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        stage = os.path.join(root, "stage")
+        table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, done)
+    tmax = pc.max(pq.read_table(done, columns=["ts"])["ts"]).as_py()
+    return done, tmax
+
+
+def write_event_marker_file(path: str, rows: Sequence[tuple]) -> None:
+    """Write synthetic watermark-advance rows as a tiny parquet file in
+    the full events schema, driver-side with pyarrow — replacing the
+    per-fixture agg + coalesce(1) Spark write jobs that used to build
+    these 1-2 row files. ``rows``: (event_id, ts, user_id, event_type,
+    value) tuples; props is always null."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def stage_three_batch_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    marker_files: Sequence[tuple[str, Sequence[tuple]]],
+    replay_events: bool = False,
+) -> str:
+    """Assemble a 3-batch watermark fixture directory: batch 0 is the
+    shared single-file events image (a-events.parquet), followed by the
+    given marker files (each a (name, rows) pair in mtime order), with
+    an optional byte-identical replay of batch 0 appended last
+    (c-replay). File mtimes are pinned so the file source's (mtime,
+    path) ordering is deterministic. Returns the src directory. The
+    whole assembly is driver-side file I/O except the once-per-process
+    events write inside staged_events_single_file."""
+    import os
+    import shutil
+
+    src = os.path.join(root, "src")
+    names = ["a-events.parquet"] + [f"{n}.parquet" for n, _ in marker_files]
+    if replay_events:
+        names.append("c-replay.parquet")
+    if not os.path.exists(os.path.join(src, names[-1])):
+        events_file, tmax = staged_events_single_file(spark, sf_dir)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(events_file, os.path.join(src, "a-events.parquet"))
+        for fname, rows in marker_files:
+            write_event_marker_file(
+                os.path.join(src, f"{fname}.parquet"),
+                [r if not callable(r) else r(tmax) for r in rows],
+            )
+        if replay_events:
+            shutil.copy(events_file, os.path.join(src, "c-replay.parquet"))
+        base = 1_000_000_000
+        for i, fname in enumerate(names):
+            os.utime(os.path.join(src, fname), (base + 10 * i, base + 10 * i))
+    return src
