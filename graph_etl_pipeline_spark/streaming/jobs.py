@@ -238,7 +238,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 import contextlib
 
 
-STREAM_SHUFFLE_PARTITIONS = 16
+STREAM_SHUFFLE_PARTITIONS = 8
 
 
 @contextlib.contextmanager
@@ -251,7 +251,9 @@ def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTI
     snapshot) per shuffle partition per stateful operator, so running a
     small-state stream at a batch-sized width is the classic
     misconfiguration — measured here at sf0.1, the interval join drops
-    16.3 s → 3.5 s going from 64 to 16 partitions with identical results.
+    16.3 s → 3.5 s going from 64 to 16 partitions, and again to ~2.4 s
+    at 8 (r8 A/B: 16 → 8 also cut the session-timeout and left-join
+    fixtures by ~25-45%), with identical results throughout.
     Production sizing follows state VOLUME (keys × bytes ÷ target
     store size), never the batch analytics width; the partition count is
     also pinned into the checkpoint at first run, which is why it is set
