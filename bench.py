@@ -74,6 +74,7 @@ EXTRA = [
     "agg_kmv_distinct_intersection",  # KMV sketches + k-min TakeOrdered (r6 w5)
     "pipeline_ivf_pq_search",  # full IVF probe + PQ-ADC serving path (r8)
     "pipeline_entity_resolution",  # block→verify→cluster→merge ER flow (r8)
+    "agg_ks_drift",  # exact two-sample KS drift statistic (r8)
 ]
 
 

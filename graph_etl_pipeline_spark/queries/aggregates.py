@@ -1209,3 +1209,100 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("string").alias("slope_den"),
         (num.cast("double") / den.cast("double")).alias("slope_cents_per_sec"),
     )
+
+
+# --- exact two-sample Kolmogorov-Smirnov drift statistic --------------------
+KS_SIDE_A = "click"
+KS_SIDE_B = "purchase"
+
+
+@register(
+    "agg_ks_drift",
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_type = '{KS_SIDE_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN event_type = '{KS_SIDE_B}' THEN 1 ELSE 0 END AS ib
+        FROM events WHERE event_type IN ('{KS_SIDE_A}', '{KS_SIDE_B}')
+    ),
+    per AS (
+        SELECT cents, CAST(SUM(ia) AS BIGINT) AS a, CAST(SUM(ib) AS BIGINT) AS b
+        FROM f GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(a) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               SUM(b) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM per
+    ),
+    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM per)
+    SELECT CAST(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                AS VARCHAR) AS ks_num,
+           CAST(CAST(na AS HUGEINT) * nb AS VARCHAR) AS ks_denom,
+           cents AS at_cents
+    FROM cum, tot
+    ORDER BY ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) DESC, cents
+    LIMIT 1
+    """,
+    tags=("agg", "profile", "stats"),
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two event
+    populations' value distributions ('{KS_SIDE_A}' vs '{KS_SIDE_B}') —
+    the drift check a corpus pipeline runs between snapshots or sources
+    before mixing them: D = max |F₁(x) − F₂(x)| over the pooled sample
+    points. Everything is exact integers: values quantize to cents
+    (the engine's pinned floor(x·100+0.5)), ECDF differences are
+    cross-multiplied onto the common denominator n₁·n₂ in
+    int128/decimal(38) — no float ECDFs, no engine drift — and the hash
+    row carries the exact numerator, denominator, and the cents value
+    attaining D (smallest such point as the tie-break). D itself is
+    ks_num/ks_denom to any precision the caller wants.
+
+    Scale shape (the gini/equidepth small-profile trade, documented
+    there): the heavy input collapses FIRST through a map-combined
+    per-cents aggregation — the global cumulative window then runs on
+    the value-level table (distinct cents, ~10⁴ at sf0.1), never the
+    event table; at true 100 TB the same plan holds because the window
+    input is bounded by the value domain, not the row count. Headroom:
+    cum·n ≤ n₁·n₂ ⇒ decimal(38) holds past 10¹⁸ rows per side."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_SIDE_A, KS_SIDE_B)
+    )
+    per = (
+        ev.select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.when(F.col("event_type") == KS_SIDE_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == KS_SIDE_B, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("ia").alias("a"), F.sum("ib").alias("b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "cents", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = F.broadcast(per.agg(F.sum("a").alias("na"), F.sum("b").alias("nb")))
+    d38 = "decimal(38,0)"
+    diff = F.abs(
+        F.col("ca").cast(d38) * F.col("nb") - F.col("cb").cast(d38) * F.col("na")
+    )
+    return (
+        cum.crossJoin(tot)
+        .select(
+            diff.alias("diff"),
+            (F.col("na").cast(d38) * F.col("nb")).alias("denom"),
+            "cents",
+        )
+        .orderBy(F.desc("diff"), F.asc("cents"))
+        .limit(1)
+        .select(
+            F.col("diff").cast("string").alias("ks_num"),
+            F.col("denom").cast("string").alias("ks_denom"),
+            F.col("cents").alias("at_cents"),
+        )
+    )

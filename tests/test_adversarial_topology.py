@@ -70,6 +70,7 @@ QUERIES = [
     "pipeline_incremental_ingest",  # batch-vs-corpus verdict chain (r6 wave 7)
     "pipeline_ivf_pq_search",   # Lloyd + cell probe + PQ argmin + ADC ties (r8)
     "pipeline_entity_resolution",  # block join + hash-min CC + exact-decimal merge (r8)
+    "agg_ks_drift",             # value-level cumulative window + int128 cross-mult (r8)
 ]
 
 _SCRIPT = f"""
