@@ -75,6 +75,7 @@ EXTRA = [
     "pipeline_ivf_pq_search",  # full IVF probe + PQ-ADC serving path (r8)
     "pipeline_entity_resolution",  # block→verify→cluster→merge ER flow (r8)
     "agg_ks_drift",  # exact two-sample KS drift statistic (r8)
+    "stream_full_join_timeout",  # both-side outer timeout emission (r8)
 ]
 
 

@@ -822,3 +822,155 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_full_join_timeout",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS tmax FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_id % 2 = 0),
+    v AS (SELECT event_id AS conv_id, user_id AS vu, ts AS conv_ts
+          FROM events WHERE event_id % 2 = 1),
+    matched AS (
+        SELECT c.click_id, v.conv_id, c.user_id, c.click_ts, v.conv_ts
+        FROM c JOIN v ON v.vu = c.user_id
+           AND v.conv_ts >= c.click_ts
+           AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    expired_clicks AS (
+        SELECT c.click_id, CAST(NULL AS BIGINT) AS conv_id, c.user_id,
+               c.click_ts, CAST(NULL AS TIMESTAMP) AS conv_ts
+        FROM c, m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v WHERE v.vu = c.user_id
+              AND v.conv_ts >= c.click_ts
+              AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
+        )
+        AND c.click_ts + INTERVAL 30 MINUTE <= m.tmax
+    ),
+    expired_convs AS (
+        SELECT CAST(NULL AS BIGINT) AS click_id, v.conv_id, v.vu AS user_id,
+               CAST(NULL AS TIMESTAMP) AS click_ts, v.conv_ts
+        FROM v, m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE c.user_id = v.vu
+              AND v.conv_ts >= c.click_ts
+              AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
+        )
+        AND v.conv_ts < m.tmax
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM expired_clicks
+    UNION ALL SELECT * FROM expired_convs
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join with watermark-driven timeout
+    emission on BOTH sides — completing the outer-join state machine
+    stream_left_join_timeout covers for one side: clicks with no
+    conversion in their 30-minute horizon emit null-padded once the
+    watermark passes click_ts + 30min, and conversions with no matching
+    click emit null-padded once the watermark passes conv_ts STRICTLY
+    (a click able to match must carry click_ts ≤ conv_ts; at
+    wm == conv_ts such a click is not yet late input, so the engine
+    provably holds the conv one more advance — verified against the
+    engine, and the boundary the oracle's `<` encodes). The two expiry
+    horizons are
+    asymmetric — exactly the part a left-outer test can never exercise —
+    and both are hash-checked against the closed-form oracle on the
+    shared 3-batch fixture (same staged files as the left join: batch 0
+    = the whole table, then two advance batches whose synthetic rows'
+    horizons end past the final watermark, so the engine can never emit
+    them).
+
+    user_id is COALESCEd across sides so every output row names its
+    entity. Scale notes match the left variant: per-side state is
+    bounded by the 30-minute horizon plus the watermark delay — state
+    tracks ingest rate, not stream age."""
+    import datetime
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import stage_three_batch_fixture
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # SAME root as stream_left_join_timeout: the fixtures are identical,
+    # so one staged copy serves both queries in a sweep/bench process.
+    root = os.path.join(SCRATCH_DIR, f"lojto_{key}-{os.getpid()}")
+
+    def advance_rows(ids):
+        return [
+            (
+                lambda t, i=i: (
+                    i, t + datetime.timedelta(hours=1), -100 + i, "wm_advance", 0.0
+                )
+            )
+            for i in ids
+        ]
+
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
+    )
+    schema = spark.read.parquet(src).schema
+
+    def side_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("event_id", "user_id", "ts")
+        )
+
+    clicks = (
+        side_stream()
+        .filter(F.col("event_id") % 2 == 0)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    convs = (
+        side_stream()
+        .filter(F.col("event_id") % 2 != 0)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("conv_ts"),
+        )
+    )
+    joined = clicks.join(
+        convs,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("conv_ts") >= F.col("click_ts"))
+        & (F.col("conv_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "conv_id",
+        F.coalesce("user_id", "vu").alias("user_id"),
+        "click_ts",
+        "conv_ts",
+    )
+    name = f"stream_fojto_{uuid.uuid4().hex[:8]}"
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
