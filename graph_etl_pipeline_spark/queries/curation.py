@@ -503,3 +503,44 @@ def sample_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(neg).alias("n_negatives"),
         F.sum(neg_id).alias("neg_id_sum"),
     )
+
+
+# --- Exact-K uniform sample (distributed reservoir) -------------------------
+RESERVOIR_K = 64  # fixed sample size, independent of corpus size
+
+
+@register(
+    "sample_reservoir_bottomk",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           md5('res:' || CAST(doc_id AS VARCHAR)) AS draw
+    FROM documents
+    ORDER BY draw, doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K uniform sample as BOTTOM-K order statistics over a seeded
+    hash — the distributed form of reservoir sampling. Classic reservoir
+    sampling is a sequential, state-carrying scan (sample depends on
+    visit order), which cannot be parallelized or re-run stably; ranking
+    by a uniform per-row hash selects the identical K documents
+    regardless of partitioning, scan order, or corpus growth history,
+    and every subset relation holds (the bottom-32 is a prefix of the
+    bottom-64 — nested samples for free).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    task keeps a K-row heap and the driver merges P·K candidate rows,
+    so there is NO global sort and NO shuffle of the corpus; the sketch
+    is mergeable (union of per-partition bottom-K ⊇ global bottom-K),
+    which is what makes it a one-pass 100 TB operation. Weighted
+    variants swap the uniform draw for priority keys; the exact-integer
+    sibling is ``sample_weighted_tokens``."""
+    d = table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", draw.alias("draw"))
+        .orderBy("draw", "doc_id")
+        .limit(RESERVOIR_K)
+    )

@@ -1040,3 +1040,156 @@ def dedup_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("recall_permille"),
         (recall >= LSH_RECALL_FLOOR_PERMILLE).alias("recall_ok"),
     )
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+# Tracking parameters stripped by the canonicalizer (the standard web-crawl
+# noise: analytics campaign tags and click identifiers carry no content
+# identity). Anchored prefix match; extending the list is a constant edit.
+URL_JUNK_PARAM_RE = "^(utm_|fbclid)"
+
+# Messy-URL fixture: crawls see the SAME logical page under scheme/host case
+# noise, an explicit default port, shuffled query-parameter order, tracking
+# params, trailing slashes, and fragments. Both engines derive the identical
+# messy URL from (doc_id, source, lang) so the canonicalizer — not the
+# fixture — is what the hash row certifies.
+_URL_SQL = """
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+        || '://'
+        || CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+                ELSE source || '.example.com' END
+        || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        || '/article/' || CAST(doc_id % 50 AS VARCHAR)
+        || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        || '?'
+        || CASE WHEN doc_id % 2 = 0
+                THEN 'utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR)
+                     || '&ref=' || lang || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+                ELSE 'ref=' || lang || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+                     || '&utm_campaign=c' || CAST(doc_id % 9 AS VARCHAR) END
+        || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, n_chars, {_URL_SQL} AS url
+        FROM documents
+    ),
+    split AS (
+        SELECT doc_id, n_chars,
+               split_part(split_part(url, '#', 1), '?', 1) AS base,
+               split_part(split_part(url, '#', 1), '?', 2) AS q
+        FROM raw
+    ),
+    parts AS (
+        SELECT doc_id, n_chars,
+               regexp_replace(
+                   lower(regexp_extract(base, '^[A-Za-z]+://[^/]*')),
+                   ':443$', '') AS authority,
+               regexp_replace(
+                   substr(base, length(regexp_extract(base, '^[A-Za-z]+://[^/]*')) + 1),
+                   '/+$', '') AS path,
+               array_to_string(
+                   list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> NOT regexp_matches(x, '{URL_JUNK_PARAM_RE}'))),
+                   '&') AS params
+        FROM split
+    )
+    SELECT authority || path
+           || CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM parts
+    GROUP BY 1
+    """,
+    tags=("dedup", "web", "llm"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of every web
+    corpus pipeline (CCNet / C4 / RefinedWeb all run it before any
+    content hashing): the same logical page arrives under scheme/host
+    case noise, explicit default ports, tracking parameters
+    (utm_*/fbclid), shuffled query-parameter order, trailing slashes,
+    and fragments. Canonicalize (lowercase scheme+authority, strip
+    default port / fragment / trailing slash, drop junk params, SORT the
+    survivors), then one hash aggregation on the canonical key: n_dups,
+    the kept doc (min id), and the byte mass the duplicates carry.
+
+    Everything is map-side JVM string/array expressions — per row: two
+    literal splits, one anchored regexp extract, a bounded param-list
+    filter+sort (params per URL is small-constant) — followed by ONE
+    exact-key groupBy, the same shuffle shape as ``dedup_exact``. No
+    similarity machinery: URL identity is exact once canonical, which
+    is why this pass runs first and at full corpus width. Unlike
+    content dedup it needs no text scan at all (ReadSchema here is
+    doc_id/source/lang/n_chars — the text column is never read)."""
+    d = table(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.upper(F.col("source")), F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    port = F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/article/"), (F.col("doc_id") % 50).cast("string"))
+    slash = F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    junk1 = F.concat(F.lit("utm_campaign=c"), (F.col("doc_id") % 9).cast("string"))
+    keep = F.concat(F.lit("ref="), F.col("lang"))
+    junk2 = F.concat(F.lit("fbclid=x"), F.col("doc_id").cast("string"))
+    q = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat_ws("&", junk1, keep, junk2),
+    ).otherwise(F.concat_ws("&", keep, junk2, junk1))
+    frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, slash, F.lit("?"), q, frag)
+
+    nofrag = F.substring_index(url, "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    qs = F.when(
+        F.instr(nofrag, "?") > 0, F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    auth_raw = F.regexp_extract(base, r"^[A-Za-z]+://[^/]*", 0)
+    authority = F.regexp_replace(F.lower(auth_raw), r":443$", "")
+    path_clean = F.regexp_replace(
+        F.expr("substring(__base, length(__auth_raw) + 1)"), r"/+$", ""
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(F.split(qs, "&"), lambda x: ~x.rlike(URL_JUNK_PARAM_RE))
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.col("__authority"),
+        F.col("__path"),
+        F.when(F.col("__params") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("__params"))
+        ),
+    )
+    staged = d.select(
+        "doc_id",
+        "n_chars",
+        base.alias("__base"),
+        auth_raw.alias("__auth_raw"),
+        authority.alias("__authority"),
+        params.alias("__params"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "__authority",
+        path_clean.alias("__path"),
+        "__params",
+    )
+    return (
+        staged.select("doc_id", "n_chars", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

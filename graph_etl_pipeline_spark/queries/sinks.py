@@ -401,3 +401,92 @@ def sink_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Small-file compaction ---------------------------------------------------
+COMPACT_FRAG_FILES = 64    # fragmented layout under test: 64 round-robin files
+COMPACT_TARGET_ROWS = 2048  # compaction sizing target (row proxy for bytes)
+
+
+@register(
+    "sink_compact_small_files",
+    oracle=f"""
+    SELECT CAST({COMPACT_FRAG_FILES} AS BIGINT) AS files_before,
+           CAST((COUNT(*) + {COMPACT_TARGET_ROWS} - 1) // {COMPACT_TARGET_ROWS}
+                AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS checksum_cents
+    FROM events
+    """,
+    tags=("sink", "layout"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job (Delta
+    OPTIMIZE / Iceberg rewrite_data_files) that keeps a 100 TB table
+    readable: streaming and incremental upserts fragment a table into
+    thousands of KB-sized files, and every subsequent scan then pays
+    per-file open/footer/task overhead that dwarfs the data itself.
+    The job rewrites the fragmented layout into ceil(rows / target)
+    right-sized files while preserving content EXACTLY.
+
+    The registered contract row is measured from the physical layout,
+    not assumed: file counts come from distinct ``_metadata.file_path``
+    over the actually-written directories, and the content checksum
+    (exact cents sum) is computed from the compacted files — so a
+    compaction that loses rows, duplicates a partition, or mis-sizes
+    the output turns the hash row red. The oracle predicts all four
+    values from the logical input alone.
+
+    Scale: the rewrite is ONE round-robin exchange sized to
+    ceil(n/target) — no sort, no key skew possible (round-robin is
+    uniform by construction). In production the sizing constant comes
+    from table statistics (target bytes / avg row width) and compaction
+    runs per-partition-predicate so only fragmented partitions rewrite;
+    both reduce to this same exchange shape."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    frag = os.path.join(SCRATCH_DIR, f"compact_frag-{key}-{os.getpid()}")
+    packed = os.path.join(SCRATCH_DIR, f"compact_out-{key}-{os.getpid()}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(packed, "_SUCCESS")):
+        n = spark.read.parquet(frag).count()
+        n_out = (n + COMPACT_TARGET_ROWS - 1) // COMPACT_TARGET_ROWS
+        (
+            spark.read.parquet(frag)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(packed)
+        )
+
+    def _tagged(path: str, stage: int) -> DataFrame:
+        return spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.lit(stage).alias("stage"),
+            "value",
+        )
+
+    u = _tagged(frag, 0).unionByName(_tagged(packed, 1))
+    one = F.lit(1)
+    return u.agg(
+        F.count_distinct(F.when(F.col("stage") == 0, F.col("fp"))).alias(
+            "files_before"
+        ),
+        F.count_distinct(F.when(F.col("stage") == 1, F.col("fp"))).alias(
+            "files_after"
+        ),
+        F.sum(F.when(F.col("stage") == 1, one).otherwise(0)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("stage") == 1,
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("checksum_cents"),
+    )

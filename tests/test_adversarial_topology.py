@@ -71,6 +71,8 @@ QUERIES = [
     "pipeline_ivf_pq_search",   # Lloyd + cell probe + PQ argmin + ADC ties (r8)
     "pipeline_entity_resolution",  # block join + hash-min CC + exact-decimal merge (r8)
     "agg_ks_drift",             # value-level cumulative window + int128 cross-mult (r8)
+    "sample_reservoir_bottomk",  # bottom-K heap merge must be partition-count-blind (r8)
+    "dedup_url_canonicalize",   # param-list filter/sort + exact-key agg under 200 parts (r8)
 ]
 
 _SCRIPT = f"""

@@ -144,3 +144,35 @@ def test_weighted_sample_count_and_heavy_doc_guarantee(spark, sf_dir):
         .count()
     )
     assert heavy == all_heavy
+
+
+def test_reservoir_bottomk_plan_and_nesting(spark):
+    """Bottom-k sampling must compile to TakeOrderedAndProject (per-task
+    heap + driver merge — no global sort exchange), read only the three
+    projected columns, and produce nested samples: the bottom-32 by the
+    same draw is a strict prefix of the registered bottom-64."""
+    from graph_etl_pipeline_spark.queries.curation import (
+        RESERVOIR_K,
+        sample_reservoir_bottomk,
+    )
+
+    df = sample_reservoir_bottomk(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # heap merge happens at the driver, not a sort shuffle
+
+    rows = df.collect()
+    assert len(rows) == RESERVOIR_K
+    draws = [r["draw"] for r in rows]
+    assert draws == sorted(draws) or set(draws) == set(sorted(draws))
+    # nested-sample property: bottom-32 == first 32 of bottom-64 by (draw, doc_id)
+    ordered = sorted(rows, key=lambda r: (r["draw"], r["doc_id"]))
+    half = (
+        sample_reservoir_bottomk(spark, SF_ORACLE)
+        .orderBy("draw", "doc_id")
+        .limit(RESERVOIR_K // 2)
+        .collect()
+    )
+    assert [(r["draw"], r["doc_id"]) for r in ordered[: RESERVOIR_K // 2]] == [
+        (r["draw"], r["doc_id"]) for r in half
+    ]

@@ -560,3 +560,64 @@ def test_bounded_self_pairs_property_random_group_mix(spark):
             for b in range(a + 1, n)
         }
         assert got == want, (trial, cap, sizes)
+
+
+def test_url_canonicalize_prunes_text_and_merges_variants(spark, sf_dir):
+    """The URL dedup must never read the text column (its ReadSchema is
+    id/source/lang/n_chars only), and every canonical key must be free of
+    the noise the canonicalizer strips: no uppercase scheme/host, no
+    default port, no fragment, no tracking params, no trailing slash,
+    params in sorted order."""
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    df = all_queries()["dedup_url_canonicalize"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" not in scan, scan
+
+    rows = df.collect()
+    assert sum(r["n_dups"] for r in rows) == spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+    import re
+
+    for r in rows:
+        u = r["canonical_url"]
+        assert u == u.lower()
+        assert ":443" not in u and "#" not in u
+        assert "utm_" not in u and "fbclid" not in u
+        assert not u.rstrip("?").endswith("/")
+        if "?" in u:
+            params = u.split("?", 1)[1].split("&")
+            assert params == sorted(params) and "" not in params
+        assert re.match(r"^https://[a-z0-9.]+/article/\d+(\?|$)", u), u
+
+
+def test_compaction_preserves_content_and_is_idempotent(spark, sf_dir):
+    """The compacted directory must hold EXACTLY the fragmented rows
+    (same event_id multiset), and a second invocation must reuse the
+    staged layout (same file paths — no rewrite churn)."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["sink_compact_small_files"].fn
+    fn(spark, sf_dir).collect()
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    frag = os.path.join(SCRATCH_DIR, f"compact_frag-{key}-{os.getpid()}")
+    packed = os.path.join(SCRATCH_DIR, f"compact_out-{key}-{os.getpid()}")
+    a = spark.read.parquet(frag).groupBy("event_id").count()
+    b = spark.read.parquet(packed).groupBy("event_id").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    before = {
+        p: os.path.getmtime(os.path.join(packed, p)) for p in os.listdir(packed)
+    }
+    fn(spark, sf_dir).collect()  # second run: staging guard must skip the write
+    after = {
+        p: os.path.getmtime(os.path.join(packed, p)) for p in os.listdir(packed)
+    }
+    assert before == after
