@@ -1306,3 +1306,89 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("at_cents"),
         )
     )
+
+
+@register(
+    "agg_chi2_drift",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <
+                    (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                            + (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                               - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 2
+                     FROM events)
+                    THEN 1 ELSE 0 END AS ia
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(SUM(ia) AS BIGINT) AS o_a,
+               CAST(SUM(1 - ia) AS BIGINT) AS o_b
+        FROM b GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(o_a) AS na, SUM(o_b) AS nb FROM per)
+    SELECT event_type, o_a, o_b,
+           CAST((CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                * (CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                AS VARCHAR) AS chi2_num,
+           CAST((CAST(o_a AS HUGEINT) + o_b) * na * nb AS VARCHAR) AS chi2_den
+    FROM per, tot
+    """,
+    tags=("agg", "profile", "stats"),
+)
+def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT chi-square homogeneity contributions between the event-type
+    MIXES of the first and second half of the time range — the
+    categorical companion to ``agg_ks_drift`` (which compares continuous
+    VALUE distributions): "did the composition of traffic drift between
+    the window's halves?" Per category c, the two-sample chi-square
+    contribution is (o_a*n_b - o_b*n_a)^2 / (n_a*n_b*(o_a+o_b)); the
+    statistic is the sum of num/den over categories, computable to any
+    precision by the consumer. Numerator and denominator are carried as
+    exact int128 (HUGEINT / decimal(38)) rendered to strings — the
+    engine-stable form 6e10792 established for int128 outputs — so the
+    hash row certifies the test statistic itself, not a float echo.
+
+    Plan: the midpoint is one broadcastable min/max scalar; the heavy
+    input collapses FIRST through a map-combined per-category count
+    (categories ~ tens, never row-scale), and the totals row broadcasts
+    onto it. Headroom: |o*n| <= n^2 => decimal(38) exact past 10^9 rows
+    per side; beyond that the same plan emits the already-strings via
+    the CMS-style split-word arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    bounds = F.broadcast(
+        ev.agg(
+            F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("e0"),
+            F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("e1"),
+        )
+    )
+    b = ev.select("event_type", epoch.alias("e")).crossJoin(bounds)
+    mid = F.col("e0") + F.floor((F.col("e1") - F.col("e0")) / 2).cast("long")
+    per = (
+        b.select(
+            "event_type",
+            F.when(F.col("e") < mid, 1).otherwise(0).alias("ia"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("ia").alias("o_a"),
+            F.sum(1 - F.col("ia")).alias("o_b"),
+        )
+    )
+    tot = F.broadcast(per.agg(F.sum("o_a").alias("na"), F.sum("o_b").alias("nb")))
+    d38 = "decimal(38,0)"
+    d = F.col("o_a").cast(d38) * F.col("nb") - F.col("o_b").cast(d38) * F.col("na")
+    return per.crossJoin(tot).select(
+        "event_type",
+        "o_a",
+        "o_b",
+        (d.cast("decimal(19,0)") * d.cast("decimal(19,0)"))
+        .cast(d38)
+        .cast("string")
+        .alias("chi2_num"),
+        ((F.col("o_a").cast(d38) + F.col("o_b")) * F.col("na") * F.col("nb"))
+        .cast("string")
+        .alias("chi2_den"),
+    )

@@ -417,3 +417,101 @@ def privacy_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_size",
         (F.col("class_size") < KANON_K).alias("at_risk"),
     )
+
+
+# --- Differentially-private count release ------------------------------------
+DP_EPSILON = 0.5  # privacy budget per release (sensitivity 1 for counts)
+DP_TRUNC = 16     # noise support truncated to [-16, 16]
+
+
+def _dp_noise_table() -> list[tuple[str, int]]:
+    """(hex_threshold, noise) rows of the truncated two-sided-geometric
+    CDF, scaled onto the 8-hex-char uniform draw: noise k is selected by
+    the FIRST threshold exceeding the draw (ascending k). Computed once
+    here and embedded as literals in BOTH engine expressions, so the
+    mechanism is identical by construction."""
+    import math
+
+    alpha = math.exp(-DP_EPSILON)
+    ks = list(range(-DP_TRUNC, DP_TRUNC + 1))
+    probs = [alpha ** abs(k) for k in ks]
+    tot = sum(probs)
+    rows: list[tuple[str, int]] = []
+    cum = 0.0
+    for k, p in zip(ks[:-1], probs[:-1]):
+        cum += p / tot
+        rows.append((format(min(int(cum * 16**8), 16**8 - 1), "08x"), k))
+    return rows  # the final k = DP_TRUNC is the CASE's ELSE branch
+
+
+_DP_ROWS = _dp_noise_table()
+_DP_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN __u < '{t}' THEN ({k})" for t, k in _DP_ROWS)
+    + f" ELSE {DP_TRUNC} END"
+)
+
+
+@register(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               substr(md5('dp:' || lang || '|' || source), 1, 8) AS __u
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           GREATEST(n + ({_DP_SQL_CASE}), 0) AS n_released
+    FROM g
+    """,
+    tags=("quality", "privacy"),
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork's Laplace mechanism,
+    discrete form): the per-(lang, source) document counts a data card
+    or corpus report publishes, protected by adding two-sided-geometric
+    noise with parameter exp(-epsilon) — the discrete Laplace
+    distribution that gives epsilon-DP for sensitivity-1 count queries
+    — truncated to +/-{DP_TRUNC} and clipped at zero. The noise draw is
+    SEEDED BY THE RELEASE CELL (md5 of the group key), which repeated
+    releases of the same statistic REQUIRE: fresh noise per run would
+    let an observer average it away, while a pinned draw makes re-runs
+    byte-identical and spends the budget once.
+
+    The inverse-CDF lookup is a 33-branch constant CASE over the
+    8-hex-char uniform draw, compared lexicographically — zero float
+    operations at query time, so both engines release the identical
+    integers (the threshold table is computed once in Python and
+    embedded as literals in both expressions). Plan: one map-combined
+    aggregation over the release cells; the noise CASE is constant
+    folded branch logic on a table orders smaller than the corpus.
+    Truncation technically yields (epsilon, delta)-DP with delta =
+    P(|geom| > {DP_TRUNC}) ~ alpha^{DP_TRUNC} — negligible here and
+    standard practice for integer release pipelines."""
+    from functools import reduce
+
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "__u",
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("lang"), F.lit("|"), F.col("source"))),
+                1,
+                8,
+            ),
+        )
+    )
+    noise = reduce(
+        lambda acc, row: acc.when(F.col("__u") < row[0], F.lit(row[1])),
+        _DP_ROWS[1:],
+        F.when(F.col("__u") < _DP_ROWS[0][0], F.lit(_DP_ROWS[0][1])),
+    ).otherwise(F.lit(DP_TRUNC))
+    return g.select(
+        "lang",
+        "source",
+        F.greatest(F.col("n") + noise.cast("long"), F.lit(0).cast("long")).alias(
+            "n_released"
+        ),
+    )

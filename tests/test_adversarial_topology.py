@@ -73,6 +73,8 @@ QUERIES = [
     "agg_ks_drift",             # value-level cumulative window + int128 cross-mult (r8)
     "sample_reservoir_bottomk",  # bottom-K heap merge must be partition-count-blind (r8)
     "dedup_url_canonicalize",   # param-list filter/sort + exact-key agg under 200 parts (r8)
+    "privacy_dp_counts",        # seeded hex-threshold noise CASE under any partitioning (r8)
+    "agg_chi2_drift",           # broadcast midpoint + int128 cross-mult contributions (r8)
 ]
 
 _SCRIPT = f"""

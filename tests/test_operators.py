@@ -621,3 +621,49 @@ def test_compaction_preserves_content_and_is_idempotent(spark, sf_dir):
         p: os.path.getmtime(os.path.join(packed, p)) for p in os.listdir(packed)
     }
     assert before == after
+
+
+def test_dp_counts_noise_bounded_and_pinned(spark, sf_dir):
+    """DP release: every released count within DP_TRUNC of truth, never
+    negative, and the seeded draw makes reruns byte-identical. The
+    embedded threshold table must be strictly increasing 8-hex rows."""
+    from graph_etl_pipeline_spark.queries.quality import _DP_ROWS, DP_TRUNC
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    hexes = [t for t, _ in _DP_ROWS]
+    assert hexes == sorted(hexes) and len(set(hexes)) == len(hexes)
+    assert all(len(t) == 8 for t in hexes)
+    assert [k for _, k in _DP_ROWS] == list(range(-DP_TRUNC, DP_TRUNC))
+
+    fn = all_queries()["privacy_dp_counts"].fn
+    rel = {(r["lang"], r["source"]): r["n_released"] for r in fn(spark, sf_dir).collect()}
+    truth = {
+        (r["lang"], r["source"]): r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rel) == set(truth)
+    for cell, n_rel in rel.items():
+        assert n_rel >= 0
+        assert abs(n_rel - truth[cell]) <= DP_TRUNC
+    again = {(r["lang"], r["source"]): r["n_released"] for r in fn(spark, sf_dir).collect()}
+    assert again == rel
+
+
+def test_chi2_drift_exact_integers(spark, sf_dir):
+    """Every chi-square contribution must reproduce from the emitted
+    integer counts alone: num = (o_a*nb - o_b*na)^2, den = (o_a+o_b)*na*nb
+    in exact Python ints, and the category counts must partition the
+    event table."""
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["agg_chi2_drift"].fn(spark, sf_dir).collect()
+    na = sum(r["o_a"] for r in rows)
+    nb = sum(r["o_b"] for r in rows)
+    assert na + nb == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in rows:
+        d = r["o_a"] * nb - r["o_b"] * na
+        assert int(r["chi2_num"]) == d * d
+        assert int(r["chi2_den"]) == (r["o_a"] + r["o_b"]) * na * nb
