@@ -490,3 +490,92 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("checksum_cents"),
     )
+
+
+# --- Version retention (VACUUM) ----------------------------------------------
+VACUUM_VERSIONS = 3   # versions materialized before the vacuum runs
+VACUUM_RETAIN = 2     # newest versions the retention policy keeps
+
+
+@register(
+    "sink_vacuum_retention",
+    oracle=f"""
+    SELECT CAST({VACUUM_RETAIN} AS BIGINT) AS versions_retained,
+           CAST({VACUUM_VERSIONS - VACUUM_RETAIN} AS BIGINT)
+               AS oldest_retained_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_latest,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                    + {VACUUM_VERSIONS - 1}) AS BIGINT) AS checksum_cents
+    FROM customer
+    """,
+    tags=("sink", "versioning"),
+)
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the retention half of the versioned-state story that
+    ``sink_time_travel_read`` opens: a versioned parquet table grows one
+    `_SUCCESS`-marked directory per commit forever unless old versions
+    are reclaimed, and at 100 TB the reclaim IS the cost control (every
+    stale version is a full table copy). The policy here keeps the
+    newest {VACUUM_RETAIN} of {VACUUM_VERSIONS} committed versions and
+    deletes the rest — never the newest, never a half-written dir (only
+    `_SUCCESS`-marked version dirs are vacuum candidates, so a crashed
+    writer's partial output is invisible to both readers and the
+    reaper).
+
+    The contract row is MEASURED from the post-vacuum physical layout:
+    retained-version count and the oldest surviving version index come
+    from the directory listing, and the row count + exact cents
+    checksum are read from the retained LATEST version's parquet — a
+    vacuum that deletes the wrong version, or loses latest-version
+    rows, turns the row red. The oracle predicts all four from the
+    logical input (version i bumps every balance by i cents).
+    Idempotent: a re-run finds nothing older than the retention window
+    and measures the identical row. Scale: vacuum is a metadata
+    operation (list + delete) — zero data movement, zero shuffles; the
+    version writes it reclaims were each one MERGE exchange."""
+    import hashlib
+    import os
+    import shutil
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"vacuum_tbl-{key}-{os.getpid()}")
+
+    def vdir(i: int) -> str:
+        return os.path.join(root, f"v{i}")
+
+    newest = vdir(VACUUM_VERSIONS - 1)
+    if not os.path.exists(os.path.join(newest, "_SUCCESS")):
+        base = table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        for i in range(VACUUM_VERSIONS):
+            base.select(
+                "c_custkey", (F.col("bal_cents") + i).alias("bal_cents")
+            ).write.mode("overwrite").parquet(vdir(i))
+
+    committed = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+    for i in committed[: max(0, len(committed) - VACUUM_RETAIN)]:
+        shutil.rmtree(vdir(i), ignore_errors=True)
+    retained = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+    latest = spark.read.parquet(vdir(retained[-1]))
+    return latest.agg(
+        F.lit(len(retained)).cast("long").alias("versions_retained"),
+        F.lit(retained[0]).cast("long").alias("oldest_retained_version"),
+        F.count(F.lit(1)).alias("n_rows_latest"),
+        F.sum("bal_cents").alias("checksum_cents"),
+    )

@@ -896,3 +896,100 @@ def win_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((100000 * rv_micros) DIV SUM(rv_micros) OVER () AS BIGINT)"
         ).alias("share_of_total_permyriad"),
     )
+
+
+# --- Rolling z-score anomaly flags -------------------------------------------
+ZSCORE_LOOKBACK = 10  # trailing events per user forming the reference window
+ZSCORE_MIN_N = 5      # minimum history before a verdict is allowed
+ZSCORE_T2 = 9         # z² threshold (3σ)
+
+
+@register(
+    "win_rolling_zscore_outliers",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, cents,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n,
+               CAST(COALESCE(SUM(cents) OVER win, 0) AS BIGINT) AS s1,
+               CAST(COALESCE(SUM(cents * cents) OVER win, 0) AS BIGINT) AS s2
+        FROM c
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id, user_id, cents, n AS n_prior,
+           (n * cents - s1) * (n * cents - s1) AS z2_num,
+           {ZSCORE_T2} * (n * s2 - s1 * s1) AS z2_den,
+           (n >= {ZSCORE_MIN_N}
+            AND n * s2 - s1 * s1 > 0
+            AND (n * cents - s1) * (n * cents - s1)
+                > {ZSCORE_T2} * (n * s2 - s1 * s1)) AS is_anomaly
+    FROM w
+    """,
+    tags=("window", "stats", "quality"),
+)
+def win_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity rolling z-score anomaly flags — the velocity/outlier
+    check a monitoring pipeline runs on every event stream ("is this
+    value 3σ off the user's own recent behavior?"), complementing the
+    corpus-global robust stats of ``agg_mad_outliers``. The reference
+    window is the {ZSCORE_LOOKBACK} events BEFORE the current one
+    (ROWS ... 1 PRECEDING — the verdict never sees the value it
+    judges), and the test is the exact integer inequality
+    (n·x − s1)² > {ZSCORE_T2}·(n·s2 − s1²), which is z² > {ZSCORE_T2}
+    with both sides multiplied by n²·σ² — no division, no sqrt, no
+    floats, so the flags are bit-identical across engines and
+    partitionings. Degenerate histories (n < {ZSCORE_MIN_N}, zero
+    variance) flag false rather than dividing by zero.
+
+    Plan: ONE window exchange on user_id; the frame is row-bounded so
+    state per task is O({ZSCORE_LOOKBACK}), and magnitudes are bounded
+    by the frame (|n·x−s1| ≤ 2·n·max_cents ⇒ int64 holds to
+    max_cents ~ 10⁸ at this lookback) independent of corpus size —
+    the same plan runs at 100 TB with per-user history parallelism.
+    The streaming twin is the applyInPandasWithState running-aggregate
+    job (streaming/jobs.py) with a ring buffer per key."""
+    c = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    w = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.coalesce(F.sum("cents").over(win), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(win), F.lit(0)).alias(
+            "s2"
+        ),
+    )
+    num = (F.col("n") * F.col("cents") - F.col("s1")) * (
+        F.col("n") * F.col("cents") - F.col("s1")
+    )
+    den = F.lit(ZSCORE_T2) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return w.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.col("n").alias("n_prior"),
+        num.alias("z2_num"),
+        den.alias("z2_den"),
+        (
+            (F.col("n") >= ZSCORE_MIN_N)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+            & (num > den)
+        ).alias("is_anomaly"),
+    )

@@ -75,6 +75,7 @@ QUERIES = [
     "dedup_url_canonicalize",   # param-list filter/sort + exact-key agg under 200 parts (r8)
     "privacy_dp_counts",        # seeded hex-threshold noise CASE under any partitioning (r8)
     "agg_chi2_drift",           # broadcast midpoint + int128 cross-mult contributions (r8)
+    "win_rolling_zscore_outliers",  # trailing ROWS frame + exact z² inequality (r8)
 ]
 
 _SCRIPT = f"""

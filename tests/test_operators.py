@@ -667,3 +667,34 @@ def test_chi2_drift_exact_integers(spark, sf_dir):
         d = r["o_a"] * nb - r["o_b"] * na
         assert int(r["chi2_num"]) == d * d
         assert int(r["chi2_den"]) == (r["o_a"] + r["o_b"]) * na * nb
+
+
+def test_vacuum_reaps_oldest_and_ignores_uncommitted(spark, sf_dir):
+    """After the vacuum: the oldest version dir is gone, the newest two
+    survive, and a half-written (no _SUCCESS) version dir is neither a
+    vacuum candidate nor a retained version — crashed writers are
+    invisible to both readers and the reaper."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.queries.sinks import VACUUM_RETAIN, VACUUM_VERSIONS
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["sink_vacuum_retention"].fn
+    fn(spark, sf_dir).collect()
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"vacuum_tbl-{key}-{os.getpid()}")
+    assert not os.path.exists(os.path.join(root, "v0"))
+    for i in range(VACUUM_VERSIONS - VACUUM_RETAIN, VACUUM_VERSIONS):
+        assert os.path.exists(os.path.join(root, f"v{i}", "_SUCCESS"))
+
+    # plant a half-written newer version: ignored, not deleted, not counted
+    partial = os.path.join(root, f"v{VACUUM_VERSIONS + 2}")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-00000.parquet.tmp"), "w") as f:
+        f.write("torn write")
+    row = fn(spark, sf_dir).collect()[0]
+    assert row["versions_retained"] == VACUUM_RETAIN
+    assert row["oldest_retained_version"] == VACUUM_VERSIONS - VACUUM_RETAIN
+    assert os.path.exists(partial)  # never a vacuum candidate
