@@ -19,7 +19,7 @@ Hash functions are md5-based so the DuckDB oracle can replay them exactly
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.text import SQL_TOKS, norm_tokens, shingles, sql_shingles
@@ -1192,4 +1192,140 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+@register(
+    "text_dedup_span_rewrite",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id, i, array_to_string(w[i:i + {SPAN_W - 1}], ' ') AS span
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_W - 1})) AS i
+              FROM w WHERE len(w) >= {SPAN_W})
+    ),
+    dupkeep AS (
+        SELECT span, MIN(doc_id) AS keeper FROM spans
+        GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+        SELECT s.doc_id, s.i FROM spans s
+        JOIN dupkeep d ON s.span = d.span AND s.doc_id > d.keeper
+    ),
+    delta AS (
+        SELECT doc_id, p, SUM(dv) AS dv FROM (
+            SELECT doc_id, i AS p, 1 AS dv FROM rem
+            UNION ALL
+            SELECT doc_id, i + {SPAN_W} AS p, -1 AS dv FROM rem
+        ) GROUP BY doc_id, p
+    ),
+    pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w
+        FROM w
+    ),
+    cov AS (
+        SELECT pos.doc_id, pos.p, pos.w[pos.p] AS word,
+               SUM(COALESCE(d.dv, 0)) OVER (
+                   PARTITION BY pos.doc_id ORDER BY pos.p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pos LEFT JOIN delta d USING (doc_id, p)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(word, ' ' ORDER BY p) FILTER (WHERE c = 0), '')
+               AS cleaned_text
+    FROM cov GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "scale"),
+)
+def text_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL — the action half of the signal
+    ``dedup_ngram_spans`` detects (Lee et al.: cross-document passage
+    duplication is removed from the corpus, not just scored). Every
+    {SPAN_W}-word span seen in ≥2 distinct documents keeps its
+    occurrence in the span's canonical keeper (min doc_id) and is cut
+    from every other document; overlapping cuts merge. The row carries
+    the rewritten text plus exact word/removed counts, so the hash
+    certifies the surgery itself.
+
+    The scalable trick is coverage-by-DIFFERENCE-ARRAY: each removal
+    interval [i, i+{SPAN_W}) becomes (+1 at i, −1 at i+{SPAN_W}); a
+    per-document running sum over word positions marks covered words.
+    That replaces the naive position×interval range join (quadratic in
+    a boilerplate-heavy document) with one window over positions —
+    O(words) state, and the only corpus-wide exchange is the span-key
+    aggregation dedup_ngram_spans already pays. Keeper-aware removal
+    makes a second pass over the output a fixed point — surviving span
+    occurrences live only in their keepers, so nothing further is cut
+    (asserted on the corpus in tests; the sole theoretical exception is
+    a cut JOINING two word runs into a brand-new duplicated span, which
+    a production pipeline absorbs by iterating to convergence — the
+    same plan, usually one extra round)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= SPAN_W, F.sequence(F.lit(1), F.size("w") - (SPAN_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice("w", i, SPAN_W), " "))
+        ).alias("i0", "span"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "span")
+    dupkeep = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("span", "keeper")
+    )
+    rem = spans.join(dupkeep, "span").filter(F.col("doc_id") > F.col("keeper"))
+    delta = (
+        rem.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("p"), F.lit(1).alias("dv")),
+                    F.struct(
+                        (F.col("i") + SPAN_W).alias("p"), F.lit(-1).alias("dv")
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select("doc_id", "d.p", "d.dv")
+        .groupBy("doc_id", "p")
+        .agg(F.sum("dv").alias("dv"))
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cov = pos.join(delta, ["doc_id", "p"], "left").select(
+        "doc_id",
+        "p",
+        "word",
+        F.sum(F.coalesce(F.col("dv"), F.lit(0))).over(win).alias("c"),
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("c") == 0, F.struct("p", "word"))
+                    )
+                ),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )

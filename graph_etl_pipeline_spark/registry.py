@@ -49,6 +49,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and ten §2/streaming anchors. Multiply-confirmed rows rotate past the
 # cap. Names not listed here (future additions) append at the end in
 # registration order. tests/test_library.py asserts the invariants.
+#
+# r9 window policy (pre-declared so the rotation promise stays kept):
+# the twelve r8-registered additions — pipeline_ivf_pq_search,
+# pipeline_entity_resolution, agg_ks_drift, stream_full_join_timeout,
+# sample_reservoir_bottomk, dedup_url_canonicalize,
+# sink_compact_small_files, privacy_dp_counts, agg_chi2_drift,
+# win_rolling_zscore_outliers, sink_vacuum_retention,
+# text_dedup_span_rewrite — have never held a driver row and must LEAD
+# the r9 window, followed by any r9-changed implementations, the
+# flagship, and §2 anchors.
 CORE_ORDER = [
     # -- first driver rows: the 32 never-checked operators (VERDICT r7 #1) --
     "src_jsonl_scan",

