@@ -1350,12 +1350,18 @@ def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable form 6e10792 established for int128 outputs — so the
     hash row certifies the test statistic itself, not a float echo.
 
-    Plan: the midpoint is one broadcastable min/max scalar; the heavy
-    input collapses FIRST through a map-combined per-category count
-    (categories ~ tens, never row-scale), and the totals row broadcasts
-    onto it. Headroom: |o*n| <= n^2 => decimal(38) exact past 10^9 rows
-    per side; beyond that the same plan emits the already-strings via
-    the CMS-style split-word arithmetic."""
+    Plan: the midpoint is one broadcastable min/max scalar (ONE extra
+    1-column scan); the heavy input collapses FIRST through a
+    map-combined per-category count (categories ~ tens, never
+    row-scale), and the totals ride an unpartitioned window over that
+    tiny table — the gini/equidepth small-profile trade — instead of a
+    derived-aggregate crossJoin, which would RESCAN the event table to
+    rebuild the per-category branch. Headroom: |o*n| <= n^2 =>
+    decimal(38) exact past 10^9 rows per side; beyond that the same
+    plan emits the already-strings via the CMS-style split-word
+    arithmetic."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events")
     epoch = F.floor(F.unix_timestamp("ts")).cast("long")
     bounds = F.broadcast(
@@ -1377,10 +1383,17 @@ def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("ia")).alias("o_b"),
         )
     )
-    tot = F.broadcast(per.agg(F.sum("o_a").alias("na"), F.sum("o_b").alias("nb")))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_tot = per.select(
+        "event_type",
+        "o_a",
+        "o_b",
+        F.sum("o_a").over(wall).alias("na"),
+        F.sum("o_b").over(wall).alias("nb"),
+    )
     d38 = "decimal(38,0)"
     d = F.col("o_a").cast(d38) * F.col("nb") - F.col("o_b").cast(d38) * F.col("na")
-    return per.crossJoin(tot).select(
+    return with_tot.select(
         "event_type",
         "o_a",
         "o_b",
