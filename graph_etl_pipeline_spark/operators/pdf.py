@@ -202,8 +202,12 @@ def _dict_ref(body: bytes, key: bytes) -> int | None:
 
 
 _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?![0-9]) pins the capture to the FULL digit run before the indirect-ref
+# lookahead runs: without it the engine backtracks '/Length 123 0 R' to a
+# bogus direct length of '12' (ADVICE r8 — silent truncated payloads).
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+_FILTER_RE = re.compile(rb"/Filter\b")
 
 
 def _stream_payload(body: bytes) -> bytes | None:
@@ -225,11 +229,21 @@ def _stream_payload(body: bytes) -> bytes | None:
         if em is None:
             return None
         payload = em.group(1)
-    if _FLATE_RE.search(body[: sm.start()]):
+    header = body[: sm.start()]
+    if _FLATE_RE.search(header):
         try:
             payload = zlib.decompress(payload)
         except zlib.error as ex:
             raise ValueError(f"malformed FlateDecode stream: {ex}") from ex
+    elif _FILTER_RE.search(header):
+        # Any /Filter that is not exactly a bare/solo /FlateDecode (chains
+        # like [/FlateDecode /ASCIIHexDecode], LZW, DCT…) is unsupported:
+        # raise rather than silently tokenizing still-encoded bytes
+        # (ADVICE r8 — garbage would flow into the text extractor).
+        raise ValueError(
+            "unsupported PDF stream filter (only a solo /FlateDecode or "
+            "unfiltered streams are handled)"
+        )
     return payload
 
 

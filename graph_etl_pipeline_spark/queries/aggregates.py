@@ -963,8 +963,8 @@ MOMENT_UNIT = 1_000_000  # micro-units: value quantized once, moments exact
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(x) AS BIGINT) AS sum_micro,
-           CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
-               - CAST(SUM(x) AS HUGEINT) * SUM(x) AS var_numer,
+           CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+               - CAST(SUM(x) AS HUGEINT) * SUM(x) AS VARCHAR) AS var_numer,
            CAST((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
                  - CAST(SUM(x) AS HUGEINT) * SUM(x))
                 // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
@@ -984,7 +984,10 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/shards/days (Chan et al.'s pairwise update degenerates to
     plain sums on integers). Population variance arrives as the exact
     integer numerator n·Σx² − (Σx)² plus its floor-divided micro²
-    value, so the hash row certifies every bit.
+    value, so the hash row certifies every bit. var_numer exceeds int64
+    range, so it ships as the engine-stable int128 STRING form (the
+    6e10792 convention — Spark decimal(38,0) and DuckDB HUGEINT render
+    the same digits; the raw types hash differently in the driver).
 
     Headroom: |x| ≤ ~10⁹ micro ⇒ Σx² ≤ 10²³ per group at sf0.1 —
     decimal(38) holds to ~10¹⁵ rows per group; beyond that, shard the
@@ -1006,7 +1009,7 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "sum_micro",
-        var_numer.alias("var_numer"),
+        var_numer.cast("string").alias("var_numer"),
         F.expr(
             "CAST((CAST(n AS decimal(38,0)) * sum_sq"
             " - CAST(sum_micro AS decimal(38,0)) * sum_micro)"

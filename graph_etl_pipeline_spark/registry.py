@@ -35,32 +35,76 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # history / prior CORRECTNESS files) and stay oracle-checked every round by
 # the local parity replica (tests/test_oracle_parity.py).
 #
-# r8 window policy (VERDICT r7 #1): the 32 operators that registered in the
-# r6 waves but NEVER earned a hard driver row lead the window for their
-# first driver validation (this includes embed_jl_projection and
-# agg_linear_trend, whose int128→string output form from 6e10792 has never
-# been driver-checked). Next come the seven queries whose implementations
-# changed in r8 — the shared pair-tiling guard rewiring
-# (dedup_semdedup_clusters, graph_jaccard_similarity,
-# graph_copurchase_project, dedup_embedding_cosine), the sign-safe CMS
-# mask (agg_countmin_contract), FlateDecode in the PDF codec
-# (src_pdf_scan), and sim_ann_recall_contract (now the sole registered
-# surface of the retired sim_ann_ivf plan). Then the every-round flagship
-# and ten §2/streaming anchors. Multiply-confirmed rows rotate past the
-# cap. Names not listed here (future additions) append at the end in
-# registration order. tests/test_library.py asserts the invariants.
+# r9 window policy (executed this round, as pre-declared in r8): the
+# twelve r8-registered additions lead for their FIRST driver rows
+# (pipeline_ivf_pq_search … text_dedup_span_rewrite), followed by the two
+# r9-changed implementations — agg_exact_moments (r8's one red row: its
+# int128 var_numer now ships in the engine-stable STRING form, ADVICE r8)
+# and src_pdf_scan (indirect-/Length backtracking fix + unsupported-filter
+# rejection, ADVICE r8) — then the every-round flagship, ten §2/streaming
+# anchors, and 25 REFRESH slots for the rows whose last hard driver green
+# is oldest (the seven r1-era rows, then r3-era). Any operator registered
+# NEW in r9 is inserted ahead of the refresh slots before the round ends.
 #
-# r9 window policy (pre-declared so the rotation promise stays kept):
-# the twelve r8-registered additions — pipeline_ivf_pq_search,
-# pipeline_entity_resolution, agg_ks_drift, stream_full_join_timeout,
-# sample_reservoir_bottomk, dedup_url_canonicalize,
-# sink_compact_small_files, privacy_dp_counts, agg_chi2_drift,
-# win_rolling_zscore_outliers, sink_vacuum_retention,
-# text_dedup_span_rewrite — have never held a driver row and must LEAD
-# the r9 window, followed by any r9-changed implementations, the
-# flagship, and §2 anchors.
+# r10 window policy (pre-declared so the rotation promise stays kept):
+# any r9-registered additions and r9-changed implementations that did not
+# earn a green row in CORRECTNESS_r09 lead, then the flagship and §2
+# anchors, then the next-oldest refresh cohort (the remaining r3-era rows:
+# proj_select_alias, flt_compound_predicate, fn_dict_normalize,
+# fn_timestamps, fn_code_parse, fn_case_classify, graph_count_by_label,
+# join_consistency_antijoin, join_left_semi, mm_binary_features,
+# mm_metadata_struct, sort_limit, arr_contains_lookup).
 CORE_ORDER = [
-    # -- first driver rows: the 32 never-checked operators (VERDICT r7 #1) --
+    "pipeline_ivf_pq_search",
+    "pipeline_entity_resolution",
+    "agg_ks_drift",
+    "stream_full_join_timeout",
+    "sample_reservoir_bottomk",
+    "dedup_url_canonicalize",
+    "sink_compact_small_files",
+    "privacy_dp_counts",
+    "agg_chi2_drift",
+    "win_rolling_zscore_outliers",
+    "sink_vacuum_retention",
+    "text_dedup_span_rewrite",
+    "agg_exact_moments",
+    "src_pdf_scan",
+    "join_four_hop_chain",
+    "src_csv_scan",
+    "sink_upsert_node",
+    "sink_merge_prefer_nonempty",
+    "flt_blocklist_predicate",
+    "fn_regexp_extract_all",
+    "join_broadcast_inner",
+    "join_left_anti",
+    "agg_multi_counter",
+    "win_row_number_dedup",
+    "stream_incremental_upsert",
+    "agg_salted_skew",
+    "dedup_minhash_signatures",
+    "graph_degree_distribution",
+    "graph_orphan_antijoin",
+    "graph_pattern_match",
+    "mm_frame_sample",
+    "set_intersect_except",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "win_lag_running_sum",
+    "text_fingerprint",
+    "graph_reachability",
+    "join_two_hop",
+    "dedup_merge_most_complete",
+    "dedup_docs_exact",
+    "fn_hash_uid",
+    "src_json_flatten",
+    "sink_upsert_edge",
+    "agg_group_topn",
+    "agg_topk",
+    "agg_collect_set",
+    "mm_image_decode",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
     "src_jsonl_scan",
     "src_format_sniff",
     "text_html_strip",
@@ -68,14 +112,13 @@ CORE_ORDER = [
     "text_winnowing_fingerprint",
     "dedup_lsh_recall_contract",
     "dedup_shingle_containment",
-    "embed_jl_projection",       # string-typed int128 output (6e10792) — first driver validation
+    "embed_jl_projection",
     "embed_pq_codes",
     "embed_sign_hamming_topk",
     "sim_ann_pq_adc",
     "agg_bitmap_exact_distinct",
-    "agg_exact_moments",
     "agg_gini_concentration",
-    "agg_linear_trend",          # string-typed int128 output (6e10792) — first driver validation
+    "agg_linear_trend",
     "agg_markov_transitions",
     "graph_assortativity",
     "graph_hits",
@@ -93,29 +136,12 @@ CORE_ORDER = [
     "win_max_drawdown",
     "win_rolling_range_1h",
     "win_share_of_parent",
-    # -- r8-changed implementations: re-confirm --
-    "dedup_semdedup_clusters",   # pairs.py guard replaces unconditional broadcast
-    "graph_jaccard_similarity",  # wedge generation through pairs.py hot-node guard
-    "graph_copurchase_project",  # basket pairs through pairs.py (shared helper)
-    "dedup_embedding_cosine",    # label pairs through pairs.py (shared helper)
-    "agg_countmin_contract",     # sign-safe bitwise-AND key mask (ADVICE r7)
-    "src_pdf_scan",              # FlateDecode content streams (VERDICT r7 #4)
-    "sim_ann_recall_contract",   # sole registered surface of the IVF stand-in plan
-    # -- flagship: a hard row every round --
-    "join_four_hop_chain",
-    # -- §2 / streaming anchors --
-    "src_csv_scan",              # S1
-    "sink_upsert_node",          # S4
-    "sink_merge_prefer_nonempty",  # S6
-    "flt_blocklist_predicate",   # P4+F9
-    "fn_regexp_extract_all",     # F5
-    "join_broadcast_inner",      # J1
-    "join_left_anti",            # J2
-    "agg_multi_counter",         # A5
-    "win_row_number_dedup",      # O3
-    "stream_incremental_upsert", # T2
-    # ---- position 51+: driver-green in earlier rounds; still
-    # oracle-checked locally every round by tests/test_oracle_parity.py ----
+    "dedup_semdedup_clusters",
+    "graph_jaccard_similarity",
+    "graph_copurchase_project",
+    "dedup_embedding_cosine",
+    "agg_countmin_contract",
+    "sim_ann_recall_contract",
     "src_docx_scan",
     "src_orc_scan",
     "stream_watermark_late",
@@ -170,7 +196,6 @@ CORE_ORDER = [
     "sim_kmeans_iterate",
     "graph_triangle_count",
     "join_left_semi",
-    "agg_topk",
     "mm_audio_frame_rms",
     "embed_quantize_int8",
     "text_pii_scrub",
@@ -221,31 +246,13 @@ CORE_ORDER = [
     "fn_timestamps",
     "fn_code_parse",
     "fn_case_classify",
-    "dedup_merge_most_complete",
-    "dedup_docs_exact",
-    "join_two_hop",
     "join_consistency_antijoin",
-    "graph_reachability",
     "agg_count_by_label",
     "agg_global_count",
-    "agg_group_topn",
-    "agg_collect_set",
     "sort_limit",
     "arr_contains_lookup",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
     "mm_binary_features",
     "mm_metadata_struct",
-    "mm_image_decode",
-    "graph_pattern_match",
-    "dedup_minhash_signatures",
-    "graph_degree_distribution",
-    "set_intersect_except",
-    "agg_salted_skew",
-    "mm_frame_sample",
-    "graph_orphan_antijoin",
 ]
 
 # SURVEY-declared rows rotated out of the driver window after earning green

@@ -45,29 +45,20 @@ SURVEY_DECLARED = {
 }
 
 
-# r8 window priorities (VERDICT r7 #1): the 32 operators that never
-# earned a hard driver row lead the window, then the seven queries whose
-# implementations changed in r8, then the flagship and §2/streaming
-# anchors — each must hold a driver-window slot this round.
-R8_PROMOTED = {
-    # first driver rows: never checked through r7
-    "src_jsonl_scan", "src_format_sniff", "text_html_strip",
-    "text_gopher_rules", "text_winnowing_fingerprint",
-    "dedup_lsh_recall_contract", "dedup_shingle_containment",
-    "embed_jl_projection", "embed_pq_codes", "embed_sign_hamming_topk",
-    "sim_ann_pq_adc", "agg_bitmap_exact_distinct", "agg_exact_moments",
-    "agg_gini_concentration", "agg_linear_trend", "agg_markov_transitions",
-    "graph_assortativity", "graph_hits", "graph_modularity",
-    "graph_random_walks", "join_scd2_asof", "mm_audio_vad_segments",
-    "mm_image_ahash_dedup", "pipeline_incremental_ingest",
-    "privacy_kanonymity_audit", "sample_inbatch_negatives",
-    "sample_upsample_epochs", "sink_time_travel_read",
-    "stream_dedup_within_watermark", "win_max_drawdown",
-    "win_rolling_range_1h", "win_share_of_parent",
-    # changed in r8: pairs.py guard rewiring, CMS mask, PDF FlateDecode
-    "dedup_semdedup_clusters", "graph_jaccard_similarity",
-    "graph_copurchase_project", "dedup_embedding_cosine",
-    "agg_countmin_contract", "src_pdf_scan", "sim_ann_recall_contract",
+# r9 window priorities (pre-declared in the r8 registry comment): the
+# twelve r8-registered additions earn their FIRST driver rows, then the
+# two r9-changed implementations (agg_exact_moments string-typed
+# var_numer; src_pdf_scan length/filter fixes), then the flagship and
+# §2/streaming anchors — each must hold a driver-window slot this round.
+R9_PROMOTED = {
+    # first driver rows: registered in r8, never checked
+    "pipeline_ivf_pq_search", "pipeline_entity_resolution", "agg_ks_drift",
+    "stream_full_join_timeout", "sample_reservoir_bottomk",
+    "dedup_url_canonicalize", "sink_compact_small_files", "privacy_dp_counts",
+    "agg_chi2_drift", "win_rolling_zscore_outliers", "sink_vacuum_retention",
+    "text_dedup_span_rewrite",
+    # changed in r9: ADVICE r8 fixes
+    "agg_exact_moments", "src_pdf_scan",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors
@@ -87,8 +78,8 @@ def test_registration_order_covers_survey_within_driver_cap():
     assert ROTATED_OUT <= SURVEY_DECLARED
     missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
     assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
-    not_promoted = R8_PROMOTED - in_window
-    assert not not_promoted, f"r8-promoted queries outside driver window: {not_promoted}"
+    not_promoted = R9_PROMOTED - in_window
+    assert not not_promoted, f"r9-promoted queries outside driver window: {not_promoted}"
     # every rotated-out row must still carry a local oracle for the parity replica
     specs = all_queries()
     missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}

@@ -166,3 +166,55 @@ def test_flate_mixed_directory_scan(spark, tmp_path):
         for r in read_pdf_dir(spark, str(tmp_path)).collect()
     }
     assert rows == texts
+
+
+def test_indirect_multidigit_length_falls_back_to_endstream_scan():
+    """ADVICE r8: '/Length 123 0 R' (indirect ref, object number >= 10) must
+    NOT backtrack-match a bogus direct length of '12' — the reader has to
+    fall back to the endstream scan and recover the full payload."""
+    import re as _re
+
+    text = "indirect length payload " * 6
+    blob = build_pdf(text)
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", blob)
+    assert m is not None
+    patched = (
+        blob[: m.start()]
+        + b"<< /Length 123 0 R >>\nstream\n"
+        + blob[m.end() :]
+    )
+    out, n_pages = parse_pdf(patched)
+    assert out == text
+    assert n_pages == expected_pages(text)
+
+
+def test_solo_array_flate_filter_still_inflates():
+    """'/Filter [/FlateDecode]' (single-element array form) is equivalent to
+    the bare name and must inflate."""
+    text = "array filter body " * 10
+    blob = build_pdf(text, compress=True)
+    patched = blob.replace(
+        b"/Filter /FlateDecode", b"/Filter [ /FlateDecode ]"
+    )
+    out, _ = parse_pdf(patched)
+    assert out == text
+
+
+def test_unsupported_filter_chain_raises_not_garbage():
+    """ADVICE r8: a filter CHAIN like [/FlateDecode /ASCIIHexDecode] is not
+    supported — the reader must raise, never tokenize still-encoded bytes."""
+    blob = build_pdf("chained filter body " * 10, compress=True)
+    patched = blob.replace(
+        b"/Filter /FlateDecode",
+        b"/Filter [/FlateDecode /ASCIIHexDecode]",
+    )
+    with pytest.raises(ValueError, match="unsupported PDF stream filter"):
+        parse_pdf(patched)
+
+
+def test_unsupported_single_foreign_filter_raises():
+    """A lone non-Flate filter (/LZWDecode) must raise the same way."""
+    blob = build_pdf("lzw body " * 10, compress=True)
+    patched = blob.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(ValueError, match="unsupported PDF stream filter"):
+        parse_pdf(patched)
