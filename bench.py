@@ -76,6 +76,10 @@ EXTRA = [
     "pipeline_entity_resolution",  # block→verify→cluster→merge ER flow (r8)
     "agg_ks_drift",  # exact two-sample KS drift statistic (r8)
     "stream_full_join_timeout",  # both-side outer timeout emission (r8)
+    "dedup_incremental_lsh",  # new-batch-vs-corpus LSH dedup (r9)
+    "agg_kmv_shard_merge",  # sketch merge-associativity contract (r9)
+    "join_asof_tolerance",  # bounded-staleness asof (r9)
+    "sink_schema_evolution_merge",  # mergeSchema generation read (r9)
 ]
 
 

@@ -1408,3 +1408,114 @@ def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("chi2_den"),
     )
+
+
+# --- KMV shard-merge associativity contract ----------------------------------
+KMV_MERGE_K = 256
+
+
+@register(
+    "agg_kmv_shard_merge",
+    oracle=f"""
+    WITH hs AS (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+               l_orderkey % 2 AS shard
+        FROM lineitem
+    ),
+    whole AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_MERGE_K}),
+    se AS (SELECT h FROM hs WHERE shard = 0 ORDER BY h LIMIT {KMV_MERGE_K}),
+    so AS (SELECT h FROM hs WHERE shard = 1 ORDER BY h LIMIT {KMV_MERGE_K}),
+    merged AS (
+        SELECT h FROM (SELECT h FROM se UNION SELECT h FROM so)
+        ORDER BY h LIMIT {KMV_MERGE_K}
+    ),
+    est AS (
+        SELECT
+            (SELECT CAST(FLOOR(({KMV_MERGE_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST(MAX(h) AS DOUBLE)) AS BIGINT) FROM se)    AS est_even,
+            (SELECT CAST(FLOOR(({KMV_MERGE_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST(MAX(h) AS DOUBLE)) AS BIGINT) FROM so)    AS est_odd,
+            (SELECT CAST(FLOOR(({KMV_MERGE_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST(MAX(h) AS DOUBLE)) AS BIGINT) FROM whole) AS est_whole,
+            (SELECT CAST(FLOOR(({KMV_MERGE_K} - 1) * CAST({KMV_M} AS DOUBLE)
+                 / CAST(MAX(h) AS DOUBLE)) AS BIGINT) FROM merged) AS est_merged,
+            (SELECT md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) FROM whole)
+                AS dig_whole,
+            (SELECT md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) FROM merged)
+                AS dig_merged
+    )
+    SELECT {KMV_MERGE_K} AS k, est_even, est_odd, est_whole, est_merged,
+           dig_whole = dig_merged AS merge_exact
+    FROM est
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_kmv_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SHARD-MERGE associativity CONTRACT — the property that makes
+    sketch-based distinct counting deployable at 1000-executor scale:
+    k-min(k-min(A) ∪ k-min(B)) == k-min(A ∪ B), i.e. per-shard sketches
+    merged later are BYTE-IDENTICAL to the sketch of the whole (no decay,
+    no merge-order dependence). lineitem's order keys split into two
+    shards by parity; the query computes all three sketches and certifies
+    equality by md5-digesting each sketch's ascending hash list — a
+    driver-hashable bool, not an eyeballed estimate. Per-day / per-shard
+    / per-executor sketches composing losslessly is exactly the
+    aggregation contract a 100 TB ingest pipeline relies on (sketch once
+    at write time, merge at read time).
+
+    Plan: ONE distinct-hash reduction over the fact table (map-combined),
+    then three TakeOrderedAndProject k-mins — never a global sort — and
+    the digest/estimate arithmetic runs on <= 3k broadcast-sized rows.
+    Estimates use the unbiased (k-1)·M/kth-min form shared with
+    agg_kmv_distinct_intersection; hashes are the same 60-bit md5 lanes
+    so the DuckDB oracle replays every bit."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    hs = (
+        li.distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            (F.col("l_orderkey") % 2).alias("shard"),
+        )
+    )
+    whole = hs.select("h").orderBy("h").limit(KMV_MERGE_K)
+    se = hs.filter(F.col("shard") == 0).select("h").orderBy("h").limit(KMV_MERGE_K)
+    so = hs.filter(F.col("shard") == 1).select("h").orderBy("h").limit(KMV_MERGE_K)
+    merged = se.union(so).distinct().orderBy("h").limit(KMV_MERGE_K)
+
+    def est(kmin: DataFrame, name: str) -> DataFrame:
+        return kmin.agg(
+            F.floor(
+                F.lit(float(KMV_MERGE_K - 1))
+                * F.lit(float(KMV_M))
+                / F.max("h").cast("double")
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    def digest(kmin: DataFrame, name: str) -> DataFrame:
+        ordered = F.sort_array(F.collect_list("h"))
+        return kmin.agg(
+            F.md5(
+                F.array_join(F.transform(ordered, lambda x: x.cast("string")), ",")
+            ).alias(name)
+        )
+
+    row = (
+        est(se, "est_even")
+        .crossJoin(est(so, "est_odd"))
+        .crossJoin(est(whole, "est_whole"))
+        .crossJoin(est(merged, "est_merged"))
+        .crossJoin(digest(whole, "dig_whole"))
+        .crossJoin(digest(merged, "dig_merged"))
+    )
+    return row.select(
+        F.lit(KMV_MERGE_K).alias("k"),
+        "est_even",
+        "est_odd",
+        "est_whole",
+        "est_merged",
+        (F.col("dig_whole") == F.col("dig_merged")).alias("merge_exact"),
+    )

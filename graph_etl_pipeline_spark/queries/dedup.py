@@ -1329,3 +1329,222 @@ def text_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+# --- Incremental new-batch-vs-corpus dedup ------------------------------------
+# The daily-ingest shape: a NEW document batch arrives and must be deduped
+# against the EXISTING corpus without recomparing the corpus to itself.
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 plays the "new batch" (~20 % of docs)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    mhs AS (
+        SELECT doc_id, {_SQL_MINHASH} FROM exploded GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, {_SQL_BANDS} FROM mhs
+    ),
+    unpivoted AS (
+        {" UNION ALL ".join(f"SELECT doc_id, 'b{b}' AS band, band{b} AS sig FROM bands" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+        FROM unpivoted n JOIN unpivoted c
+          ON n.band = c.band AND n.sig = c.sig
+         AND n.doc_id % {INCR_NEW_MOD} = 0 AND c.doc_id % {INCR_NEW_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM doc_shingles),
+    pair_stats AS (
+        SELECT cand.new_id, cand.corp_id,
+               COUNT(*) AS n_inter,
+               ANY_VALUE(sa.n_sh) AS n_a,
+               ANY_VALUE(sb.n_sh) AS n_b
+        FROM cand
+        JOIN exploded ea ON ea.doc_id = cand.new_id
+        JOIN exploded eb ON eb.doc_id = cand.corp_id AND eb.s = ea.s
+        JOIN sizes sa ON sa.doc_id = cand.new_id
+        JOIN sizes sb ON sb.doc_id = cand.corp_id
+        GROUP BY cand.new_id, cand.corp_id
+    ),
+    verified AS (
+        SELECT new_id FROM pair_stats
+        WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           COALESCE(pc.n_candidates, 0) AS n_candidates,
+           COALESCE(pv.n_verified, 0) AS n_verified,
+           COALESCE(pv.n_verified, 0) > 0 AS is_dup
+    FROM documents d
+    LEFT JOIN (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+               FROM cand GROUP BY new_id) pc ON pc.new_id = d.doc_id
+    LEFT JOIN (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_verified
+               FROM verified GROUP BY new_id) pv ON pv.new_id = d.doc_id
+    WHERE d.doc_id % {INCR_NEW_MOD} = 0
+    """,
+    tags=("dedup", "llm", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the operator a production ingest runs
+    every day: dedupe the NEW batch against the EXISTING corpus without
+    ever recomparing the corpus to itself. Docs with doc_id %
+    5 == 0 play the incoming batch; the rest are the standing corpus
+    whose LSH band signatures are, in production, a PERSISTED INDEX
+    (built once, appended per batch — this plan derives them in place
+    because the test corpus is small, but the band join below only ever
+    touches new×corpus bucket collisions, never corpus×corpus).
+
+    Per new document the contract emits how many corpus docs share at
+    least one LSH band bucket (n_candidates), how many of those verify
+    at exact Jaccard >= 0.5 (n_verified), and the admit/reject bool
+    (is_dup) — integers and booleans only, so the driver hash certifies
+    the whole decision table. Every new doc appears exactly once
+    (left join), including clean ones with zero collisions.
+
+    Scale shape: signatures are map-side off the shared shingle
+    materialization (content-addressed — the SAME artifact
+    dedup_minhash_lsh builds, so a corpus builds its shingle table once
+    for both the batch and full-dedup paths); the candidate join keys on
+    (band, sig) where the NEW side is a day's batch — orders smaller
+    than the corpus — so the shuffle carries the small side's buckets
+    only; verification explodes shingles for CANDIDATE pairs alone. At
+    100 TB the standing-index side is additionally pre-partitioned by
+    band signature on disk, making the daily join a co-located probe."""
+    d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
+    ds = materialize(
+        d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
+        "lsh_doc_shingles",
+    )
+    sigs = _signatures_from_arrays(ds)
+    unpivoted = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    new_u = unpivoted.filter(is_new).alias("n")
+    corp_u = unpivoted.filter(~is_new).alias("c")
+    cand = (
+        new_u.join(
+            corp_u,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.sig") == F.col("c.sig")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corp_id"))
+        .distinct()
+    )
+
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    inter = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("new_id"))
+        .join(eb, (F.col("eb.doc_id") == F.col("corp_id")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("new_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("corp_id"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    verified = (
+        inter.join(sa, "new_id")
+        .join(sb, "corp_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    n_cand = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    base = ds.filter(is_new).select("doc_id")
+    return (
+        base.join(n_cand, base.doc_id == n_cand.new_id, "left")
+        .drop("new_id")
+        .join(verified, base.doc_id == verified.new_id, "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0).cast("long")).alias("n_verified"),
+            (F.coalesce("n_verified", F.lit(0).cast("long")) > 0).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_band_bucket_stats",
+    oracle=f"""
+    {_SQL_SHINGLE_CTE},
+    mhs AS (
+        SELECT doc_id, {_SQL_MINHASH} FROM exploded GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, {_SQL_BANDS} FROM mhs
+    ),
+    unpivoted AS (
+        {" UNION ALL ".join(f"SELECT doc_id, 'b{b}' AS band, band{b} AS sig FROM bands" for b in range(N_BANDS))}
+    ),
+    bs AS (
+        SELECT band, sig, COUNT(*) AS sz FROM unpivoted GROUP BY band, sig
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM bs GROUP BY band
+    """,
+    tags=("dedup", "llm", "profile"),
+)
+def dedup_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BUCKET-SKEW OBSERVATORY — the pre-flight probe a 100 TB dedup
+    run fires BEFORE the candidate join: per band, the bucket count, the
+    largest bucket, the singleton count (docs with no collision in that
+    band), and the exact candidate-pair bill Σ sz·(sz−1)/2 the band-join
+    would generate. One hot bucket of 10⁶ docs is a 5·10¹¹-pair task —
+    this table is what tells the pipeline to split that bucket (or raise
+    the band count) before paying for it, the same measured-guard
+    discipline as MAX_SHINGLE_DF and operators/pairs.py, surfaced as a
+    queryable contract instead of a buried constant.
+
+    Plan: map-side signatures off the shared shingle materialization
+    (content-addressed with dedup_minhash_lsh's artifact), one
+    map-combined count per (band, sig), one 4-row rollup — strictly
+    cheaper than any dedup it de-risks, and every output is an exact
+    integer the driver hash certifies."""
+    d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
+    ds = materialize(
+        d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
+        "lsh_doc_shingles",
+    )
+    sigs = _signatures_from_arrays(ds)
+    unpivoted = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    bs = unpivoted.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("sz"))
+    return bs.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").alias("n_docs"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).alias("cand_pairs"),
+    )

@@ -769,3 +769,85 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_revenue(joined)).cast("double").alias("revenue"),
     )
+
+
+# --- Bounded-staleness as-of join ---------------------------------------------
+ASOF_TOL_US = 2 * 3600 * 1_000_000  # max feature age: 2 hours, integer micros
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    filled AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts,
+               last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ASOF_TOL_US}
+                THEN last_click_id END AS click_id,
+           CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ASOF_TOL_US}
+                THEN epoch_us(ts) - epoch_us(last_click_ts) END AS age_us,
+           COALESCE(epoch_us(ts) - epoch_us(last_click_ts) <= {ASOF_TOL_US}, FALSE)
+               AS fresh
+    FROM filled WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a STALENESS BOUND — the feature-store / kdb
+    `aj`-with-tolerance contract win_asof_last_click leaves open: a
+    purchase may only use the user's last click if that click is at most
+    ASOF_TOL_US (2 hours) old; older context is stale and the
+    match must come back NULL (serving a 3-day-old feature silently is
+    the classic training/serving-skew bug this operator exists to stop).
+    Emits the matched click, its exact integer age in microseconds, and
+    the `fresh` admit bool per purchase — unmatched purchases survive
+    with NULLs, so row count equals the purchase count by construction.
+
+    Scale shape: identical to win_asof_last_click — one union stream,
+    one shuffle on user_id, one fill-forward window; the tolerance is a
+    map-side CASE after the window, so bounding staleness costs ZERO
+    additional exchanges (the naive range-join formulation would pay a
+    per-user quadratic candidate scan instead). Integer-microsecond
+    arithmetic keeps the hash row engine-stable."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    filled = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    age = F.unix_micros("ts") - F.unix_micros("last_click_ts")
+    within = age <= ASOF_TOL_US
+    return filled.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("last_click_id")).alias("click_id"),
+        F.when(within, age).alias("age_us"),
+        F.coalesce(within, F.lit(False)).alias("fresh"),
+    )

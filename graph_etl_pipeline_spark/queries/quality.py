@@ -515,3 +515,64 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_released"
         ),
     )
+
+
+# --- l-diversity audit --------------------------------------------------------
+LDIV_L = 3          # each equivalence class needs >= 3 distinct sensitive values
+LDIV_BAL_BUCKET = 1000  # sensitive attribute: account balance, coarsened
+
+
+@register(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {LDIV_BAL_BUCKET}) AS BIGINT))
+                AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / {LDIV_BAL_BUCKET}) AS BIGINT))
+               >= {LDIV_L} AS diverse
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("quality", "privacy"),
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al.) — the attack model
+    k-anonymity misses: a class can hold k rows and still leak if every
+    row shares ONE sensitive value (homogeneity attack — the adversary
+    learns the secret without singling anyone out). Each equivalence
+    class over the quasi-identifiers (nation × market segment) must
+    contain >= l = {LDIV_L} DISTINCT sensitive values (account balance
+    coarsened to {LDIV_BAL_BUCKET}-wide buckets); classes below the bar
+    are the ones a release pipeline must suppress or generalize even
+    though they may be k-anonymous. Complements privacy_kanonymity_audit
+    (class SIZE) with class VARIETY.
+
+    Plan: one aggregation over the QI tuple with a distinct-count of
+    the bucketed sensitive attribute — Spark plans this as a two-phase
+    expand/aggregate, still map-combined per QI class. At 100 TB the
+    class table is orders smaller than the corpus; swap COUNT(DISTINCT)
+    for approx_count_distinct when the sensitive domain per class gets
+    wide (the bool contract is a threshold test, where HLL's ±2 % is
+    harmless far from the boundary). Bucket boundary floor(x/{LDIV_BAL_BUCKET})
+    is IEEE-double division in both engines — bit-identical."""
+    c = table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / F.lit(LDIV_BAL_BUCKET)).cast("long")
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            sens.alias("s"),
+        )
+        .groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("s").alias("n_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") >= LDIV_L).alias("diverse"),
+        )
+    )

@@ -579,3 +579,86 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows_latest"),
         F.sum("bal_cents").alias("checksum_cents"),
     )
+
+
+# --- Schema evolution across snapshots ----------------------------------------
+
+
+@register(
+    "sink_schema_evolution_merge",
+    oracle="""
+    SELECT 1 AS v, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_ranked,
+           CAST(0 AS BIGINT) AS sum_rank,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS v, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("sink", "layout", "schema"),
+)
+def sink_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across table snapshots — the decade-of-data
+    reality a 100 TB lake faces: an old writer produced (key, cents),
+    a later deploy added a `priority_rank` column, and readers must see
+    ONE table where pre-evolution rows carry NULL for the new column
+    (never a failed scan, never silently dropped files). The job writes
+    both snapshot generations as real parquet directories, reads them
+    back through `mergeSchema` (Spark's parquet schema-union path), and
+    certifies per generation: row count, how many rows carry the evolved
+    column, its sum, and the content checksum — all measured off the
+    merged scan, so a reader that drops old files or mis-aligns columns
+    turns the driver row red. The oracle predicts every value from the
+    logical input alone.
+
+    Scale notes: schema-union is footer-only work per file (no data
+    rewrite — the whole point vs. a backfill); production tables pin
+    the union in the metastore/Delta log instead of per-query footer
+    inference, but the read semantics certified here are identical.
+    The aggregation is one map-combined pass over the merged scan."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    od = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    v1 = os.path.join(SCRATCH_DIR, f"schevo_v1-{key}-{os.getpid()}")
+    v2 = os.path.join(SCRATCH_DIR, f"schevo_v2-{key}-{os.getpid()}")
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        (
+            od.filter(F.col("o_orderkey") % 2 == 0)
+            .select(F.lit(1).alias("v"), F.col("o_orderkey").alias("okey"), cents)
+            .write.mode("overwrite")
+            .parquet(v1)
+        )
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        (
+            od.filter(F.col("o_orderkey") % 2 == 1)
+            .select(
+                F.lit(2).alias("v"),
+                F.col("o_orderkey").alias("okey"),
+                cents,
+                F.substring("o_orderpriority", 1, 1)
+                .cast("long")
+                .alias("priority_rank"),
+            )
+            .write.mode("overwrite")
+            .parquet(v2)
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("priority_rank").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_ranked"),
+        F.coalesce(F.sum("priority_rank"), F.lit(0).cast("long")).alias("sum_rank"),
+        F.sum("cents").alias("sum_cents"),
+    )

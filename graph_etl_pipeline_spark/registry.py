@@ -42,9 +42,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # int128 var_numer now ships in the engine-stable STRING form, ADVICE r8)
 # and src_pdf_scan (indirect-/Length backtracking fix + unsupported-filter
 # rejection, ADVICE r8) — then the every-round flagship, ten §2/streaming
-# anchors, and 25 REFRESH slots for the rows whose last hard driver green
-# is oldest (the seven r1-era rows, then r3-era). Any operator registered
-# NEW in r9 is inserted ahead of the refresh slots before the round ends.
+# anchors, the six operators REGISTERED NEW in r9 (dedup_incremental_lsh,
+# dedup_band_bucket_stats, agg_kmv_shard_merge, join_asof_tolerance,
+# privacy_l_diversity_audit, sink_schema_evolution_merge — inserted ahead
+# of the refresh slots, as this policy requires for new registrations),
+# and 19 REFRESH slots for the rows whose last hard driver green is
+# oldest (the seven r1-era rows, then r3-era).
 #
 # r10 window policy (pre-declared so the rotation promise stays kept):
 # any r9-registered additions and r9-changed implementations that did not
@@ -53,7 +56,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # proj_select_alias, flt_compound_predicate, fn_dict_normalize,
 # fn_timestamps, fn_code_parse, fn_case_classify, graph_count_by_label,
 # join_consistency_antijoin, join_left_semi, mm_binary_features,
-# mm_metadata_struct, sort_limit, arr_contains_lookup).
+# mm_metadata_struct, sort_limit, arr_contains_lookup, plus the six
+# r3-era rows the r9 additions displaced: agg_topk, agg_collect_set,
+# mm_image_decode, text_lang_id, text_quality_score, text_token_count).
 CORE_ORDER = [
     "pipeline_ivf_pq_search",
     "pipeline_entity_resolution",
@@ -80,6 +85,14 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
+    # -- r9-registered additions: first driver rows, ahead of refresh slots --
+    "dedup_incremental_lsh",
+    "dedup_band_bucket_stats",
+    "agg_kmv_shard_merge",
+    "join_asof_tolerance",
+    "privacy_l_diversity_audit",
+    "sink_schema_evolution_merge",
+    # -- refresh slots: rows whose last hard driver green is oldest --
     "agg_salted_skew",
     "dedup_minhash_signatures",
     "graph_degree_distribution",

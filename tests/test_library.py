@@ -59,6 +59,10 @@ R9_PROMOTED = {
     "text_dedup_span_rewrite",
     # changed in r9: ADVICE r8 fixes
     "agg_exact_moments", "src_pdf_scan",
+    # registered new in r9: first driver rows
+    "dedup_incremental_lsh", "dedup_band_bucket_stats",
+    "agg_kmv_shard_merge", "join_asof_tolerance",
+    "privacy_l_diversity_audit", "sink_schema_evolution_merge",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

@@ -725,3 +725,115 @@ def test_span_rewrite_fixed_point_and_keeper_preserved(spark, sf_dir, tmp_path):
     rewritten.write.parquet(f"{dest}/documents.parquet")
     again = fn(spark, dest)
     assert again.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_incremental_lsh_planted_new_vs_corpus_only(spark, tmp_path):
+    """Planted split: a new doc identical to a CORPUS doc must flag
+    is_dup; a unique new doc must come back clean with zero candidates;
+    two identical docs that are both NEW must NOT pair with each other
+    (the operator never compares the batch to itself). Output carries
+    exactly the new-batch ids."""
+    from graph_etl_pipeline_spark.queries.dedup import dedup_incremental_lsh
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    new_twin = "identical new twins share every shingle of this sentence body"
+    rows = [
+        (0, dup_text),                    # new (0 % 5 == 0), dup of corpus 1
+        (1, dup_text),                    # corpus
+        (2, "corpus filler about shuffle partitions and parquet footers"),
+        (5, "a unique incoming document with entirely novel vocabulary"),  # new, clean
+        (10, new_twin),                   # new
+        (15, new_twin),                   # new — identical to 10, must NOT pair
+    ]
+    sf = str(tmp_path / "incr")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in dedup_incremental_lsh(spark, sf).collect()}
+    assert set(out) == {0, 5, 10, 15}
+    assert out[0].is_dup and out[0].n_verified >= 1
+    assert not out[5].is_dup and out[5].n_candidates == 0
+    assert not out[10].is_dup and not out[15].is_dup  # new×new never compared
+
+
+def test_asof_tolerance_staleness_bound(spark, tmp_path):
+    """A purchase 1 h after the click matches (fresh, exact integer age);
+    a purchase 3 h after is beyond the 2 h tolerance → NULL match,
+    fresh=False; a user with no click at all also survives with NULLs."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.joins import join_asof_tolerance
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, 1, "click", at(0), 1.0, None),
+        (2, 1, "purchase", at(1), 1.0, None),   # 1 h later: fresh
+        (3, 1, "purchase", at(3), 1.0, None),   # 3 h later: stale
+        (4, 2, "purchase", at(1), 1.0, None),   # user 2 never clicked
+    ]
+    sf = str(tmp_path / "asoftol")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.purchase_id: r for r in join_asof_tolerance(spark, sf).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2].fresh and out[2].click_id == 1
+    assert out[2].age_us == 3_600_000_000
+    assert not out[3].fresh and out[3].click_id is None and out[3].age_us is None
+    assert not out[4].fresh and out[4].click_id is None
+
+
+def test_kmv_shard_merge_is_lossless(spark, sf_dir):
+    """The merged shard sketches must be BYTE-identical to the whole-table
+    sketch (merge_exact) — hence identical estimates."""
+    from graph_etl_pipeline_spark.queries.aggregates import agg_kmv_shard_merge
+
+    row = agg_kmv_shard_merge(spark, sf_dir).collect()[0]
+    assert row.merge_exact is True
+    assert row.est_merged == row.est_whole
+    assert row.est_even > 0 and row.est_odd > 0
+
+
+def test_schema_evolution_old_rows_read_null(spark, sf_dir):
+    """mergeSchema read: generation-1 rows carry NULL for the evolved
+    column (n_ranked = 0), generation-2 rows all carry it, and the two
+    generations partition the source row count exactly."""
+    import duckdb
+
+    from graph_etl_pipeline_spark.queries.sinks import sink_schema_evolution_merge
+
+    out = {r.v: r for r in sink_schema_evolution_merge(spark, sf_dir).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_ranked == 0 and out[1].sum_rank == 0
+    assert out[2].n_ranked == out[2].n_rows
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert out[1].n_rows + out[2].n_rows == total
+
+
+def test_band_bucket_stats_accounting(spark, sf_dir):
+    """Per band: every doc lands in exactly one bucket (n_docs == corpus
+    size), singletons generate no candidate pairs, and the pair bill is
+    the exact sum over bucket sizes."""
+    import duckdb
+
+    from graph_etl_pipeline_spark.queries.dedup import N_BANDS, dedup_band_bucket_stats
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    rows = dedup_band_bucket_stats(spark, sf_dir).collect()
+    assert len(rows) == N_BANDS
+    for r in rows:
+        assert r.n_docs == n_docs
+        assert r.n_singletons <= r.n_buckets <= r.n_docs
+        assert r.cand_pairs >= 0
+        if r.n_buckets == r.n_docs:
+            assert r.cand_pairs == 0
