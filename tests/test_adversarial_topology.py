@@ -77,6 +77,12 @@ QUERIES = [
     "agg_chi2_drift",           # broadcast midpoint + int128 cross-mult contributions (r8)
     "win_rolling_zscore_outliers",  # trailing ROWS frame + exact z² inequality (r8)
     "text_dedup_span_rewrite",  # diff-array coverage window + order-pinned rebuild (r8)
+    "dedup_incremental_lsh",    # new-vs-corpus band join + candidate verify (r9)
+    "dedup_band_bucket_stats",  # bucket-size rollup under 200 partitions (r9)
+    "agg_kmv_shard_merge",      # three k-min TakeOrdereds + digest equality (r9)
+    "join_asof_tolerance",      # fill-forward window + staleness CASE (r9)
+    "privacy_l_diversity_audit",  # distinct-count expand/agg under hostile topology (r9)
+    "sink_schema_evolution_merge",  # mergeSchema scan + per-generation agg (r9)
 ]
 
 _SCRIPT = f"""
