@@ -365,16 +365,22 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the data both engines compute identically)."""
     from pyspark.sql import Window
 
+    from graph_etl_pipeline_spark.io import materialize
+
     ev = table(spark, sf_dir, "events")
-    # localCheckpoint: the width probe, the chain window, AND callers'
-    # u/v union branches all reference this frame — without truncation
-    # the events aggregation would re-execute once per reference (the
-    # kcore_peel lineage discipline). The checkpoint is (hours × active
-    # users) rows, far smaller than events.
-    per_uh = (
+    # materialize (not localCheckpoint): the width probe, the chain
+    # window, AND callers' u/v union branches all reference this frame —
+    # without truncation the events aggregation would re-execute once per
+    # reference (the kcore_peel lineage discipline). Content-addressed
+    # parquet further means the EIGHT graph queries sharing this edge
+    # list build it once per process and every later caller starts from
+    # a scan — the production shape (the interaction graph is a persisted
+    # derived table, not a per-query recompute). The table is (hours ×
+    # active users) rows, far smaller than events.
+    per_uh = materialize(
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "user_id")
-        .agg(F.min("ts").alias("first_ts"))
-        .localCheckpoint(eager=True)
+        .agg(F.min("ts").alias("first_ts")),
+        "chain_per_uh",
     )
     width = per_uh.groupBy("h").agg(F.count(F.lit(1)).alias("n")).agg(
         F.greatest(
@@ -387,7 +393,7 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("h", "bkt").orderBy("first_ts", "user_id")
     chained = bucketed.select("user_id", F.lag("user_id").over(w).alias("prev_id"))
-    return (
+    edges = (
         chained.filter(F.col("prev_id").isNotNull())
         .select(
             F.least("user_id", "prev_id").alias("u"),
@@ -395,6 +401,11 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the finished edge list is itself materialized: the first caller in
+    # a process pays the chain-window build, every subsequent graph query
+    # (kcore, sssp, triangle, jaccard, hits, modularity, walks, …) scans
+    # the same content-addressed parquet.
+    return materialize(edges, "chain_edges")
 
 
 def bellman_ford(
