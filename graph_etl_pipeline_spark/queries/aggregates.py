@@ -1519,3 +1519,86 @@ def agg_kmv_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_merged",
         (F.col("dig_whole") == F.col("dig_merged")).alias("merge_exact"),
     )
+
+
+@register(
+    "agg_autocorr_lag1",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type,
+               lag(y) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x,
+               y
+        FROM q
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS phi_num,
+           CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS phi_den,
+           CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               AS ar1_coeff
+    FROM s
+    """,
+    tags=("agg", "profile", "timeseries"),
+)
+def agg_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION (the AR(1) coefficient) of each event type's
+    value series in time order — the standard "is this metric
+    mean-reverting, random, or trending?" diagnostic, and the companion
+    to agg_linear_trend (drift) / win_rolling_zscore_outliers (shocks).
+    Consecutive (yₜ₋₁, yₜ) pairs come from one lag window ordered by
+    (ts, event_id) — the explicit unique tie-break keeping pairing
+    identical in both engines — then φ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    is assembled from exact integer moment sums: cents-quantized values,
+    int128 numerator/denominator shipped in the engine-stable STRING
+    form (the 6e10792 convention), and the one double division is
+    correctly rounded from exact operands.
+
+    Scale shape: the window is one exchange on event_type bounded by the
+    same per-partition sort every windowed query pays; the moment sums
+    are map-combined after the lag projection. Per-day shards merge by
+    adding the five sums — the same mergeability contract as
+    agg_exact_moments (only the boundary pair between shards needs a
+    one-row stitch, the standard sessionization-merge trick)."""
+    from pyspark.sql import Window as W
+
+    q = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = q.select(
+        "event_type", F.lag("y").over(w).alias("x"), "y"
+    ).filter(F.col("x").isNotNull())
+    d38 = "decimal(38,0)"
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_pairs").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")
+    den = F.col("n_pairs").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_pairs",
+        num.cast("string").alias("phi_num"),
+        den.cast("string").alias("phi_den"),
+        (num.cast("double") / den.cast("double")).alias("ar1_coeff"),
+    )

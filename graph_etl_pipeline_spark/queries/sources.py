@@ -512,3 +512,61 @@ def src_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+# --- Fixed-width text layout ---------------------------------------------------
+# Column layout (1-based byte offsets), the COBOL-copybook convention:
+#   1-4   n_nationkey  zero-padded integer
+#   5-36  n_name       space-padded text (TPC-H names are <= 25 chars)
+#   37-40 n_regionkey  zero-padded integer
+FW_KEY_W, FW_NAME_W, FW_REG_W = 4, 32, 4
+
+
+@register(
+    "src_fixed_width_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("source", "text"),
+)
+def src_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingestion — the mainframe/COBOL-copybook layout
+    that still feeds plenty of enterprise lakes (no delimiters, no
+    quoting: every field is a byte range). The nation table round-trips
+    through a real fixed-width file: writer renders each row as one
+    padded line (zero-padded integers, space-padded text — the copybook
+    convention this reader's rtrim honours; layout constants above are
+    the 'copybook'), reader is `spark.read.text` + substring slicing —
+    pure map-side JVM expressions, so at 100 TB the scan parallelizes
+    per split exactly like CSV but with ZERO parse ambiguity (no quote /
+    escape / embedded-newline states — the reason the format survives).
+    The oracle reads the original parquet, so any padding/slicing drift
+    turns the row red.
+
+    Limits honestly held: text fields containing leading/trailing
+    spaces or exceeding their byte range do not round-trip (inherent to
+    the format, not this reader) — the writer would be the place to
+    reject them in production."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    n = table(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), FW_KEY_W, "0"),
+        F.rpad(F.col("n_name"), FW_NAME_W, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), FW_REG_W, "0"),
+    )
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(SCRATCH_DIR, f"fixedw-{key}-{os.getpid()}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        n.select(line.alias("value")).write.mode("overwrite").text(dest)
+    raw = spark.read.text(dest)
+    name_at = FW_KEY_W + 1
+    reg_at = FW_KEY_W + FW_NAME_W + 1
+    return raw.select(
+        F.substring("value", 1, FW_KEY_W).cast("long").alias("n_nationkey"),
+        F.rtrim(F.substring("value", name_at, FW_NAME_W)).alias("n_name"),
+        F.substring("value", reg_at, FW_REG_W).cast("long").alias("n_regionkey"),
+    )

@@ -42,11 +42,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # int128 var_numer now ships in the engine-stable STRING form, ADVICE r8)
 # and src_pdf_scan (indirect-/Length backtracking fix + unsupported-filter
 # rejection, ADVICE r8) — then the every-round flagship, ten §2/streaming
-# anchors, the six operators REGISTERED NEW in r9 (dedup_incremental_lsh,
+# anchors, the eight operators REGISTERED NEW in r9 (dedup_incremental_lsh,
 # dedup_band_bucket_stats, agg_kmv_shard_merge, join_asof_tolerance,
-# privacy_l_diversity_audit, sink_schema_evolution_merge — inserted ahead
-# of the refresh slots, as this policy requires for new registrations),
-# and 19 REFRESH slots for the rows whose last hard driver green is
+# privacy_l_diversity_audit, sink_schema_evolution_merge,
+# agg_autocorr_lag1, src_fixed_width_scan — inserted ahead of the
+# refresh slots, as this policy requires for new registrations), and
+# 17 REFRESH slots for the rows whose last hard driver green is
 # oldest (the seven r1-era rows, then r3-era).
 #
 # r10 window policy (pre-declared so the rotation promise stays kept):
@@ -56,9 +57,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # proj_select_alias, flt_compound_predicate, fn_dict_normalize,
 # fn_timestamps, fn_code_parse, fn_case_classify, graph_count_by_label,
 # join_consistency_antijoin, join_left_semi, mm_binary_features,
-# mm_metadata_struct, sort_limit, arr_contains_lookup, plus the six
-# r3-era rows the r9 additions displaced: agg_topk, agg_collect_set,
-# mm_image_decode, text_lang_id, text_quality_score, text_token_count).
+# mm_metadata_struct, sort_limit, arr_contains_lookup, plus the eight
+# r3-era rows the r9 additions displaced: fn_hash_uid, src_json_flatten,
+# sink_upsert_edge, agg_group_topn, agg_topk, agg_collect_set,
+# mm_image_decode, text_lang_id — and text_quality_score,
+# text_token_count from the earlier displacement).
 CORE_ORDER = [
     "pipeline_ivf_pq_search",
     "pipeline_entity_resolution",
@@ -92,6 +95,8 @@ CORE_ORDER = [
     "join_asof_tolerance",
     "privacy_l_diversity_audit",
     "sink_schema_evolution_merge",
+    "agg_autocorr_lag1",
+    "src_fixed_width_scan",
     # -- refresh slots: rows whose last hard driver green is oldest --
     "agg_salted_skew",
     "dedup_minhash_signatures",

@@ -83,6 +83,8 @@ QUERIES = [
     "join_asof_tolerance",      # fill-forward window + staleness CASE (r9)
     "privacy_l_diversity_audit",  # distinct-count expand/agg under hostile topology (r9)
     "sink_schema_evolution_merge",  # mergeSchema scan + per-generation agg (r9)
+    "agg_autocorr_lag1",        # ordered lag pairs + decimal(38) moment sums (r9)
+    "src_fixed_width_scan",     # padded-line round trip under hostile topology (r9)
 ]
 
 _SCRIPT = f"""

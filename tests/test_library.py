@@ -63,6 +63,7 @@ R9_PROMOTED = {
     "dedup_incremental_lsh", "dedup_band_bucket_stats",
     "agg_kmv_shard_merge", "join_asof_tolerance",
     "privacy_l_diversity_audit", "sink_schema_evolution_merge",
+    "agg_autocorr_lag1", "src_fixed_width_scan",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors
