@@ -328,3 +328,12 @@ def test_running_distinct_single_exchange(spark, sf_dir):
     clustering too, so no second Exchange may appear."""
     plan = _plan(spark, "win_running_distinct", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_kmv_shard_merge_kmins_take_ordered(spark, sf_dir):
+    """All three sketch k-mins (whole / shards / merged) must plan as
+    TakeOrderedAndProject — a global sort on the hash table would be the
+    exact anti-pattern the KMV design avoids."""
+    plan = _plan(spark, "agg_kmv_shard_merge", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") <= plan.count("TakeOrderedAndProject")
