@@ -40,6 +40,11 @@ EMPTY_SAFE = [
     "join_scd2_asof",
     "graph_degree_distribution",
     "src_jsonl_scan",
+    "join_asof_tolerance",
+    "privacy_l_diversity_audit",
+    "agg_autocorr_lag1",
+    "dedup_incremental_lsh",
+    "dedup_band_bucket_stats",
 ]
 
 
