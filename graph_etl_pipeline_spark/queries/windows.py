@@ -993,3 +993,116 @@ def win_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (num > den)
         ).alias("is_anomaly"),
     )
+
+
+# --- Interval-union coverage ---------------------------------------------------
+COVER_HOLD_US = 600 * 1_000_000  # each event holds a resource for 10 minutes
+
+
+@register(
+    "win_interval_union_length",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + {COVER_HOLD_US} AS e,
+               event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        CAST('-9223372036854775808' AS BIGINT))
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    per_island AS (
+        SELECT user_id, island,
+               MAX(e) - MIN(s) AS len_us
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len_us) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id
+    """,
+    tags=("window", "interval"),
+)
+def win_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-UNION coverage — total time actually covered by
+    overlapping per-event hold intervals, per user (usage metering,
+    license/seat billing, on-call coverage: double-booked minutes must
+    count ONCE). Each event holds [ts, ts+10 min); the union length is
+    the classic interval-merge: an interval starts a new ISLAND when its
+    start exceeds the running max end of everything before it (the
+    gaps-and-islands trick win_session_batch uses for inactivity gaps,
+    here applied to interval OVERLAP), islands then aggregate to
+    max(end) − min(start). A naive formulation self-joins intervals per
+    user (quadratic in events/user); this is ONE ordered window + one
+    aggregation on a single user_id exchange.
+
+    Integer epoch-MICROSECOND arithmetic end to end (epoch() seconds are
+    a DOUBLE with fractional parts in DuckDB while Spark's
+    unix_timestamp floors — the ±1 s drift the first cut of this query
+    hit); ordering carries the
+    (s, event_id) unique tie-break, so island numbering — and therefore
+    the hash row — is engine-identical under any partitioning. At
+    100 TB: the exchange carries each event once, skew follows per-user
+    event counts (saltable the usual way); the running-max frame is
+    O(1) state per row."""
+    us = F.unix_micros("ts")
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        us.alias("s"),
+        (us + COVER_HOLD_US).alias("e"),
+        "event_id",
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prior),
+                F.lit(-9223372036854775808).cast("long"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # BOTH windows share the (s, event_id) total order: island numbering
+    # under an (s, e)-tie would otherwise be engine-dependent (two events
+    # at one timestamp give one new_island=1 row and one =0 row — an
+    # arbitrary tie order could attach the 0-row to the PREVIOUS island).
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len_us").alias("covered_us"),
+    )

@@ -42,12 +42,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # int128 var_numer now ships in the engine-stable STRING form, ADVICE r8)
 # and src_pdf_scan (indirect-/Length backtracking fix + unsupported-filter
 # rejection, ADVICE r8) — then the every-round flagship, ten §2/streaming
-# anchors, the eight operators REGISTERED NEW in r9 (dedup_incremental_lsh,
+# anchors, the nine operators REGISTERED NEW in r9 (dedup_incremental_lsh,
 # dedup_band_bucket_stats, agg_kmv_shard_merge, join_asof_tolerance,
 # privacy_l_diversity_audit, sink_schema_evolution_merge,
-# agg_autocorr_lag1, src_fixed_width_scan — inserted ahead of the
-# refresh slots, as this policy requires for new registrations), and
-# 17 REFRESH slots for the rows whose last hard driver green is
+# agg_autocorr_lag1, src_fixed_width_scan, win_interval_union_length —
+# inserted ahead of the refresh slots, as this policy requires for new
+# registrations), and 16 REFRESH slots for the rows whose last hard driver green is
 # oldest (the seven r1-era rows, then r3-era).
 #
 # r10 window policy (pre-declared so the rotation promise stays kept):
@@ -97,6 +97,7 @@ CORE_ORDER = [
     "sink_schema_evolution_merge",
     "agg_autocorr_lag1",
     "src_fixed_width_scan",
+    "win_interval_union_length",
     # -- refresh slots: rows whose last hard driver green is oldest --
     "agg_salted_skew",
     "dedup_minhash_signatures",

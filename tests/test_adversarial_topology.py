@@ -85,6 +85,7 @@ QUERIES = [
     "sink_schema_evolution_merge",  # mergeSchema scan + per-generation agg (r9)
     "agg_autocorr_lag1",        # ordered lag pairs + decimal(38) moment sums (r9)
     "src_fixed_width_scan",     # padded-line round trip under hostile topology (r9)
+    "win_interval_union_length",  # interval-merge islands + tie order (r9)
 ]
 
 _SCRIPT = f"""

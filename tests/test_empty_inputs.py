@@ -45,6 +45,7 @@ EMPTY_SAFE = [
     "agg_autocorr_lag1",
     "dedup_incremental_lsh",
     "dedup_band_bucket_stats",
+    "win_interval_union_length",
 ]
 
 

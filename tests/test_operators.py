@@ -837,3 +837,40 @@ def test_band_bucket_stats_accounting(spark, sf_dir):
         assert r.cand_pairs >= 0
         if r.n_buckets == r.n_docs:
             assert r.cand_pairs == 0
+
+
+def test_interval_union_overlap_tie_and_gap(spark, tmp_path):
+    """Planted coverage: two overlapping holds merge (one island, 15 min
+    covered — double-booked minutes count once), a third event past the
+    hold window opens a second island, and two events at the SAME
+    timestamp (the tie case that island numbering must survive) cover
+    exactly one hold."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.windows import (
+        COVER_HOLD_US, win_interval_union_length,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 1, "click", at(0), 0.0, None),    # island 1: [0, 10)
+        (2, 1, "click", at(5), 0.0, None),    # overlaps → island 1 ends 15
+        (3, 1, "click", at(30), 0.0, None),   # gap → island 2: [30, 40)
+        (4, 2, "click", at(0), 0.0, None),    # tie pair: same ts …
+        (5, 2, "click", at(0), 0.0, None),    # … must stay ONE island
+    ]
+    sf = str(tmp_path / "cover")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in win_interval_union_length(spark, sf).collect()}
+    assert out[1].n_islands == 2
+    assert out[1].covered_us == 15 * 60 * 1_000_000 + COVER_HOLD_US
+    assert out[2].n_islands == 1
+    assert out[2].covered_us == COVER_HOLD_US
