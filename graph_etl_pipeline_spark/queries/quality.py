@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graph_etl_pipeline_spark.io import table
 from graph_etl_pipeline_spark.registry import register
@@ -575,4 +576,160 @@ def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sensitive",
             (F.col("n_sensitive") >= LDIV_L).alias("diverse"),
         )
+    )
+
+
+# --- t-closeness audit --------------------------------------------------------
+TCLOSE_BAL_BUCKET = 1000  # sensitive attribute: account balance, coarsened
+TCLOSE_T_NUM, TCLOSE_T_DEN = 1, 5  # t = 0.20, the Li et al. running example
+
+
+@register(
+    "privacy_t_closeness_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(FLOOR(c_acctbal / {TCLOSE_BAL_BUCKET}) AS BIGINT) AS bucket
+        FROM customer
+    ),
+    gl AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gcnt FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS m
+        FROM b
+    ),
+    cl AS (
+        SELECT nationkey, mktsegment, bucket, CAST(COUNT(*) AS BIGINT) AS ccnt
+        FROM b GROUP BY nationkey, mktsegment, bucket
+    ),
+    sizes AS (
+        SELECT nationkey, mktsegment, CAST(SUM(ccnt) AS BIGINT) AS class_size
+        FROM cl GROUP BY nationkey, mktsegment
+    ),
+    grid AS (
+        SELECT s.nationkey, s.mktsegment, s.class_size,
+               g.bucket, g.gcnt, t.n_total, t.m
+        FROM sizes s CROSS JOIN gl g CROSS JOIN tot t
+    ),
+    d AS (
+        SELECT grid.*, COALESCE(cl.ccnt, 0) AS ccnt
+        FROM grid LEFT JOIN cl USING (nationkey, mktsegment, bucket)
+    ),
+    cum AS (
+        SELECT nationkey, mktsegment, class_size, n_total, m,
+               SUM(CAST(ccnt AS HUGEINT) * n_total
+                   - CAST(gcnt AS HUGEINT) * class_size)
+                   OVER (PARTITION BY nationkey, mktsegment ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM d
+    ),
+    e AS (
+        SELECT nationkey, mktsegment, class_size,
+               SUM(ABS(c)) AS emd_num,
+               CAST(class_size AS HUGEINT) * ANY_VALUE(n_total)
+                   * (ANY_VALUE(m) - 1) AS emd_den
+        FROM cum GROUP BY nationkey, mktsegment, class_size
+    )
+    SELECT nationkey, mktsegment, class_size,
+           CAST(emd_num AS VARCHAR) AS emd_num,
+           CAST(emd_den AS VARCHAR) AS emd_den,
+           {TCLOSE_T_DEN} * emd_num <= {TCLOSE_T_NUM} * emd_den AS within_t
+    FROM e
+    """,
+    tags=("quality", "privacy"),
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li, Venkatasubramanian) — the attack model
+    l-diversity STILL misses: a class can hold l distinct sensitive
+    values and leak anyway when its distribution is far from the
+    table's (skewness attack — "3 distinct balances, all of them in the
+    top bracket" tells the adversary plenty). Each equivalence class
+    over the quasi-identifiers (nation x market segment) must keep the
+    Earth Mover's Distance between its sensitive-attribute distribution
+    and the GLOBAL distribution at or below t = {TCLOSE_T_NUM}/{TCLOSE_T_DEN};
+    for an ORDERED attribute (balance coarsened to {TCLOSE_BAL_BUCKET}-wide
+    buckets, the l-diversity bucketing) EMD has the closed form
+    (1/(m-1)) * sum_i |cumsum_i(p - q)|. Completes the release-audit
+    trio: class SIZE (privacy_kanonymity_audit) -> class VARIETY
+    (privacy_l_diversity_audit) -> class SHAPE (this).
+
+    Exact integer arithmetic end to end: the cumulative term is
+    cumsum(ccnt * N - gcnt * class_size) over the common denominator
+    class_size * N, so emd = emd_num / emd_den with both sides integer
+    and the t-test a cross-multiplication — zero float operations, and
+    the int128-prone products ship in the engine-stable STRING form
+    (the agg_exact_moments convention). Plan: one aggregation builds the
+    global histogram (m buckets, bounded by the generalization lattice
+    — broadcastable at any scale), one the per-class counts (shuffle on
+    the QI tuple, map-combined); the class x bucket grid is classes * m
+    rows, orders smaller than the corpus, and the cumulative window
+    partitions per class with the bucket id as a naturally unique order
+    key."""
+    b = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(TCLOSE_BAL_BUCKET))
+        .cast("long")
+        .alias("bucket"),
+    )
+    gl = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("gcnt"))
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("bucket").alias("m"),
+    )
+    cl = b.groupBy("nationkey", "mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("ccnt")
+    )
+    sizes = cl.groupBy("nationkey", "mktsegment").agg(
+        F.sum("ccnt").alias("class_size")
+    )
+    grid = sizes.crossJoin(F.broadcast(gl)).crossJoin(F.broadcast(tot))
+    d = grid.join(cl, ["nationkey", "mktsegment", "bucket"], "left").select(
+        "nationkey",
+        "mktsegment",
+        "class_size",
+        "bucket",
+        "gcnt",
+        "n_total",
+        "m",
+        F.coalesce(F.col("ccnt"), F.lit(0)).alias("ccnt"),
+    )
+    w_cum = (
+        Window.partitionBy("nationkey", "mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    cum = d.select(
+        "nationkey",
+        "mktsegment",
+        "class_size",
+        "n_total",
+        "m",
+        F.sum(
+            F.col("ccnt").cast(dec) * F.col("n_total")
+            - F.col("gcnt").cast(dec) * F.col("class_size")
+        )
+        .over(w_cum)
+        .alias("c"),
+    )
+    e = cum.groupBy("nationkey", "mktsegment", "class_size").agg(
+        F.sum(F.abs(F.col("c"))).alias("emd_num"),
+        (
+            F.first("class_size").cast(dec)
+            * F.first("n_total")
+            * (F.first("m") - 1)
+        ).alias("emd_den"),
+    )
+    return e.select(
+        "nationkey",
+        "mktsegment",
+        "class_size",
+        F.col("emd_num").cast("string").alias("emd_num"),
+        F.col("emd_den").cast("string").alias("emd_den"),
+        (F.lit(TCLOSE_T_DEN) * F.col("emd_num") <= F.lit(TCLOSE_T_NUM) * F.col("emd_den")).alias(
+            "within_t"
+        ),
     )

@@ -1106,3 +1106,80 @@ def win_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("len_us").alias("covered_us"),
     )
+
+
+# --- Exact rolling median ------------------------------------------------------
+ROLLMED_PRECEDING = 6  # window = 6 preceding events + current (7 total)
+
+
+@register(
+    "win_rolling_median_exact",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, cents,
+               list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLLMED_PRECEDING} PRECEDING AND CURRENT ROW
+               ) AS l
+        FROM v
+    )
+    SELECT event_id, user_id, cents,
+           CAST(len(l) AS BIGINT) AS n_in_window,
+           CAST(list_extract(list_sort(l),
+                             CAST((len(l) + 1) // 2 AS BIGINT)) AS BIGINT)
+               AS med_cents
+    FROM w
+    """,
+    tags=("window", "robust"),
+)
+def win_rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of event value over the trailing
+    {ROLLMED_PRECEDING}+1-row window per user — the robust smoother a
+    monitoring pipeline wants where a rolling MEAN is one spike away
+    from useless (win_ewma_by_user decays outliers; this IGNORES them
+    outright). Median of an even-sized prefix is pinned to the LOWER
+    middle order statistic (element (n+1) div 2 of the sorted frame), so
+    every output is a value that actually occurred — no between-engines
+    midpoint averaging, no floats: values ride as floor-cents integers
+    (IEEE double multiply + floor is bit-identical in both engines) and
+    the frame order carries the (ts, event_id) unique tie-break.
+
+    Plan: collect_list over a BOUNDED ROWS frame + array_sort +
+    element_at — O(k) state per row and k log k work inside whole-stage
+    codegen, one exchange on user_id. This is the right shape precisely
+    BECAUSE the frame is bounded (k = {ROLLMED_PRECEDING}+1); for
+    unbounded or range frames the sort cost compounds and the scale
+    path is percentile_approx's mergeable sketch
+    (agg_approx_quantiles' contract pattern)."""
+    v = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLMED_PRECEDING, Window.currentRow)
+    )
+    frame = v.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.collect_list("cents").over(w).alias("l"),
+    )
+    sorted_l = F.array_sort(F.col("l"))
+    return frame.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.size("l").cast("long").alias("n_in_window"),
+        F.element_at(sorted_l, ((F.size("l") + 1) / 2).cast("int")).alias(
+            "med_cents"
+        ),
+    )

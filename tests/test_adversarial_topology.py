@@ -86,6 +86,8 @@ QUERIES = [
     "agg_autocorr_lag1",        # ordered lag pairs + decimal(38) moment sums (r9)
     "src_fixed_width_scan",     # padded-line round trip under hostile topology (r9)
     "win_interval_union_length",  # interval-merge islands + tie order (r9)
+    "privacy_t_closeness_audit",  # class-vs-global EMD grid + cum window (r9)
+    "win_rolling_median_exact",   # bounded-frame collect + order stat (r9)
 ]
 
 _SCRIPT = f"""

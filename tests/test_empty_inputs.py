@@ -46,6 +46,8 @@ EMPTY_SAFE = [
     "dedup_incremental_lsh",
     "dedup_band_bucket_stats",
     "win_interval_union_length",
+    "privacy_t_closeness_audit",
+    "win_rolling_median_exact",
 ]
 
 

@@ -64,7 +64,8 @@ R9_PROMOTED = {
     "agg_kmv_shard_merge", "join_asof_tolerance",
     "privacy_l_diversity_audit", "sink_schema_evolution_merge",
     "agg_autocorr_lag1", "src_fixed_width_scan",
-    "win_interval_union_length",
+    "win_interval_union_length", "privacy_t_closeness_audit",
+    "win_rolling_median_exact",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

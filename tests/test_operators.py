@@ -874,3 +874,71 @@ def test_interval_union_overlap_tie_and_gap(spark, tmp_path):
     assert out[1].covered_us == 15 * 60 * 1_000_000 + COVER_HOLD_US
     assert out[2].n_islands == 1
     assert out[2].covered_us == COVER_HOLD_US
+
+
+def test_t_closeness_skewed_class_flagged(spark, tmp_path):
+    """Planted skewness attack: globally balances split 50/50 across two
+    buckets; one class mirrors that shape exactly (EMD = 0 -> within t),
+    two classes sit entirely in ONE bucket (EMD = 0.5 > t = 0.2 ->
+    flagged even though each is 4-anonymous and 1-diverse-per-bucket,
+    the leak k-anonymity and l-diversity both miss)."""
+    from graph_etl_pipeline_spark.queries.quality import (
+        privacy_t_closeness_audit,
+    )
+
+    def cust(key, nation, bal):
+        return (key, nation, "A", bal)
+
+    rows = (
+        # class (0,'A'): 2 low + 2 high -- the exact global mirror
+        [cust(i, 0, b) for i, b in enumerate([100.0, 900.0, 4100.0, 4900.0])]
+        # class (1,'A'): all 4 in the low bucket
+        + [cust(10 + i, 1, 100.0 * (i + 1)) for i in range(4)]
+        # class (2,'A'): all 4 in the high bucket
+        + [cust(20 + i, 2, 4100.0 + 100.0 * i) for i in range(4)]
+    )
+    sf = str(tmp_path / "tclose")
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+    out = {
+        (r.nationkey, r.mktsegment): r
+        for r in privacy_t_closeness_audit(spark, sf).collect()
+    }
+    # global: bucket 0 holds 6, bucket 4 holds 6; N = 12, m = 2;
+    # every class: emd_den = 4 * 12 * (2-1) = 48.
+    mirror, low, high = out[(0, "A")], out[(1, "A")], out[(2, "A")]
+    assert (mirror.emd_num, mirror.emd_den, mirror.within_t) == ("0", "48", True)
+    # all-in-one-bucket: |cum| = 4*12 - 6*4 = 24 -> EMD = 24/48 = 0.5 > 0.2
+    assert (low.emd_num, low.within_t) == ("24", False)
+    assert (high.emd_num, high.within_t) == ("24", False)
+
+
+def test_rolling_median_lower_middle_semantics(spark, tmp_path):
+    """Planted frame: the even-sized window must yield the LOWER middle
+    order statistic (an occurred value, not a midpoint average), and a
+    spike entering the frame must leave the median untouched."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.windows import (
+        win_rolling_median_exact,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, 1, "click", t0, 3.00, None),
+        (2, 1, "click", t0 + datetime.timedelta(minutes=1), 1.00, None),
+        (3, 1, "click", t0 + datetime.timedelta(minutes=2), 2.00, None),
+        (4, 1, "click", t0 + datetime.timedelta(minutes=3), 999.99, None),
+    ]
+    sf = str(tmp_path / "rollmed")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.event_id: r for r in win_rolling_median_exact(spark, sf).collect()}
+    assert out[1].med_cents == 300                   # singleton frame
+    assert (out[2].n_in_window, out[2].med_cents) == (2, 100)  # lower of {100,300}
+    assert out[3].med_cents == 200                   # odd frame, true median
+    assert (out[4].n_in_window, out[4].med_cents) == (4, 200)  # spike ignored
