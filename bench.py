@@ -80,6 +80,10 @@ EXTRA = [
     "agg_kmv_shard_merge",  # sketch merge-associativity contract (r9)
     "join_asof_tolerance",  # bounded-staleness asof (r9)
     "sink_schema_evolution_merge",  # mergeSchema generation read (r9)
+    "win_interval_union_length",  # interval-merge islands coverage (r9)
+    "privacy_t_closeness_audit",  # class-vs-global EMD audit (r9)
+    "win_rolling_median_exact",  # bounded-frame exact median (r9)
+    "sample_poisson_bootstrap",  # map-side Poisson bootstrap replicates (r9)
 ]
 
 

@@ -544,3 +544,131 @@ def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("draw", "doc_id")
         .limit(RESERVOIR_K)
     )
+
+
+# --- Poisson bootstrap replicates ---------------------------------------------
+BOOT_REPLICATES = 32
+BOOT_TRUNC = 8  # Poisson(1) support truncated at 8 (P(X>8) ~ 1e-6)
+
+
+def _poisson_cdf_rows() -> list[tuple[str, int]]:
+    """(hex_threshold, weight) rows of the truncated Poisson(1) CDF
+    scaled onto the 8-hex-char uniform draw: weight k is selected by the
+    FIRST threshold exceeding the draw (ascending k). Computed once and
+    embedded as literals in BOTH engine expressions — the
+    privacy_dp_counts mechanism-identical-by-construction pattern."""
+    import math
+
+    probs = [math.exp(-1.0) / math.factorial(k) for k in range(BOOT_TRUNC)]
+    rows: list[tuple[str, int]] = []
+    cum = 0.0
+    for k, p in enumerate(probs):
+        cum += p
+        rows.append((format(min(int(cum * 16**8), 16**8 - 1), "08x"), k))
+    return rows  # the final k = BOOT_TRUNC is the CASE's ELSE branch
+
+
+_BOOT_ROWS = _poisson_cdf_rows()
+_BOOT_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN __u < '{t}' THEN {k}" for t, k in _BOOT_ROWS)
+    + f" ELSE {BOOT_TRUNC} END"
+)
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH fan AS (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               r.replicate
+        FROM orders
+        CROSS JOIN (SELECT UNNEST(range({BOOT_REPLICATES})) AS replicate) r
+    ),
+    drawn AS (
+        SELECT replicate, cents,
+               {_BOOT_SQL_CASE.replace("__u", "substr(md5('boot' || CAST(replicate AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8)")} AS w
+        FROM fan
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS sum_cents,
+           CASE WHEN SUM(w) > 0 THEN
+               CAST(SUM(CAST(w AS BIGINT) * cents) AS DOUBLE)
+                   / CAST(SUM(w) AS DOUBLE)
+           END AS mean_cents
+    FROM drawn GROUP BY replicate
+    """,
+    tags=("sample", "uncertainty"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the distributed form of bootstrap resampling
+    (Chamandy et al.'s "Estimating uncertainty for massive data
+    streams" / the streaming-bootstrap standard): every row draws an
+    independent Poisson(1) weight per replicate, turning "sample n rows
+    with replacement" — impossible to coordinate across executors —
+    into a MAP-SIDE decision. {BOOT_REPLICATES} replicates of the mean
+    order value come back as one row each; the spread across replicates
+    IS the standard error a data card reports next to the point
+    estimate.
+
+    Determinism contract: the weight is a pure function of (replicate,
+    order key) — an md5-seeded uniform draw pushed through the
+    truncated Poisson(1) inverse CDF, embedded as the same literal
+    threshold table in both engines (the privacy_dp_counts pattern), so
+    reruns and repartitions reproduce the exact replicate set.
+    Zero floats until the single final division: values ride as
+    floor-cents, weighted sums as int64 (weight <= {BOOT_TRUNC}).
+
+    Plan: the xBOOT_REPLICATES fan-out happens via explode of a
+    constant array and collapses immediately into map-side partial
+    aggregation — the exchange carries {BOOT_REPLICATES} rows per
+    upstream partition, never the fanned rows. At 100 TB this is the
+    textbook bootstrap shape: one scan, one tiny shuffle, driver sees
+    {BOOT_REPLICATES} rows."""
+    from functools import reduce
+
+    fan = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "replicate", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1)))
+        )
+        .withColumn(
+            "__u",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("replicate").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    w = reduce(
+        lambda acc, row: acc.when(F.col("__u") < row[0], F.lit(row[1])),
+        _BOOT_ROWS[1:],
+        F.when(F.col("__u") < _BOOT_ROWS[0][0], F.lit(_BOOT_ROWS[0][1])),
+    ).otherwise(F.lit(BOOT_TRUNC))
+    drawn = fan.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "cents",
+        w.cast("long").alias("w"),
+    )
+    return drawn.groupBy("replicate").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        F.when(
+            F.sum("w") > 0,
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double"),
+        ).alias("mean_cents"),
+    )

@@ -88,6 +88,7 @@ QUERIES = [
     "win_interval_union_length",  # interval-merge islands + tie order (r9)
     "privacy_t_closeness_audit",  # class-vs-global EMD grid + cum window (r9)
     "win_rolling_median_exact",   # bounded-frame collect + order stat (r9)
+    "sample_poisson_bootstrap",   # explode fan-out -> map-side collapse (r9)
 ]
 
 _SCRIPT = f"""

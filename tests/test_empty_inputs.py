@@ -48,6 +48,7 @@ EMPTY_SAFE = [
     "win_interval_union_length",
     "privacy_t_closeness_audit",
     "win_rolling_median_exact",
+    "sample_poisson_bootstrap",
 ]
 
 

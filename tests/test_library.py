@@ -65,7 +65,7 @@ R9_PROMOTED = {
     "privacy_l_diversity_audit", "sink_schema_evolution_merge",
     "agg_autocorr_lag1", "src_fixed_width_scan",
     "win_interval_union_length", "privacy_t_closeness_audit",
-    "win_rolling_median_exact",
+    "win_rolling_median_exact", "sample_poisson_bootstrap",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

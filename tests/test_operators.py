@@ -942,3 +942,36 @@ def test_rolling_median_lower_middle_semantics(spark, tmp_path):
     assert (out[2].n_in_window, out[2].med_cents) == (2, 100)  # lower of {100,300}
     assert out[3].med_cents == 200                   # odd frame, true median
     assert (out[4].n_in_window, out[4].med_cents) == (4, 200)  # spike ignored
+
+
+def test_poisson_bootstrap_deterministic_weights(spark, tmp_path):
+    """Planted single-order corpus: each replicate's n_eff must equal the
+    Poisson weight recomputed independently in Python from the same
+    md5-seeded inverse-CDF table — the mechanism-identical-by-construction
+    contract — and weighted sums must follow exactly."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.curation import (
+        _BOOT_ROWS, BOOT_REPLICATES, BOOT_TRUNC, sample_poisson_bootstrap,
+    )
+
+    sf = str(tmp_path / "boot")
+    spark.createDataFrame(
+        [(7, 123.45)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    def expected_w(replicate):
+        u = hashlib.md5(f"boot{replicate}:7".encode()).hexdigest()[:8]
+        for t, k in _BOOT_ROWS:
+            if u < t:
+                return k
+        return BOOT_TRUNC
+
+    out = {r.replicate: r for r in sample_poisson_bootstrap(spark, sf).collect()}
+    assert len(out) == BOOT_REPLICATES
+    cents = 12345
+    weights = [expected_w(r) for r in range(BOOT_REPLICATES)]
+    assert any(w == 0 for w in weights) or any(w > 1 for w in weights)
+    for r in range(BOOT_REPLICATES):
+        assert out[r].n_eff == weights[r]
+        assert out[r].sum_cents == weights[r] * cents
