@@ -961,7 +961,9 @@ def test_poisson_bootstrap_deterministic_weights(spark, tmp_path):
     ).write.parquet(f"{sf}/orders.parquet")
 
     def expected_w(replicate):
-        u = hashlib.md5(f"boot{replicate}:7".encode()).hexdigest()[:8]
+        grp, sub = divmod(replicate, 4)
+        dig = hashlib.md5(f"boot{grp}:7".encode()).hexdigest()
+        u = dig[8 * sub: 8 * sub + 8]
         for t, k in _BOOT_ROWS:
             if u < t:
                 return k
