@@ -662,3 +662,149 @@ def sink_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("priority_rank"), F.lit(0).cast("long")).alias("sum_rank"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+# --- Atomic manifest-swap publish ---------------------------------------------
+MANIFEST_BUMP_CENTS = 500  # v2 bumps every 5th customer by this
+MANIFEST_DATA_FILES = 4    # snapshot written as this many part files
+MANIFEST_STRAY_CENTS = 10**12  # sentinel rows in the planted in-flight file
+
+
+def manifest_swap_root(sf_dir: str) -> str:
+    """Content-addressed scratch root for the manifest-swap table (shared
+    with the planted-fixture tests)."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(SCRATCH_DIR, f"manifest_swap-{key}-{os.getpid()}")
+
+
+@register(
+    "sink_manifest_atomic_swap",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                    + CASE WHEN c_custkey % 5 = 0
+                           THEN {MANIFEST_BUMP_CENTS} ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("sink", "transaction"),
+)
+def sink_manifest_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC SNAPSHOT PUBLISH via manifest swap — the commit protocol
+    Iceberg/Delta formalize, reduced to its plain-parquet core: readers
+    NEVER list the data directory (directory listings see half-written
+    files, torn commits, and compaction leftovers); they read ONE
+    pointer file -> the manifest it names -> exactly the data files the
+    manifest lists. Publishing a new snapshot is (1) write data files,
+    (2) write the new manifest beside the old one, (3) swap the pointer
+    with an atomic rename — a crashed writer leaves the pointer intact
+    on the prior snapshot, and a concurrent reader sees wholly-old or
+    wholly-new, never a mix.
+
+    The query builds the table twice (v1 = customer balance cents; v2 =
+    every 5th customer bumped {MANIFEST_BUMP_CENTS} cents), PLANTS an
+    in-flight stray part file full of sentinel rows in the same data
+    directory, publishes v2, and reads back through the pointer: the
+    per-nation counts/sums go red if the reader ever globs the
+    directory (sentinel rows surface) or drops a listed file. All
+    arithmetic is exact integer cents.
+
+    Scale notes: the pointer/manifest hop is O(1) + O(#files) driver
+    metadata — no data-path cost at any corpus size; the data scan is
+    an explicit file list, so partition pruning and split planning work
+    exactly as for a directory scan. Rewritten snapshots share unchanged
+    files by listing them in both manifests (the v1/v2 manifests here
+    deliberately share nothing so the isolation check is strict)."""
+    import json
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    root = manifest_swap_root(sf_dir)
+    data_dir = os.path.join(root, "data")
+    pointer = os.path.join(root, "_CURRENT")
+
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias(
+            "bal_cents"
+        ),
+    )
+
+    def write_snapshot(df, version: int) -> str:
+        """Write one snapshot's files + manifest; return manifest path."""
+        snap_dir = os.path.join(data_dir, f"snap-{version}")
+        df.repartition(MANIFEST_DATA_FILES).write.mode("overwrite").parquet(
+            snap_dir
+        )
+        files = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = os.path.join(root, f"_MANIFEST-{version}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.replace(tmp, manifest)
+        return manifest
+
+    def swap_pointer(manifest: str) -> None:
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(manifest)
+        os.replace(tmp, pointer)  # POSIX-atomic: readers see old XOR new
+
+    done = os.path.join(root, "_PUBLISHED-2")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        swap_pointer(write_snapshot(base, 1))
+        v2 = base.withColumn(
+            "bal_cents",
+            F.col("bal_cents")
+            + F.when(F.col("c_custkey") % 5 == 0, MANIFEST_BUMP_CENTS).otherwise(0),
+        )
+        manifest2 = write_snapshot(v2, 2)
+        # In-flight stray PART FILE dropped into the v2 data directory:
+        # schema-valid, sentinel values, a plain part-*.parquet name (not
+        # an _-prefixed path Spark's globber would skip anyway) — a
+        # directory-globbing reader absorbs it silently.
+        stray = base.limit(7).withColumn("bal_cents", F.lit(MANIFEST_STRAY_CENTS))
+        stray_tmp = os.path.join(root, "stray_tmp")
+        stray.coalesce(1).write.mode("overwrite").parquet(stray_tmp)
+        stray_part = next(
+            (f for f in os.listdir(stray_tmp) if f.endswith(".parquet")), None
+        )
+        if stray_part is not None:  # empty input -> nothing in flight
+            os.replace(
+                os.path.join(stray_tmp, stray_part),
+                os.path.join(
+                    data_dir, "snap-2", "part-99999-inflight-stray.snappy.parquet"
+                ),
+            )
+        swap_pointer(manifest2)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    with open(pointer) as fh:
+        manifest_path = fh.read().strip()
+    with open(manifest_path) as fh:
+        listed = json.load(fh)["files"]
+    if not listed:  # an empty snapshot legally publishes an empty manifest
+        snap = spark.createDataFrame(
+            [], "c_custkey long, nationkey long, bal_cents long"
+        )
+    else:
+        snap = spark.read.parquet(*listed)
+    return snap.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_cents").alias("sum_cents"),
+    )
