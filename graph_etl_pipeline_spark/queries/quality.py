@@ -733,3 +733,204 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_t"
         ),
     )
+
+
+# --- Anti-entropy Merkle-bucket table checksum --------------------------------
+# 64 key-hash buckets; each row contributes two independent 32-bit md5
+# lanes so a bucket digest is a 64-bit certificate without ever leaving
+# exact int64 arithmetic (sum of 32-bit lanes stays < 2^63 up to ~2e9
+# rows PER BUCKET — beyond that, widen the sums to decimal(38,0) and ship
+# them in the repo's int128 string form).
+MERKLE_BUCKETS = 64
+_US = "\x1f"  # unit separator between canonical fields
+
+
+@register(
+    "dq_merkle_checksum",
+    oracle=f"""
+    WITH canon AS (
+        SELECT
+            CAST(('0x' || substr(md5('bk:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+            md5(concat_ws(chr(31),
+                CAST(o_orderkey AS VARCHAR),
+                CAST(o_custkey AS VARCHAR),
+                o_orderstatus,
+                CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                o_orderpriority)) AS digest
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(digest, 1, 8)) AS BIGINT)) AS BIGINT)
+               AS sum_h1,
+           CAST(SUM(CAST(('0x' || substr(digest, 9, 8)) AS BIGINT)) AS BIGINT)
+               AS sum_h2,
+           MIN(digest) AS min_digest,
+           MAX(digest) AS max_digest
+    FROM canon GROUP BY bucket
+    """,
+    tags=("quality", "audit", "checksum"),
+)
+def dq_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-ENTROPY TABLE CHECKSUM — the Merkle-bucket digest replicas
+    exchange to find where they diverge WITHOUT shipping rows (the
+    Dynamo/Cassandra repair pattern; same role as pt-table-checksum for
+    MySQL). Each row renders to a canonical field string (integers and
+    cents as decimal text, timestamps via one fixed strftime — no
+    engine-local binary formats), is digested with md5, and lands in a
+    KEY-hash bucket. A bucket publishes an order-insensitive summary:
+    row count, the exact int64 SUMS of two independent 32-bit digest
+    lanes, and the lexicographic MIN/MAX full digest. Two replicas agree
+    on a bucket row iff the bucket's contents agree (up to 2^-64 lane
+    collision odds); a mismatch localizes repair to that bucket's key
+    range — re-bucket the suspect bucket with a different seed to
+    recurse, which is exactly a Merkle tree unrolled one level per
+    round trip.
+
+    Bucketing by KEY hash (not row hash) is what makes the diff
+    actionable: an updated row stays in the same bucket on both
+    replicas, so the first divergent level already names the keys to
+    re-sync. Commutative sums + min/max make the digest mergeable —
+    partial aggregation combines map-side, the exchange carries
+    {MERKLE_BUCKETS} rows per partition, and the output is
+    O(buckets) regardless of table size: the whole comparison of two
+    100 TB replicas is one {MERKLE_BUCKETS}-row metadata exchange.
+    Every operation is exact integer or ASCII-lexicographic — the
+    digest is bit-identical across engines, partitionings, and reruns
+    (DuckDB replays it verbatim, which is this oracle).
+
+    Reference parity: the reference has no cross-store verification at
+    all — etl_implementation.md:229-258 re-runs golden-count validation
+    queries by hand after each load; this operator is that audit made
+    structural.
+    """
+    o = table(spark, sf_dir, "orders")
+    digest = F.md5(
+        F.concat_ws(
+            _US,
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bk:"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MERKLE_BUCKETS),
+    )
+    return (
+        o.select(bucket.alias("bucket"), digest.alias("digest"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")).alias(
+                "sum_h1"
+            ),
+            F.sum(F.conv(F.substring("digest", 9, 8), 16, 10).cast("long")).alias(
+                "sum_h2"
+            ),
+            F.min("digest").alias("min_digest"),
+            F.max("digest").alias("max_digest"),
+        )
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+# Expected leading-digit mass log10(1+1/d), scaled to integer ppm so the
+# audit never touches a float: {1: 301030, ..., 9: 45757}.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+           {_BENFORD_CASE_SQL} AS exp_ppm,
+           CAST(abs((n * 1000000) // total - {_BENFORD_CASE_SQL}) AS BIGINT)
+               AS dev_ppm
+    FROM g, t
+    """,
+    tags=("quality", "audit"),
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT — the classic forensic screen for
+    fabricated or truncated monetary data (Nigrini's fraud test; also a
+    fast ingest sanity check for unit mix-ups, e.g. cents-vs-dollars
+    double conversion, which flattens the leading-digit curve). Amounts
+    are quantized to exact integer cents, the leading digit read off the
+    DECIMAL RENDERING (substr of the int-to-string cast — identical in
+    both engines, no log10/pow float path), and per-digit observed mass
+    is compared in integer PARTS-PER-MILLION against the Benford
+    expectation log10(1+1/d) embedded as literal ppm constants — the
+    privacy_dp_counts trick: pre-resolving the only irrational numbers
+    in the spec into shared literals keeps the whole audit float-free
+    and therefore bit-identical across engines.
+
+    Plan: one scan → map-side-combined 9-group count → broadcast of the
+    1-row total (Catalyst folds the tiny cross join to a broadcast
+    nested loop over ONE row) → pure projection. Output is O(9) rows at
+    any table size; the deviation column is the per-digit screen (a
+    healthy multi-magnitude amount column sits within a few thousand
+    ppm; a flat synthetic distribution deviates by >50k ppm on digit 1,
+    which is exactly what this testdata's uniform prices show — the
+    audit's point is to SURFACE that)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = g.agg(F.sum("n").alias("total"))
+    exp_ppm = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(p))
+            for d, p in BENFORD_PPM.items()
+        ]
+    ).cast("long")
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            ((F.col("n") * 1_000_000) / F.col("total"))
+            .cast("long")
+            .alias("obs_ppm"),
+            exp_ppm.alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+    )
