@@ -683,3 +683,85 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("double"),
         ).alias("mean_cents"),
     )
+
+
+# --- Weighted sampling without replacement (priority / bottom-k) -------------
+# Integer-discretized Efraimidis–Spiliopoulos: a document of weight w
+# holds w lottery tickets; its priority is the MIN of w seeded md5 draws,
+# and the K smallest priorities win. Monotone in w (more tickets ⇒
+# stochastically smaller min ⇒ higher selection odds), without
+# replacement by construction, and — unlike the float u^(1/w) key of the
+# continuous scheme — every comparison is lexicographic ASCII, so the
+# sample is bit-stable across engines and reruns.
+WPRI_K = 64
+WPRI_MAX_W = 8  # weight cap bounds the per-row ticket fan-out
+WPRI_CHARS_PER_TICKET = 500  # one extra ticket per this many chars
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, weight, priority FROM (
+        SELECT doc_id,
+               1 + LEAST({WPRI_MAX_W - 1}, n_chars // {WPRI_CHARS_PER_TICKET})
+                   AS weight,
+               list_min(list_transform(
+                   range(0, 1 + LEAST({WPRI_MAX_W - 1},
+                                      n_chars // {WPRI_CHARS_PER_TICKET})),
+                   t -> md5('wpri:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(t AS VARCHAR)))) AS priority
+        FROM documents
+    )
+    ORDER BY priority, doc_id LIMIT {WPRI_K}
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement as bottom-K over per-ticket
+    min-hashes — the sibling ``sample_reservoir_bottomk``'s docstring
+    promises ("weighted variants swap the uniform draw for priority
+    keys"). Length-derived integer weights (1 + n_chars div
+    {WPRI_CHARS_PER_TICKET}, capped at {WPRI_MAX_W}) give long documents
+    proportionally more lottery tickets; a document's priority is the
+    minimum of its tickets' seeded md5 draws, computed INSIDE one row
+    via array_min(transform(sequence(...))) — no explode, no per-ticket
+    rows, no shuffle. The K winners surface through orderBy+limit, which
+    compiles to TakeOrderedAndProject: each task keeps a K-row heap,
+    the driver merges P·K candidates, and the corpus never moves. This
+    is the integer-discretized Efraimidis–Spiliopoulos A-ES scheme —
+    the float-free form of priority sampling, so the selection is
+    bit-identical in both engines (min over w uniforms ≺ exponential
+    clock with rate w, discretized to md5 ticket draws).
+
+    Scale: O(w) md5 calls per row map-side (w ≤ {WPRI_MAX_W}), O(K)
+    state per task, O(P·K) driver merge — one pass at any corpus size,
+    and nested samples compose (the bottom-32 is a prefix of the
+    bottom-64). The exact-proportional sibling is
+    ``sample_weighted_tokens`` (systematic, selection count exact);
+    this one trades exact counts for single-pass, explode-free
+    randomized selection with per-item inclusion odds monotone in
+    weight."""
+    d = table(spark, sf_dir, "documents")
+    weight = (
+        F.lit(1)
+        + F.least(
+            F.lit(WPRI_MAX_W - 1),
+            (F.col("n_chars") / F.lit(WPRI_CHARS_PER_TICKET)).cast("long"),
+        )
+    ).cast("long")
+    priority = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("weight") - 1),
+            lambda t: F.md5(
+                F.concat_ws(
+                    ":", F.lit("wpri"), F.col("doc_id").cast("string"), t.cast("string")
+                )
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", weight.alias("weight"))
+        .select("doc_id", "weight", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WPRI_K)
+    )
