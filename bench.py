@@ -84,6 +84,11 @@ EXTRA = [
     "privacy_t_closeness_audit",  # class-vs-global EMD audit (r9)
     "win_rolling_median_exact",  # bounded-frame exact median (r9)
     "sample_poisson_bootstrap",  # map-side Poisson bootstrap replicates (r9)
+    "sink_manifest_atomic_swap",  # pointer->manifest->file-list read (r9)
+    "dq_merkle_checksum",  # anti-entropy bucket digests, one scan (r9)
+    "sample_weighted_priority",  # in-row ticket min + bottom-K heap (r9)
+    "geo_grid_nn_join",  # grid-cell ring spatial NN equi-join (r9)
+    "dq_benford_audit",  # integer-ppm first-digit forensic audit (r9)
 ]
 
 

@@ -9,6 +9,7 @@ from graph_etl_pipeline_spark.queries import (  # noqa: F401
     curation,
     dedup,
     extraction,
+    geo,
     graph_queries,
     joins,
     mm_skew,

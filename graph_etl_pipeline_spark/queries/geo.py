@@ -1,0 +1,164 @@
+"""Spatial operators via integer grid bucketing.
+
+The reference has no geospatial surface at all; this family adds the one
+primitive a 100 TB pipeline with location columns cannot live without —
+nearest-neighbor / radius joins WITHOUT a cross join — using the same
+cell-bucketing idea as S2/geohash/H3 indexing, reduced to exact integer
+arithmetic so a DuckDB oracle can replay it bit-for-bit.
+
+Scale design: a spatial join over points is a plain equi-join once both
+sides carry a grid cell id — the probe side fans out to the 3×3 cell
+neighborhood (a constant ×9 map-side explode, the standard "one ring"
+guarantee for radius ≤ cell size), the build side stays one row per
+point, and the join shuffles on the cell id like any other key. Skewed
+cells behave like any skewed join key (AQE skew split / salting apply
+unchanged). Candidate sets are |points per cell| × 9, never |S|·|C|;
+distances are exact int64 (micro-unit coordinates squared stay < 2^63),
+and argmin ties break on the supplier key, so the result is
+deterministic under any partitioning.
+
+Coordinates here are derived from seeded md5 lanes (the testdata carries
+no location columns) — the derivation IS part of the contract, replayed
+identically by the oracle; swap in real lat/lon micro-degrees and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.registry import register
+
+GEO_UNITS = 1_000_000  # coordinate space: [0, 1e6) micro-units per axis
+GEO_CELL = 125_000  # 8×8 grid; one-ring search radius == cell size
+
+
+def _coord(seed: str, key: F.Column) -> F.Column:
+    """Deterministic micro-unit coordinate from a seeded md5 lane —
+    24 hex bits (< 2^24) taken mod GEO_UNITS; exact in both engines."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(GEO_UNITS),
+    )
+
+
+def _coord_sql(seed: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 6))"
+        f" AS BIGINT) % {GEO_UNITS}"
+    )
+
+
+@register(
+    "geo_grid_nn_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               {_coord_sql("gx", "c_custkey")} AS x,
+               {_coord_sql("gy", "c_custkey")} AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               {_coord_sql("sx", "s_suppkey")} AS x,
+               {_coord_sql("sy", "s_suppkey")} AS y
+        FROM supplier
+    ),
+    cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY (c.x - s.x) * (c.x - s.x)
+                          + (c.y - s.y) * (c.y - s.y), s.s_suppkey
+               ) AS rn
+        FROM c
+        JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs ON TRUE
+        JOIN (SELECT unnest([-1, 0, 1]) AS dys) dys ON TRUE
+        JOIN s ON s.x // {GEO_CELL} = c.x // {GEO_CELL} + dxs.dx
+              AND s.y // {GEO_CELL} = c.y // {GEO_CELL} + dys.dys
+    )
+    SELECT c_custkey, s_suppkey AS nn_suppkey, CAST(d2 AS BIGINT) AS d2
+    FROM cand WHERE rn = 1
+    """,
+    tags=("geo", "join", "spatial"),
+)
+def geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED NEAREST-NEIGHBOR JOIN — the spatial join pattern
+    (S2/geohash/H3 cell indexing) expressed as pure DataFrame ops: each
+    supplier lands in one 8×8 grid cell; each customer probes its cell's
+    3×3 neighborhood (a constant ×9 map-side fan-out via posexplode of
+    the ring offsets), candidates meet in an ordinary equi-join on
+    (cell_x, cell_y), and the per-customer argmin collapses through
+    ``min(struct(d2, s_suppkey))`` — a MAP-SIDE-COMBINABLE aggregate
+    (partial min per partition, then one exchange of survivors), with
+    the supplier key inside the struct as the deterministic tie-break.
+
+    The one-ring probe guarantees exact nearest-neighbor for any true NN
+    distance ≤ one cell edge; customers whose neighborhood holds no
+    supplier are absent from the result (the production recipe widens
+    the ring or falls back to a coarser grid level for the remnant —
+    a second, smaller pass, same operator).
+
+    Never a cross join: candidate volume is #points-per-cell × 9 per
+    probe, the join is a plain shuffle (or broadcast when the build side
+    is a small dimension, as here — Catalyst broadcasts the 9-cell
+    supplier side automatically under the threshold), and all geometry
+    is exact int64 (micro-unit deltas < 1e6, squares < 1e12, sums
+    < 2^63). Coordinates derive from seeded md5 lanes since the
+    testdata has no location columns; the oracle replays the derivation
+    bit-for-bit."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("gx", F.col("c_custkey")).alias("x"),
+        _coord("gy", F.col("c_custkey")).alias("y"),
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            _coord("sx", F.col("s_suppkey")).alias("x"),
+            _coord("sy", F.col("s_suppkey")).alias("y"),
+        )
+        .withColumn("cell_x", (F.col("x") / GEO_CELL).cast("long"))
+        .withColumn("cell_y", (F.col("y") / GEO_CELL).cast("long"))
+    )
+
+    ring = F.expr("explode(flatten(transform(array(-1,0,1), dx -> transform(array(-1,0,1), dy -> struct(dx, dy)))))")
+    probes = (
+        cust.select(
+            "c_custkey",
+            "x",
+            "y",
+            ring.alias("off"),
+        )
+        .select(
+            "c_custkey",
+            "x",
+            "y",
+            ((F.col("x") / GEO_CELL).cast("long") + F.col("off.dx")).alias("cell_x"),
+            ((F.col("y") / GEO_CELL).cast("long") + F.col("off.dy")).alias("cell_y"),
+        )
+    )
+
+    dx = probes["x"] - supp["x"]
+    dy = probes["y"] - supp["y"]
+    cand = probes.join(supp, ["cell_x", "cell_y"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (dx * dx + dy * dy).alias("d2"),
+    )
+    best = cand.groupBy("c_custkey").agg(
+        F.min(F.struct("d2", "s_suppkey")).alias("best")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("best.s_suppkey").alias("nn_suppkey"),
+        F.col("best.d2").alias("d2"),
+    )

@@ -89,6 +89,11 @@ QUERIES = [
     "privacy_t_closeness_audit",  # class-vs-global EMD grid + cum window (r9)
     "win_rolling_median_exact",   # bounded-frame collect + order stat (r9)
     "sample_poisson_bootstrap",   # explode fan-out -> map-side collapse (r9)
+    "sink_manifest_atomic_swap",  # manifest-listed read under hostile topo (r9)
+    "dq_merkle_checksum",         # key-hash bucket digests, map-combined (r9)
+    "sample_weighted_priority",   # in-row ticket min + TakeOrdered heap (r9)
+    "geo_grid_nn_join",           # 3x3 cell ring equi-join, struct argmin (r9)
+    "dq_benford_audit",           # 9-group count + 1-row broadcast total (r9)
 ]
 
 _SCRIPT = f"""

@@ -49,6 +49,11 @@ EMPTY_SAFE = [
     "privacy_t_closeness_audit",
     "win_rolling_median_exact",
     "sample_poisson_bootstrap",
+    "sink_manifest_atomic_swap",
+    "dq_merkle_checksum",
+    "sample_weighted_priority",
+    "geo_grid_nn_join",
+    "dq_benford_audit",
 ]
 
 

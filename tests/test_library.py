@@ -66,6 +66,9 @@ R9_PROMOTED = {
     "agg_autocorr_lag1", "src_fixed_width_scan",
     "win_interval_union_length", "privacy_t_closeness_audit",
     "win_rolling_median_exact", "sample_poisson_bootstrap",
+    "sink_manifest_atomic_swap",
+    "dq_merkle_checksum", "sample_weighted_priority", "geo_grid_nn_join",
+    "dq_benford_audit",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

@@ -977,3 +977,213 @@ def test_poisson_bootstrap_deterministic_weights(spark, tmp_path):
     for r in range(BOOT_REPLICATES):
         assert out[r].n_eff == weights[r]
         assert out[r].sum_cents == weights[r] * cents
+
+
+def test_manifest_swap_isolation_and_rollback(spark, tmp_path):
+    """Planted snapshot-isolation contract: the manifest reader must not
+    see the in-flight stray part file a directory glob absorbs, and
+    swapping the pointer back to manifest-1 must roll the whole read
+    atomically to v1 (no mixed snapshots)."""
+    import json
+    import os
+
+    from graph_etl_pipeline_spark.queries.sinks import (
+        MANIFEST_BUMP_CENTS, MANIFEST_STRAY_CENTS,
+        manifest_swap_root, sink_manifest_atomic_swap,
+    )
+
+    rows = [(k, 0, "A", float(k)) for k in range(1, 11)]  # custkeys 1..10
+    sf = str(tmp_path / "mswap")
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+
+    out = sink_manifest_atomic_swap(spark, sf).collect()
+    assert len(out) == 1
+    base_cents = sum(k * 100 for k in range(1, 11))
+    bumped = 2 * MANIFEST_BUMP_CENTS  # custkeys 5 and 10
+    assert out[0].n_rows == 10
+    assert out[0].sum_cents == base_cents + bumped
+
+    root = manifest_swap_root(sf)
+    snap2 = os.path.join(root, "data", "snap-2")
+    globbed = spark.read.parquet(snap2)
+    assert globbed.filter(globbed.bal_cents == MANIFEST_STRAY_CENTS).count() == 7
+
+    # atomic rollback: point back at manifest-1, re-read through the op
+    pointer = os.path.join(root, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(os.path.join(root, "_MANIFEST-1.json"))
+    os.replace(tmp, pointer)
+    rolled = sink_manifest_atomic_swap(spark, sf).collect()
+    assert rolled[0].sum_cents == base_cents  # wholly v1, no bump, no stray
+    # manifest-1 must not reference any snap-2 file
+    listed = json.load(open(os.path.join(root, "_MANIFEST-1.json")))["files"]
+    assert all("snap-1" in f for f in listed)
+
+
+def test_merkle_checksum_localizes_divergence(spark, tmp_path):
+    """Anti-entropy contract: two replicas differing in ONE row's value
+    must agree on every bucket's row count and on every bucket digest
+    EXCEPT the bucket owning that row's key — the mismatch localizes
+    repair without shipping rows."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.quality import (
+        MERKLE_BUCKETS, dq_merkle_checksum,
+    )
+
+    def write_orders(path, bump_key=None):
+        rows = [
+            (
+                k,
+                100 + k,
+                "O" if k % 2 else "F",
+                10.0 * k + (0.01 if k == bump_key else 0.0),
+                "1995-03-0%d 00:00:00" % (1 + k % 9),
+                "1-URGENT",
+            )
+            for k in range(1, 21)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+            f"{path}/orders.parquet"
+        )
+
+    a, b = str(tmp_path / "ra"), str(tmp_path / "rb")
+    write_orders(a)
+    write_orders(b, bump_key=7)
+
+    da = {r.bucket: r for r in dq_merkle_checksum(spark, a).collect()}
+    db = {r.bucket: r for r in dq_merkle_checksum(spark, b).collect()}
+    assert set(da) == set(db)
+    target = (
+        int(hashlib.md5(b"bk:7").hexdigest()[:8], 16) % MERKLE_BUCKETS
+    )
+    for bk in da:
+        assert da[bk].n_rows == db[bk].n_rows  # counts agree everywhere
+        same = tuple(da[bk]) == tuple(db[bk])
+        assert same == (bk != target), f"bucket {bk}: same={same}"
+    # and the divergent bucket differs in the value lanes, not the count
+    assert (da[target].sum_h1, da[target].sum_h2) != (
+        db[target].sum_h1,
+        db[target].sum_h2,
+    )
+
+
+def test_weighted_priority_exact_ticket_draws(spark, tmp_path):
+    """The integer A-ES discretization is bit-predictable: each doc's
+    priority must equal the min of its w seeded md5 ticket draws
+    (computed independently in Python), weights must follow the
+    length schedule, and the plan must be a TakeOrderedAndProject heap,
+    not a global sort."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.curation import (
+        WPRI_CHARS_PER_TICKET, WPRI_MAX_W, sample_weighted_priority,
+    )
+
+    rows = [
+        (i, "x" * n, "en", "web", n)
+        for i, n in enumerate([0, 499, 500, 1234, 4000, 9999])
+    ]
+    sf = str(tmp_path / "wpri")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    df = sample_weighted_priority(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    out = {r.doc_id: r for r in df.collect()}
+    assert len(out) == len(rows)  # corpus smaller than K: everything selected
+    for i, n in enumerate([0, 499, 500, 1234, 4000, 9999]):
+        w = 1 + min(WPRI_MAX_W - 1, n // WPRI_CHARS_PER_TICKET)
+        expect = min(
+            hashlib.md5(f"wpri:{i}:{t}".encode()).hexdigest() for t in range(w)
+        )
+        assert out[i].weight == w
+        assert out[i].priority == expect
+
+
+def test_geo_grid_nn_one_ring_guarantee(spark, tmp_path):
+    """Brute-force differential: wherever the true nearest neighbor is
+    within one cell edge, the grid join must return exactly that
+    supplier; and the plan must never degrade to a cartesian product."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.geo import (
+        GEO_CELL, GEO_UNITS, geo_grid_nn_join,
+    )
+
+    def coord(seed, k):
+        return int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:6], 16) % GEO_UNITS
+
+    sf = str(tmp_path / "geo")
+    custs, supps = list(range(1, 41)), list(range(1, 13))
+    spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "A") for k in custs],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(k, f"s{k}", 0, 0.0) for k in supps],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{sf}/supplier.parquet")
+
+    df = geo_grid_nn_join(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {r.c_custkey: (r.nn_suppkey, r.d2) for r in df.collect()}
+
+    checked = 0
+    for c in custs:
+        cx, cy = coord("gx", c), coord("gy", c)
+        best = min(
+            ((coord("sx", s) - cx) ** 2 + (coord("sy", s) - cy) ** 2, s)
+            for s in supps
+        )
+        if best[0] <= GEO_CELL * GEO_CELL:  # true NN within one cell edge
+            assert c in got, f"customer {c} missing despite in-ring NN"
+            assert got[c] == (best[1], best[0]), f"customer {c}: {got[c]} != {best}"
+            checked += 1
+    assert checked >= 10  # the fixture must actually exercise the guarantee
+
+
+def test_benford_audit_known_distribution(spark, tmp_path):
+    """Planted amounts with known leading digits: 6 ones, 3 twos, 1 nine
+    (cents rendering decides the digit, so 0.10 leads with 1 and 95.0
+    leads with 9); zero/negative amounts are excluded before counting."""
+    from graph_etl_pipeline_spark.queries.quality import (
+        BENFORD_PPM, dq_benford_audit,
+    )
+
+    amounts = [1.23, 10.0, 199.99, 0.10, 12.5, 1543.21,  # cents lead with 1
+               2.22, 25.0, 0.25,                          # cents lead with 2
+               95.0,                                      # cents lead with 9
+               0.0, -5.0]                                 # excluded
+    rows = [
+        (i, i, "O", a, "1995-01-01 00:00:00", "1-URGENT")
+        for i, a in enumerate(amounts)
+    ]
+    sf = str(tmp_path / "benford")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+
+    out = {r.digit: r for r in dq_benford_audit(spark, sf).collect()}
+    assert set(out) == {1, 2, 9}
+    assert (out[1].n, out[2].n, out[9].n) == (6, 3, 1)
+    assert out[1].obs_ppm == 600_000 and out[2].obs_ppm == 300_000
+    for d, r in out.items():
+        assert r.exp_ppm == BENFORD_PPM[d]
+        assert r.dev_ppm == abs(r.obs_ppm - r.exp_ppm)
