@@ -808,3 +808,100 @@ def sink_manifest_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("bal_cents").alias("sum_cents"),
     )
+
+
+# --- Dynamic partition overwrite ----------------------------------------------
+DPO_BUMP_CENTS = 700  # the v2 'O'-partition batch bumps every row by this
+
+
+def dpo_root(sf_dir: str) -> str:
+    """Scratch root for the dynamic-partition-overwrite table (shared
+    with the planted-fixture tests)."""
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(SCRATCH_DIR, f"dpo-{key}-{os.getpid()}")
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    + CASE WHEN o_orderstatus = 'O'
+                           THEN {DPO_BUMP_CENTS} ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sink", "layout", "transaction"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the partition-granular publish
+    primitive behind daily re-stated feeds (Hive's INSERT OVERWRITE ...
+    PARTITION, Delta's replaceWhere): a restatement batch that touches
+    only partition 'O' must replace exactly that partition's files and
+    leave every untouched partition's bytes in place. Spark's STATIC
+    overwrite mode (the default) would instead TRUNCATE THE WHOLE TABLE
+    to the incoming batch — the classic silent-data-loss misconfig this
+    operator's contract pins down: after publishing a v2 batch holding
+    only bumped 'O' rows over the v1 full snapshot under
+    ``partitionOverwriteMode=dynamic``, the read-back must show 'O' rows
+    restated and 'F'/'P' partitions byte-identical to v1.
+
+    Scale: partition-overwrite cost is O(restated partition) — the 'F'
+    and 'P' data is never read, rewritten, or shuffled; commit is a
+    per-partition directory swap, concurrent readers of other partitions
+    are untouched, and partition pruning serves them from unchanged
+    files. The session conf is saved and restored around the write
+    (conf is session-global — leaking `dynamic` into unrelated writes
+    changes THEIR overwrite semantics, the reverse hazard).
+
+    Reference parity: the reference re-imports whole CSV drops per
+    facility batch (etl_implementation.md:74-96); this is that reload
+    made partition-scoped and loss-proof."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    root = dpo_root(sf_dir)
+    tbl = os.path.join(root, "orders_by_status")
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    done = os.path.join(root, "_PUBLISHED-2")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            base.write.mode("overwrite").partitionBy("status").parquet(tbl)
+            v2 = (
+                base.filter(F.col("status") == "O")
+                .withColumn("cents", F.col("cents") + F.lit(DPO_BUMP_CENTS))
+            )
+            # dynamic mode: only partitions PRESENT IN THE BATCH are replaced
+            v2.write.mode("overwrite").partitionBy("status").parquet(tbl)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    # explicit schema: an all-empty publish leaves no files to infer from
+    out = spark.read.schema("o_orderkey long, cents long, status string").parquet(
+        tbl
+    )
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
