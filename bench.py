@@ -89,6 +89,8 @@ EXTRA = [
     "sample_weighted_priority",  # in-row ticket min + bottom-K heap (r9)
     "geo_grid_nn_join",  # grid-cell ring spatial NN equi-join (r9)
     "dq_benford_audit",  # integer-ppm first-digit forensic audit (r9)
+    "sink_dynamic_partition_overwrite",  # partition-granular publish (r9)
+    "src_multiline_log_scan",  # wholetext multiline stitch + extract (r9)
 ]
 
 

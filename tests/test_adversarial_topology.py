@@ -94,6 +94,8 @@ QUERIES = [
     "sample_weighted_priority",   # in-row ticket min + TakeOrdered heap (r9)
     "geo_grid_nn_join",           # 3x3 cell ring equi-join, struct argmin (r9)
     "dq_benford_audit",           # 9-group count + 1-row broadcast total (r9)
+    "sink_dynamic_partition_overwrite",  # partition-scoped publish read-back (r9)
+    "src_multiline_log_scan",     # per-file wholetext stitch + regex extract (r9)
 ]
 
 _SCRIPT = f"""

@@ -54,6 +54,8 @@ EMPTY_SAFE = [
     "sample_weighted_priority",
     "geo_grid_nn_join",
     "dq_benford_audit",
+    "sink_dynamic_partition_overwrite",
+    "src_multiline_log_scan",
 ]
 
 

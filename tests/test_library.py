@@ -68,7 +68,8 @@ R9_PROMOTED = {
     "win_rolling_median_exact", "sample_poisson_bootstrap",
     "sink_manifest_atomic_swap",
     "dq_merkle_checksum", "sample_weighted_priority", "geo_grid_nn_join",
-    "dq_benford_audit",
+    "dq_benford_audit", "sink_dynamic_partition_overwrite",
+    "src_multiline_log_scan",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

@@ -1187,3 +1187,87 @@ def test_benford_audit_known_distribution(spark, tmp_path):
     for d, r in out.items():
         assert r.exp_ppm == BENFORD_PPM[d]
         assert r.dev_ppm == abs(r.obs_ppm - r.exp_ppm)
+
+
+def test_dynamic_partition_overwrite_survival(spark, tmp_path):
+    """Partition-replace contract: the v2 'O'-only batch must restate
+    partition O and leave F and P byte-identical to v1 — and the conf
+    flip must be restored after the write."""
+    import os
+
+    from graph_etl_pipeline_spark.queries.sinks import (
+        DPO_BUMP_CENTS, dpo_root, sink_dynamic_partition_overwrite,
+    )
+
+    rows = [
+        (k, 100 + k, ["O", "F", "P"][k % 3], 10.0 * k,
+         "1995-03-01 00:00:00", "1-URGENT")
+        for k in range(1, 16)
+    ]
+    sf = str(tmp_path / "dpo")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    out = {r.status: r for r in sink_dynamic_partition_overwrite(spark, sf).collect()}
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == before
+    )
+
+    expect = {"O": [], "F": [], "P": []}
+    for k in range(1, 16):
+        st = ["O", "F", "P"][k % 3]
+        cents = k * 1000 + (DPO_BUMP_CENTS if st == "O" else 0)
+        expect[st].append(cents)
+    for st in ("O", "F", "P"):
+        assert out[st].n_rows == len(expect[st])
+        assert out[st].sum_cents == sum(expect[st])
+
+    # F-partition files are the v1 originals — the v2 write never touched them
+    tbl = os.path.join(dpo_root(sf), "orders_by_status")
+    f_dir = os.path.join(tbl, "status=F")
+    o_dir = os.path.join(tbl, "status=O")
+    f_mtime = max(
+        os.path.getmtime(os.path.join(f_dir, p))
+        for p in os.listdir(f_dir) if p.endswith(".parquet")
+    )
+    o_mtime = min(
+        os.path.getmtime(os.path.join(o_dir, p))
+        for p in os.listdir(o_dir) if p.endswith(".parquet")
+    )
+    assert f_mtime <= o_mtime  # O was rewritten after F last changed
+
+
+def test_multiline_log_stitches_frames(spark, tmp_path):
+    """Planted events: continuation frames must stitch to their header
+    (no frame line becomes its own record), frame counts must follow
+    the deterministic schedule, and error events map to ERROR level."""
+    from graph_etl_pipeline_spark.queries.sources import src_multiline_log_scan
+
+    rows = [
+        (i, "2024-01-01 00:00:%02d" % i, 100 + i,
+         "error" if i % 2 else "click", 1.0, "{}")
+        for i in range(6)
+    ]
+    sf = str(tmp_path / "mlog")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        f"{sf}/events.parquet"
+    )
+
+    out = {r.event_id: r for r in src_multiline_log_scan(spark, sf).collect()}
+    assert len(out) == 6  # every record stitched, none split by its frames
+    for i in range(6):
+        assert out[i].n_frames == i % 3
+        assert out[i].user_id == 100 + i
+        assert out[i].level == ("ERROR" if i % 2 else "INFO")
+        assert out[i].etype == ("error" if i % 2 else "click")
