@@ -91,6 +91,7 @@ EXTRA = [
     "dq_benford_audit",  # integer-ppm first-digit forensic audit (r9)
     "sink_dynamic_partition_overwrite",  # partition-granular publish (r9)
     "src_multiline_log_scan",  # wholetext multiline stitch + extract (r9)
+    "pipeline_antientropy_repair",  # digest diff + pruned row join (r9)
 ]
 
 

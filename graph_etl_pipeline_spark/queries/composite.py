@@ -548,3 +548,99 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# --- Anti-entropy repair pipeline ---------------------------------------------
+REPAIR_DRIFT_MOD = 97  # replica B drifts on every 97th order key
+
+
+@register(
+    "pipeline_antientropy_repair",
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5('bk:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_resync,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % {REPAIR_DRIFT_MOD} = 0
+    GROUP BY bucket
+    """,
+    tags=("pipeline", "quality", "checksum"),
+)
+def pipeline_antientropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ANTI-ENTROPY REPAIR — the full replica-reconciliation
+    round trip the `dq_merkle_checksum` digest exists for, as one
+    pipeline: (1) both replicas summarize into {64}-bucket digests
+    (replica B is the base table with a 1-cent drift planted on every
+    {REPAIR_DRIFT_MOD}th key — a deterministic stand-in for a torn
+    batch); (2) the two O(buckets) summaries join on bucket id and any
+    lane mismatch marks the bucket SUSPECT — this stage compares
+    64 rows, not two tables; (3) only suspect buckets escalate to
+    row-level comparison: each replica's per-row digests are
+    LEFT-SEMI-pruned to suspect buckets BEFORE the row join, so the
+    expensive stage touches |divergent buckets| / {64} of the
+    data — at 100 TB with one torn batch, that is the whole point:
+    ~1/64th scanned twice, 63/64ths never read again (with partition
+    pruning on a bucket-aligned layout, never read at all); (4) the
+    repair manifest groups the mismatched keys per bucket with their
+    key range — the exact shipping list a re-sync job consumes.
+
+    The oracle recomputes the manifest from the drift rule alone, so
+    the pipeline is wrong if the digest diff misses a divergent bucket
+    (false negative), flags a clean one (false positive — the row join
+    would emit nothing, shrinking counts), or the semi-join prunes a
+    key it should not. The md5 lane arithmetic is the checksum
+    operator's (quality.py merkle_rows/merkle_summary — one shared
+    implementation, audited by its own python-replica property test)."""
+    from graph_etl_pipeline_spark.queries.quality import (
+        merkle_rows,
+        merkle_summary,
+    )
+
+    base = table(spark, sf_dir, "orders")
+    drift = F.when(
+        F.col("o_orderkey") % REPAIR_DRIFT_MOD == 0, F.lit(0.01)
+    ).otherwise(F.lit(0.0))
+    replica_b = base.withColumn("o_totalprice", F.col("o_totalprice") + drift)
+
+    rows_a = merkle_rows(base)
+    rows_b = merkle_rows(replica_b)
+    sum_a = merkle_summary(rows_a.drop("key"))
+    sum_b = merkle_summary(rows_b.drop("key"))
+
+    b = sum_b.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("sum_h1").alias("sum_h1_b"),
+        F.col("sum_h2").alias("sum_h2_b"),
+        F.col("min_digest").alias("min_digest_b"),
+        F.col("max_digest").alias("max_digest_b"),
+    )
+    suspect = (
+        sum_a.join(b, "bucket", "full_outer")
+        .filter(
+            (F.col("n_rows") != F.col("n_rows_b"))
+            | (F.col("sum_h1") != F.col("sum_h1_b"))
+            | (F.col("sum_h2") != F.col("sum_h2_b"))
+            | (F.col("min_digest") != F.col("min_digest_b"))
+            | (F.col("max_digest") != F.col("max_digest_b"))
+            | F.col("n_rows").isNull()
+            | F.col("n_rows_b").isNull()
+        )
+        .select("bucket")
+    )
+
+    a_rows = rows_a.join(F.broadcast(suspect), "bucket", "left_semi")
+    b_rows = (
+        rows_b.join(F.broadcast(suspect), "bucket", "left_semi")
+        .select("bucket", "key", F.col("digest").alias("digest_b"))
+    )
+    mismatched = a_rows.join(b_rows, ["bucket", "key"]).filter(
+        F.col("digest") != F.col("digest_b")
+    )
+    return mismatched.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_resync"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )

@@ -745,6 +745,56 @@ MERKLE_BUCKETS = 64
 _US = "\x1f"  # unit separator between canonical fields
 
 
+def merkle_rows(o: DataFrame) -> DataFrame:
+    """Per-row (bucket, key, digest) for the orders canonical rendering —
+    shared by the checksum operator and the repair pipeline."""
+    digest = F.md5(
+        F.concat_ws(
+            _US,
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bk:"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MERKLE_BUCKETS),
+    )
+    return o.select(
+        bucket.alias("bucket"),
+        F.col("o_orderkey").alias("key"),
+        digest.alias("digest"),
+    )
+
+
+def merkle_summary(rows: DataFrame) -> DataFrame:
+    """Order-insensitive, mergeable per-bucket digest summary."""
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")).alias(
+            "sum_h1"
+        ),
+        F.sum(F.conv(F.substring("digest", 9, 8), 16, 10).cast("long")).alias(
+            "sum_h2"
+        ),
+        F.min("digest").alias("min_digest"),
+        F.max("digest").alias("max_digest"),
+    )
+
+
 @register(
     "dq_merkle_checksum",
     oracle=f"""
@@ -807,46 +857,7 @@ def dq_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural.
     """
     o = table(spark, sf_dir, "orders")
-    digest = F.md5(
-        F.concat_ws(
-            _US,
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .cast("string"),
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-            F.col("o_orderpriority"),
-        )
-    )
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("bk:"), F.col("o_orderkey").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(MERKLE_BUCKETS),
-    )
-    return (
-        o.select(bucket.alias("bucket"), digest.alias("digest"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")).alias(
-                "sum_h1"
-            ),
-            F.sum(F.conv(F.substring("digest", 9, 8), 16, 10).cast("long")).alias(
-                "sum_h2"
-            ),
-            F.min("digest").alias("min_digest"),
-            F.max("digest").alias("max_digest"),
-        )
-    )
+    return merkle_summary(merkle_rows(o).drop("key"))
 
 
 # --- Benford first-digit audit ------------------------------------------------

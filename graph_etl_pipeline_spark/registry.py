@@ -49,10 +49,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # privacy_t_closeness_audit, win_rolling_median_exact,
 # sample_poisson_bootstrap, sink_manifest_atomic_swap, dq_merkle_checksum,
 # sample_weighted_priority, geo_grid_nn_join, dq_benford_audit,
-# sink_dynamic_partition_overwrite, src_multiline_log_scan — inserted
-# ahead of the refresh slots, as this policy requires for new
-# registrations), and 6 REFRESH slots for the rows whose last hard
-# driver green is oldest (six of the seven r1-era rows).
+# sink_dynamic_partition_overwrite, src_multiline_log_scan,
+# pipeline_antientropy_repair — inserted ahead of the refresh slots, as
+# this policy requires for new registrations), and 5 REFRESH slots for
+# the rows whose last hard driver green is oldest (five of the seven
+# r1-era rows).
 #
 # r10 window policy (pre-declared so the rotation promise stays kept):
 # any r9-registered additions and r9-changed implementations that did not
@@ -61,9 +62,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # proj_select_alias, flt_compound_predicate, fn_dict_normalize,
 # fn_timestamps, fn_code_parse, fn_case_classify, graph_count_by_label,
 # join_consistency_antijoin, join_left_semi, mm_binary_features,
-# mm_metadata_struct, sort_limit, arr_contains_lookup, plus the nineteen
-# r1/r3-era rows the r9 additions displaced: set_intersect_except,
-# dedup_exact, sim_cosine_topk, win_lag_running_sum, text_fingerprint,
+# mm_metadata_struct, sort_limit, arr_contains_lookup, plus the twenty
+# r1/r3-era rows the r9 additions displaced: mm_frame_sample,
+# set_intersect_except, dedup_exact, sim_cosine_topk, win_lag_running_sum, text_fingerprint,
 # graph_reachability, join_two_hop, dedup_merge_most_complete,
 # dedup_docs_exact, fn_hash_uid, src_json_flatten, sink_upsert_edge,
 # agg_group_topn, agg_topk, agg_collect_set, mm_image_decode,
@@ -114,6 +115,7 @@ CORE_ORDER = [
     "dq_benford_audit",
     "sink_dynamic_partition_overwrite",
     "src_multiline_log_scan",
+    "pipeline_antientropy_repair",
     # -- refresh slots: rows whose last hard driver green is oldest --
     "agg_salted_skew",
     "dedup_minhash_signatures",

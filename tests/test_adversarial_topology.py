@@ -96,6 +96,7 @@ QUERIES = [
     "dq_benford_audit",           # 9-group count + 1-row broadcast total (r9)
     "sink_dynamic_partition_overwrite",  # partition-scoped publish read-back (r9)
     "src_multiline_log_scan",     # per-file wholetext stitch + regex extract (r9)
+    "pipeline_antientropy_repair",  # digest diff -> semi-pruned row join (r9)
 ]
 
 _SCRIPT = f"""

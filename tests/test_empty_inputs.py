@@ -56,6 +56,7 @@ EMPTY_SAFE = [
     "dq_benford_audit",
     "sink_dynamic_partition_overwrite",
     "src_multiline_log_scan",
+    "pipeline_antientropy_repair",
 ]
 
 

@@ -69,7 +69,7 @@ R9_PROMOTED = {
     "sink_manifest_atomic_swap",
     "dq_merkle_checksum", "sample_weighted_priority", "geo_grid_nn_join",
     "dq_benford_audit", "sink_dynamic_partition_overwrite",
-    "src_multiline_log_scan",
+    "src_multiline_log_scan", "pipeline_antientropy_repair",
     # the every-round flagship
     "join_four_hop_chain",
     # §2 / streaming anchors

@@ -1271,3 +1271,42 @@ def test_multiline_log_stitches_frames(spark, tmp_path):
         assert out[i].user_id == 100 + i
         assert out[i].level == ("ERROR" if i % 2 else "INFO")
         assert out[i].etype == ("error" if i % 2 else "click")
+
+
+def test_antientropy_repair_manifest(spark, tmp_path):
+    """Planted drift on keys 97 and 194: the repair manifest must name
+    exactly those keys' buckets, with per-bucket counts and key ranges,
+    and nothing else."""
+    import hashlib
+    from collections import defaultdict
+
+    from graph_etl_pipeline_spark.queries.composite import (
+        REPAIR_DRIFT_MOD, pipeline_antientropy_repair,
+    )
+    from graph_etl_pipeline_spark.queries.quality import MERKLE_BUCKETS
+
+    rows = [
+        (k, 100 + k, "O", 10.0 * k, "1995-03-01 00:00:00", "1-URGENT")
+        for k in range(1, 200)
+    ]
+    sf = str(tmp_path / "repair")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+
+    drifted = [k for k in range(1, 200) if k % REPAIR_DRIFT_MOD == 0]
+    assert drifted == [97, 194]
+    expect = defaultdict(list)
+    for k in drifted:
+        b = int(hashlib.md5(f"bk:{k}".encode()).hexdigest()[:8], 16) % MERKLE_BUCKETS
+        expect[b].append(k)
+
+    out = {r.bucket: r for r in pipeline_antientropy_repair(spark, sf).collect()}
+    assert set(out) == set(expect)
+    for b, keys in expect.items():
+        assert out[b].n_resync == len(keys)
+        assert (out[b].min_key, out[b].max_key) == (min(keys), max(keys))

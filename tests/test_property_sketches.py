@@ -143,3 +143,60 @@ def test_sign_signature_matches_python_bit_packing(spark):
         fvec = [float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in vec]
         assert got[v] == py_sig(fvec), v
     assert LONG_MIN == -(1 << 63)
+
+
+def test_merkle_checksum_matches_python_replica(spark, tmp_path):
+    """Pure-Python replica of the anti-entropy digest arithmetic
+    (canonical rendering -> md5 -> key bucket -> lane sums + min/max)
+    over a seeded pseudo-random orders fixture: every bucket row the
+    operator emits must match the replica bit for bit."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from graph_etl_pipeline_spark.queries.quality import (
+        MERKLE_BUCKETS, dq_merkle_checksum,
+    )
+
+    rows = []
+    for k in range(1, 120):
+        price = ((k * 2654435761) % 999_983) / 100.0
+        rows.append(
+            (
+                k,
+                1000 + (k * 40503) % 77,
+                ["O", "F", "P"][k % 3],
+                price,
+                "199%d-0%d-1%d 0%d:00:00" % (k % 7 + 2, k % 9 + 1, k % 9, k % 10),
+                ["1-URGENT", "3-MEDIUM", "5-LOW"][k % 3],
+            )
+        )
+    sf = str(tmp_path / "merkle_prop")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+
+    expect = defaultdict(lambda: [0, 0, 0, None, None])  # n, s1, s2, mn, mx
+    for k, ck, st, price, ts, prio in rows:
+        cents = math.floor(price * 100 + 0.5)
+        canon = "\x1f".join([str(k), str(ck), st, str(cents), ts, prio])
+        digest = hashlib.md5(canon.encode()).hexdigest()
+        b = int(hashlib.md5(f"bk:{k}".encode()).hexdigest()[:8], 16) % MERKLE_BUCKETS
+        e = expect[b]
+        e[0] += 1
+        e[1] += int(digest[:8], 16)
+        e[2] += int(digest[8:16], 16)
+        e[3] = digest if e[3] is None else min(e[3], digest)
+        e[4] = digest if e[4] is None else max(e[4], digest)
+
+    got = {r.bucket: r for r in dq_merkle_checksum(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for b, (n, s1, s2, mn, mx) in expect.items():
+        r = got[b]
+        assert (r.n_rows, r.sum_h1, r.sum_h2, r.min_digest, r.max_digest) == (
+            n, s1, s2, mn, mx,
+        ), f"bucket {b}"
