@@ -1183,3 +1183,144 @@ def win_rolling_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_cents"
         ),
     )
+
+
+# --- Multi-touch attribution --------------------------------------------------
+ATTR_UNIT = 1_000_000  # conversion value quantized once to micro-units
+
+
+@register(
+    "win_attribution_multitouch",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(FLOOR(value * {ATTR_UNIT} + 0.5) AS BIGINT) AS vmic
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    assigned AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                          IGNORE NULLS) OVER w AS purchase_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN vmic END
+                          IGNORE NULLS) OVER w AS value_micro
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    touches AS (
+        SELECT event_id AS touch_id, user_id, ts,
+               event_type AS touch_type, purchase_id, value_micro
+        FROM assigned
+        WHERE event_type <> 'purchase' AND purchase_id IS NOT NULL
+    ),
+    pos AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY ts, touch_id) AS pos,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM touches
+    )
+    SELECT purchase_id, user_id, touch_id, touch_type, pos, n_touches,
+           value_micro * (CASE WHEN pos = n_touches THEN n_touches + 2
+                               ELSE pos + 1 END) // (n_touches + 2)
+           - value_micro * (CASE WHEN pos = 1 THEN 0 ELSE pos END)
+             // (n_touches + 2) AS credit_micro
+    FROM pos
+    """,
+    tags=("window", "analytics", "attribution"),
+)
+def win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED MULTI-TOUCH ATTRIBUTION with exact credit conservation —
+    the one-to-many generalization of win_asof_last_click's last-touch
+    lookup: every click/view is credited to the user's NEXT purchase
+    (the inter-conversion scope), and the purchase's value splits across
+    its touches positionally — first and last touch carry double weight
+    (w=2), middles w=1, the canonical U-shape.
+
+    Two exactness disciplines make the row hash-stable at any scale:
+    (1) the value is quantized ONCE to integer micro-units; (2) credits
+    come from the CUMULATIVE-FLOOR TELESCOPE — credit(pos) =
+    v·cumw(pos) DIV W − v·cumw(pos−1) DIV W, where cumw is the running
+    weight prefix and W = n+2 the total. The telescope collapses to
+    v·W DIV W = v, so per-purchase credits sum EXACTLY to the purchase
+    value with no remainder bookkeeping, no second pass, and no
+    largest-remainder tie rules — conservation is an algebraic identity,
+    not a reconciliation step.
+
+    Scale shape: the naive formulation is a per-user range join
+    (touch × next purchase — quadratic in bursts). This is two windows
+    instead: touch→purchase assignment rides ONE shuffle on user_id
+    (reverse-order last_value fill, the as-of trick), positioning rides
+    ONE shuffle on purchase_id. Each event crosses the wire once per
+    exchange; per-task width is bounded by one user's / one
+    inter-purchase gap's events, never by candidate pairs. Touches after
+    a user's final purchase attribute to nothing and drop out, same as
+    the oracle."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    vmic = F.floor(F.col("value") * ATTR_UNIT + F.lit(0.5)).cast("long")
+    wdesc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.col("event_type") == "purchase"
+    assigned = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(wdesc)
+        .alias("purchase_id"),
+        F.last(F.when(is_p, vmic), ignorenulls=True)
+        .over(wdesc)
+        .alias("value_micro"),
+    )
+    touches = assigned.filter(
+        (F.col("event_type") != "purchase") & F.col("purchase_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        "purchase_id",
+        "value_micro",
+    )
+    wpos = Window.partitionBy("purchase_id").orderBy("ts", "touch_id")
+    wall = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(wpos).cast("long")
+    n = F.count(F.lit(1)).over(wall)
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        pos.alias("pos"),
+        n.alias("n_touches"),
+        "value_micro",
+    )
+    w_tot = F.col("n_touches") + F.lit(2)
+    cumw = F.when(F.col("pos") == F.col("n_touches"), w_tot).otherwise(
+        F.col("pos") + 1
+    )
+    cumw_prev = F.when(F.col("pos") == 1, F.lit(0)).otherwise(F.col("pos"))
+    credit = F.expr(
+        "value_micro * cw DIV wt - value_micro * cwp DIV wt"
+    )
+    return (
+        ranked.withColumn("cw", cumw)
+        .withColumn("cwp", cumw_prev)
+        .withColumn("wt", w_tot)
+        .select(
+            "purchase_id",
+            "user_id",
+            "touch_id",
+            "touch_type",
+            "pos",
+            "n_touches",
+            credit.alias("credit_micro"),
+        )
+    )

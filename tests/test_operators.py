@@ -1310,3 +1310,96 @@ def test_antientropy_repair_manifest(spark, tmp_path):
     for b, keys in expect.items():
         assert out[b].n_resync == len(keys)
         assert (out[b].min_key, out[b].max_key) == (min(keys), max(keys))
+
+
+def test_attribution_u_shape_and_conservation(spark, tmp_path):
+    """Planted journeys: 4-touch U-shape (ends heavy, exact telescoped
+    remainders), 1-touch (full credit), 2-touch odd-value 50/50 with the
+    deterministic extra micro on the LAST touch, and a trailing orphan
+    touch after the final purchase that must be dropped."""
+    from graph_etl_pipeline_spark.queries.windows import (
+        win_attribution_multitouch,
+    )
+
+    t0 = 1_700_000_000
+    rows = []
+    # user 1: click,view,click,view -> purchase 10.01; then orphan click
+    for i, et in enumerate(["click", "view", "click", "view"]):
+        rows.append((10 + i, t0 + 60 * i, 1, et, 0.0))
+    rows.append((14, t0 + 600, 1, "purchase", 10.01))
+    rows.append((15, t0 + 700, 1, "click", 0.0))
+    # user 2: one view -> purchase 7.25
+    rows.append((20, t0 + 5, 2, "view", 0.0))
+    rows.append((21, t0 + 6, 2, "purchase", 7.25))
+    # user 3: click, view -> purchase 3.330001 (odd micro remainder)
+    rows.append((30, t0 + 1, 3, "click", 0.0))
+    rows.append((31, t0 + 2, 3, "view", 0.0))
+    rows.append((32, t0 + 3, 3, "purchase", 3.330001))
+    sf = str(tmp_path / "attr")
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(ts), u, et, v, "{}")
+         for (i, ts, u, et, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    out = win_attribution_multitouch(spark, sf).collect()
+    by_purchase = {}
+    for r in out:
+        by_purchase.setdefault(r.purchase_id, []).append(r)
+    assert set(by_purchase) == {14, 21, 32}  # orphan click 15 dropped
+
+    u1 = sorted(by_purchase[14], key=lambda r: r.pos)
+    v1 = 10_010_000
+    assert [r.touch_id for r in u1] == [10, 11, 12, 13]
+    credits = [r.credit_micro for r in u1]
+    assert credits == [
+        v1 * 2 // 6,
+        v1 * 3 // 6 - v1 * 2 // 6,
+        v1 * 4 // 6 - v1 * 3 // 6,
+        v1 - v1 * 4 // 6,
+    ]
+    assert sum(credits) == v1  # exact conservation
+    assert credits[0] > credits[1] and credits[-1] > credits[-2]  # U ends heavy
+
+    (u2,) = by_purchase[21]
+    assert (u2.n_touches, u2.credit_micro) == (1, 7_250_000)
+
+    u3 = sorted(by_purchase[32], key=lambda r: r.pos)
+    assert [r.credit_micro for r in u3] == [1_665_000, 1_665_001]
+    assert sum(r.credit_micro for r in u3) == 3_330_001
+
+
+def test_harmonic_centrality_path_graph(spark, tmp_path):
+    """Path 1-2-3-4-5 (one hour, chained by first_ts): hand-computed
+    3-hop harmonic sixths — middle node 18, inner pair 17, ends 11 —
+    with the per-ring counts that sum them."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        graph_harmonic_centrality,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=u), u, "click", 1.0, "{}")
+        for u in range(1, 6)
+    ]
+    sf = str(tmp_path / "harm")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.node: (r.n_d1, r.n_d2, r.n_d3, r.harmonic6)
+        for r in graph_harmonic_centrality(spark, sf).collect()
+    }
+    assert got == {
+        1: (1, 1, 1, 11),
+        2: (2, 1, 1, 17),
+        3: (2, 2, 0, 18),
+        4: (2, 1, 1, 17),
+        5: (1, 1, 1, 11),
+    }
