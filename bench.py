@@ -92,6 +92,8 @@ EXTRA = [
     "sink_dynamic_partition_overwrite",  # partition-granular publish (r9)
     "src_multiline_log_scan",  # wholetext multiline stitch + extract (r9)
     "pipeline_antientropy_repair",  # digest diff + pruned row join (r9)
+    "graph_harmonic_centrality",  # all-sources bounded BFS, exact sixths (r10)
+    "win_attribution_multitouch",  # U-shaped credits, two window exchanges (r10)
 ]
 
 

@@ -97,6 +97,8 @@ QUERIES = [
     "sink_dynamic_partition_overwrite",  # partition-scoped publish read-back (r9)
     "src_multiline_log_scan",     # per-file wholetext stitch + regex extract (r9)
     "pipeline_antientropy_repair",  # digest diff -> semi-pruned row join (r9)
+    "graph_harmonic_centrality",  # multi-source BFS min-fold, exact sixths (r10)
+    "win_attribution_multitouch",  # reverse fill + floor-telescope credits (r10)
 ]
 
 _SCRIPT = f"""

@@ -57,6 +57,8 @@ EMPTY_SAFE = [
     "sink_dynamic_partition_overwrite",
     "src_multiline_log_scan",
     "pipeline_antientropy_repair",
+    "graph_harmonic_centrality",
+    "win_attribution_multitouch",
 ]
 
 

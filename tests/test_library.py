@@ -8,93 +8,21 @@ from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.catalog import clear_all, get_stats, query, register_tables
 from graph_etl_pipeline_spark.graph.model import PropertyGraph
-from graph_etl_pipeline_spark.registry import (
-    CORE_ORDER, DRIVER_CAP, ROTATED_OUT, all_queries,
-)
+from graph_etl_pipeline_spark.registry import DRIVER_CAP, all_queries
 from graph_etl_pipeline_spark.schema import REGISTRY, uniqueness_audit
 from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
 
 
-# Every SURVEY §2-declared query must register within the driver's
-# 50-query correctness window UNLESS it sits in registry.ROTATED_OUT —
-# names that already earned green driver CORRECTNESS rows in earlier
-# rounds and were rotated past the cap so newer operators get their first
-# hard row (VERDICT r3 #1). Rotated-out names stay oracle-checked locally
-# every round. One name per §2 row.
-SURVEY_DECLARED = {
-    "src_csv_scan", "src_json_flatten", "sink_upsert_node", "sink_upsert_edge",
-    "sink_merge_prefer_nonempty", "graph_count_by_label",
-    "proj_select_alias", "flt_compound_predicate", "flt_blocklist_predicate",
-    "fn_hash_uid", "fn_dict_normalize", "fn_regexp_extract_all",
-    "fn_timestamps", "fn_code_parse", "fn_case_classify",
-    "dedup_exact", "dedup_merge_most_complete", "dedup_docs_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "join_broadcast_inner", "join_left_anti", "join_left_semi",
-    "join_two_hop", "join_four_hop_chain", "graph_reachability",
-    "join_consistency_antijoin",
-    "agg_count_by_label", "agg_global_count", "agg_group_topn", "agg_topk",
-    "agg_multi_counter", "agg_collect_set",
-    "set_union",
-    "sort_limit", "mm_image_decode", "win_row_number_dedup", "win_lag_running_sum",
-    "explode_split_targets", "arr_contains_lookup",
-    "win_tumbling_hourly", "win_session_batch",
-    "text_lang_id", "text_quality_score", "text_token_count",
-    "text_fingerprint", "mm_binary_features", "mm_metadata_struct",
-    "pipeline_corpus_curation",
-}
+# The SURVEY-declared / rotation / promotion bookkeeping that lived here
+# through r9 (SURVEY_DECLARED, ROTATED_OUT, R9_PROMOTED hand lists) is now
+# mechanized: window_policy.derive_window + tests/test_window_policy.py
+# enforce the same invariants from the CORRECTNESS history (VERDICT r9 #4).
 
 
-# r9 window priorities (pre-declared in the r8 registry comment): the
-# twelve r8-registered additions earn their FIRST driver rows, then the
-# two r9-changed implementations (agg_exact_moments string-typed
-# var_numer; src_pdf_scan length/filter fixes), then the flagship and
-# §2/streaming anchors — each must hold a driver-window slot this round.
-R9_PROMOTED = {
-    # first driver rows: registered in r8, never checked
-    "pipeline_ivf_pq_search", "pipeline_entity_resolution", "agg_ks_drift",
-    "stream_full_join_timeout", "sample_reservoir_bottomk",
-    "dedup_url_canonicalize", "sink_compact_small_files", "privacy_dp_counts",
-    "agg_chi2_drift", "win_rolling_zscore_outliers", "sink_vacuum_retention",
-    "text_dedup_span_rewrite",
-    # changed in r9: ADVICE r8 fixes
-    "agg_exact_moments", "src_pdf_scan",
-    # registered new in r9: first driver rows
-    "dedup_incremental_lsh", "dedup_band_bucket_stats",
-    "agg_kmv_shard_merge", "join_asof_tolerance",
-    "privacy_l_diversity_audit", "sink_schema_evolution_merge",
-    "agg_autocorr_lag1", "src_fixed_width_scan",
-    "win_interval_union_length", "privacy_t_closeness_audit",
-    "win_rolling_median_exact", "sample_poisson_bootstrap",
-    "sink_manifest_atomic_swap",
-    "dq_merkle_checksum", "sample_weighted_priority", "geo_grid_nn_join",
-    "dq_benford_audit", "sink_dynamic_partition_overwrite",
-    "src_multiline_log_scan", "pipeline_antientropy_repair",
-    # the every-round flagship
-    "join_four_hop_chain",
-    # §2 / streaming anchors
-    "src_csv_scan", "sink_upsert_node", "sink_merge_prefer_nonempty",
-    "flt_blocklist_predicate", "fn_regexp_extract_all",
-    "join_broadcast_inner", "join_left_anti",
-    "agg_multi_counter", "win_row_number_dedup", "stream_incremental_upsert",
-}
-
-
-def test_registration_order_covers_survey_within_driver_cap():
+def test_driver_window_is_full_and_unique():
     names = list(all_queries())
     assert len(names) == len(set(names))
-    assert set(CORE_ORDER) <= set(names), set(CORE_ORDER) - set(names)
-    in_window = set(names[:DRIVER_CAP])
-    # rotation is only allowed for rows that already went driver-green
-    assert ROTATED_OUT <= SURVEY_DECLARED
-    missing = (SURVEY_DECLARED - ROTATED_OUT) - in_window
-    assert not missing, f"SURVEY-declared queries outside driver window: {missing}"
-    not_promoted = R9_PROMOTED - in_window
-    assert not not_promoted, f"r9-promoted queries outside driver window: {not_promoted}"
-    # every rotated-out row must still carry a local oracle for the parity replica
-    specs = all_queries()
-    missing_oracle = {n for n in ROTATED_OUT if specs[n].oracle is None}
-    assert not missing_oracle, missing_oracle
+    assert len(names) >= DRIVER_CAP
 
 
 def test_active_session_fallback(spark):
