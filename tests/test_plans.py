@@ -337,3 +337,22 @@ def test_kmv_shard_merge_kmins_take_ordered(spark, sf_dir):
     plan = _plan(spark, "agg_kmv_shard_merge", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Sort ") <= plan.count("TakeOrderedAndProject")
+
+
+def test_grid_nn_join_broadcasts_ring_no_cartesian(spark, sf_dir):
+    """geo_grid_nn_join's docstring claims the 3x3 ring candidates meet
+    in a plain equi-join (broadcast under threshold) and never a cross
+    join — pin both (VERDICT r9 #6)."""
+    plan = _plan(spark, "geo_grid_nn_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier build side is dim-sized
+
+
+def test_weighted_priority_take_ordered_heap(spark, sf_dir):
+    """sample_weighted_priority's docstring claims the bottom-K selection
+    compiles to TakeOrderedAndProject (per-task heaps, zero corpus
+    shuffle) — pin it (VERDICT r9 #6)."""
+    plan = _plan(spark, "sample_weighted_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
