@@ -94,6 +94,14 @@ EXTRA = [
     "pipeline_antientropy_repair",  # digest diff + pruned row join (r9)
     "graph_harmonic_centrality",  # all-sources bounded BFS, exact sixths (r10)
     "win_attribution_multitouch",  # U-shaped credits, two window exchanges (r10)
+    "graph_closeness_sampled",  # K-pivot sampled BFS closeness (r10)
+    "win_cusum_alarm",  # CUSUM drift detector, one exchange (r10)
+    "agg_weighted_median",  # exact weighted median, RANGE frame (r10)
+    "dq_referential_integrity",  # 7-edge FK orphan audit, one pass (r10)
+    "pipeline_filter_funnel",  # per-stage attrition, scan + one exchange (r10)
+    "src_csv_quarantine",  # permissive CSV + quarantine recovery (r10)
+    "text_pack_tokenized",  # tokenizer-aware capped packing (r10)
+    "embed_matryoshka_prefix",  # prefix-dim ranking contract (r10)
 ]
 
 

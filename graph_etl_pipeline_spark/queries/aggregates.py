@@ -9,7 +9,7 @@ partition), so a 100 TB scan reduces to KBs before the exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.functions.numeric import davg, dec, dsum
@@ -1601,4 +1601,73 @@ def agg_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("string").alias("phi_num"),
         den.cast("string").alias("phi_den"),
         (num.cast("double") / den.cast("double")).alias("ar1_coeff"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM q
+    )
+    SELECT flag, CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+    tags=("agg", "quantile", "exact"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group — the quantity-weighted price
+    median (smallest x with cumweight(≤x) ≥ W/2), the statistic behind
+    token-weighted document-quality cuts and spend-weighted SLAs, where
+    the unweighted median (agg_exact_median) answers the wrong question.
+
+    Exactness discipline: prices quantize once to integer cents, weights
+    to integer units, and the cumulative weight rides a RANGE frame
+    (not ROWS) keyed on the VALUE — all rows of a tied value share one
+    cumulative weight, so the selected value is a pure function of the
+    value multiset, partitioning-blind with no tie-break rules at all.
+    Both windows (running range-sum, group total) share ONE exchange on
+    the group key; the threshold row collapses via min-filter — no
+    second shuffle, no global sort, no collect.
+
+    At 100 TB the per-group window width is the group's row count; for
+    heavy groups the same statistic composes from the equi-depth
+    histogram operator's buckets (agg_equidepth_histogram) — this
+    operator is the exact form those sketches are validated against."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+    )
+    wrange = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = q.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wrange).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min("cents").cast("long").alias("wmedian_cents"),
+        )
     )

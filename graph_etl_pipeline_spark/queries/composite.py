@@ -644,3 +644,107 @@ def pipeline_antientropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").alias("min_key"),
         F.max("key").alias("max_key"),
     )
+
+
+# --- Filter-funnel attrition report ------------------------------------------
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_UNIQUE_PCT = 30  # distinct-token ratio floor, percent
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+        SELECT doc_id,
+               length(text) >= {FUNNEL_MIN_CHARS} AS p1,
+               len({SQL_TOKS.format(col="text")}) >= {FUNNEL_MIN_TOKENS} AS p2,
+               len(list_distinct({SQL_TOKS.format(col="text")})) * 100
+                   >= {FUNNEL_UNIQUE_PCT} * len({SQL_TOKS.format(col="text")}) AS p3,
+               md5(text) AS h
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, p1, p1 AND p2 AS k2, p1 AND p2 AND p3 AS k3,
+               row_number() OVER (
+                   PARTITION BY h
+                   ORDER BY (p1 AND p2 AND p3) DESC, doc_id
+               ) AS rn
+        FROM flags
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(SUM(CASE WHEN k3 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM kept
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'len_floor' AS filter_name,
+           n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM counts
+    UNION ALL SELECT 2, 'token_floor', n1, n2, n1 - n2 FROM counts
+    UNION ALL SELECT 3, 'repetition_cap', n2, n3, n2 - n3 FROM counts
+    UNION ALL SELECT 4, 'exact_dedup', n3, n4, n3 - n4 FROM counts
+    """,
+    tags=("pipeline", "llm", "curation"),
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-FUNNEL ATTRITION REPORT — the per-stage accounting every
+    production corpus-curation run publishes next to its output (how
+    many documents did each filter kill?): length floor → token floor →
+    repetition cap → exact dedup, evaluated SEQUENTIALLY (stage N's
+    keep-set is stage N+1's input) with n_in / n_kept / n_dropped per
+    stage. A stage whose drop-rate jumps between snapshots is the
+    canonical upstream-drift alarm, which is why the report is an
+    operator and not a notebook.
+
+    One-plan shape: all three predicate flags are map-side expressions
+    in a SINGLE scan (no per-stage rescans); the dedup stage rides ONE
+    md5(text) exchange where survivors sort first inside each hash
+    group (ORDER BY keep DESC, doc_id) so row_number()=1 picks the
+    canonical survivor without a second pass; the funnel then collapses
+    to one 4-row stack from a single aggregate — input volume is
+    touched exactly twice (scan + dedup exchange) no matter how many
+    stages the funnel grows."""
+    d = table(spark, sf_dir, "documents")
+    toks = norm_tokens(d.text)
+    flags = d.select(
+        "doc_id",
+        (F.length("text") >= FUNNEL_MIN_CHARS).alias("p1"),
+        (F.size(toks) >= FUNNEL_MIN_TOKENS).alias("p2"),
+        (
+            F.size(F.array_distinct(toks)) * 100 >= F.lit(FUNNEL_UNIQUE_PCT) * F.size(toks)
+        ).alias("p3"),
+        F.md5("text").alias("h"),
+    ).select(
+        "doc_id",
+        "p1",
+        (F.col("p1") & F.col("p2")).alias("k2"),
+        (F.col("p1") & F.col("p2") & F.col("p3")).alias("k3"),
+        "h",
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.col("k3").desc(), "doc_id")
+    )
+    kept = flags.withColumn("rn", rn)
+    counts = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("k2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("k3"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("k3") & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n4"),
+    )
+    return counts.selectExpr(
+        """stack(4,
+            1, 'len_floor', n0, n1,
+            2, 'token_floor', n1, n2,
+            3, 'repetition_cap', n2, n3,
+            4, 'exact_dedup', n3, n4
+        ) AS (stage, filter_name, n_in, n_kept)"""
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_kept")).withColumn(
+        "stage", F.col("stage").cast("long")
+    )

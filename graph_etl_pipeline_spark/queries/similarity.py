@@ -15,7 +15,7 @@ candidate degree).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_etl_pipeline_spark.io import table
@@ -1590,4 +1590,110 @@ def pipeline_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qd2").cast("long").alias("adist"))
         .orderBy("adist", "vec_id")
         .limit(PQ_TOPK)
+    )
+
+
+# --- Matryoshka prefix-dimension ranking contract --------------------------------
+MRL_PREFIX_DIM = 16  # leading dims used by the truncated ("matryoshka") ranker
+MRL_TOPK = 20
+
+
+def _sql_idot_n(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[{a}[i] * {b}[i] for i in generate_series(1, {n})]), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "embed_matryoshka_prefix",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    ),
+    probe AS (SELECT qe AS pe FROM q WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT q.vec_id, q.label,
+               {_sql_idot_n("q.qe", "probe.pe", DIM)} AS full_dot,
+               {_sql_idot_n("q.qe", "probe.pe", MRL_PREFIX_DIM)} AS prefix_dot
+        FROM q, probe WHERE q.vec_id <> {QUERY_VEC_ID}
+    ),
+    topf AS (
+        SELECT vec_id, label, full_dot, prefix_dot,
+               row_number() OVER (ORDER BY full_dot DESC, vec_id) AS full_rank
+        FROM scored ORDER BY full_dot DESC, vec_id LIMIT {MRL_TOPK}
+    ),
+    topp AS (
+        SELECT vec_id, label, full_dot, prefix_dot,
+               row_number() OVER (ORDER BY prefix_dot DESC, vec_id) AS prefix_rank
+        FROM scored ORDER BY prefix_dot DESC, vec_id LIMIT {MRL_TOPK}
+    )
+    SELECT COALESCE(f.vec_id, p.vec_id) AS vec_id,
+           COALESCE(f.label, p.label) AS label,
+           COALESCE(f.full_dot, p.full_dot) AS full_dot,
+           COALESCE(f.prefix_dot, p.prefix_dot) AS prefix_dot,
+           CAST(f.full_rank AS BIGINT) AS full_rank,
+           CAST(p.prefix_rank AS BIGINT) AS prefix_rank
+    FROM topf f FULL OUTER JOIN topp p ON f.vec_id = p.vec_id
+    """,
+    tags=("embedding", "similarity", "contract", "llm"),
+)
+def embed_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (prefix-dimension) RANKING CONTRACT — the measurement a
+    pipeline needs before it serves truncated embeddings: rank the
+    corpus against a probe vector by the FULL {DIM}-dim dot product and
+    by only the LEADING {MRL_PREFIX_DIM} dims (the MRL serving trick:
+    store one vector, rank with however many leading dims the latency
+    budget allows), then emit the FULL OUTER join of the two top-{MRL_TOPK}
+    lists with both ranks — rows where one rank is NULL are exactly the
+    disagreement set, so recall@K of the truncated ranker reads straight
+    off the result (and a drifting disagreement set over snapshots is
+    the re-train signal).
+
+    Exactness: embeddings quantize once to int64·2^24 (the module's
+    shared fixed-point discipline) so BOTH scores are exact integer
+    sums, tie-broken by vec_id — the whole contract is hash-stable in
+    both engines, which is what lets an approximate-SERVING policy be
+    checked by an exact gate. Prefix scoring slices the SAME quantized
+    vector (no second embedding column, the entire point of matryoshka).
+
+    Scale: two TakeOrderedAndProject heaps over one scan (per-task top-K,
+    no global sort, no shuffle until the K-row heads meet); the final
+    join touches ≤2K rows. At 100 TB the probe fans to a query BATCH and
+    the heaps become per-query groupBy-topK — same plan family as
+    sim_cosine_topk."""
+    e = _quantize_fixed(table(spark, sf_dir, "embeddings"))
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("qe").alias("pe"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            "label",
+            _int_dot("qe", "pe").alias("full_dot"),
+            _int_dot(
+                F.slice("qe", 1, MRL_PREFIX_DIM), F.slice("pe", 1, MRL_PREFIX_DIM)
+            ).alias("prefix_dot"),
+        )
+    )
+    wf = Window.orderBy(F.desc("full_dot"), F.asc("vec_id"))
+    wp = Window.orderBy(F.desc("prefix_dot"), F.asc("vec_id"))
+    topf = (
+        scored.orderBy(F.desc("full_dot"), F.asc("vec_id"))
+        .limit(MRL_TOPK)
+        .withColumn("full_rank", F.row_number().over(wf).cast("long"))
+    )
+    topp = (
+        scored.orderBy(F.desc("prefix_dot"), F.asc("vec_id"))
+        .limit(MRL_TOPK)
+        .withColumn("prefix_rank", F.row_number().over(wp).cast("long"))
+    )
+    return topf.join(topp, ["vec_id", "label", "full_dot", "prefix_dot"], "full_outer").select(
+        "vec_id", "label", "full_dot", "prefix_dot", "full_rank", "prefix_rank"
     )

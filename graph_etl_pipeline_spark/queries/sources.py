@@ -676,3 +676,92 @@ def src_multiline_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("rec", r"type=(\w+)", 1).alias("etype"),
         (F.size(F.split("rec", r"\n")) - 1).cast("long").alias("n_frames"),
     )
+
+
+# Deterministic corruption rule for the quarantine fixture: every row
+# whose key hits this residue is written with a GARBLED numeric field
+# (the classic locale/unit-mixup export bug — "1.234,56", "N/A", ...).
+# Note a merely SHORT line is NOT malformed to Spark's CSV reader (it
+# pads missing trailing fields with null, same as most warehouses), so
+# the fixture corrupts a typed field, which reliably trips the parser.
+QUARANTINE_MOD = 20
+QUARANTINE_RESIDUE = 3
+
+
+@register(
+    "src_csv_quarantine",
+    oracle=f"""
+    SELECT c_custkey,
+           c_custkey % {QUARANTINE_MOD} = {QUARANTINE_RESIDUE} AS quarantined,
+           CASE WHEN c_custkey % {QUARANTINE_MOD} = {QUARANTINE_RESIDUE}
+                THEN NULL ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+           END AS acctbal_cents
+    FROM customer
+    """,
+    tags=("source", "csv", "dq"),
+)
+def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-ROW QUARANTINE ingestion — the bad-record path every
+    production CSV feed needs and FAILFAST/DROPMALFORMED both get wrong
+    (abort the batch / silently lose rows): read PERMISSIVE with a
+    corrupt-record column, keep every input row, flag the malformed
+    ones, and RECOVER their key from the raw line so the quarantine
+    report is actionable (which upstream rows to re-export), not just a
+    count.
+
+    The fixture plants the corruption deterministically: rows whose key
+    ≡ {QUARANTINE_RESIDUE} (mod {QUARANTINE_MOD}) carry an unparseable
+    balance field (the locale/unit-mixup export shape — a short line,
+    by contrast, is silently null-padded by the parser, not flagged).
+    The type failure makes Spark capture the raw line in the corrupt
+    column while keeping the fields that did parse; the recovered key
+    prefers the parsed key and falls back to the raw line's first
+    field, so the output keys every row either way. The oracle recomputes the verdict from the corruption
+    rule over the source table — a parser that mis-classifies even one
+    row (or "recovers" the wrong key) goes red.
+
+    Scale: the write keeps the source partitioning (per-task part
+    files), the read is a distributed CSV scan; quarantine is a map-side
+    flag — no extra pass, no driver involvement. The corrupt column is
+    projected away after the flag so downstream plans never carry raw
+    lines."""
+    import hashlib
+
+    _clean_stale_csv_dirs()
+    c = table(spark, sf_dir, "customer")
+    is_bad = F.col("c_custkey") % QUARANTINE_MOD == QUARANTINE_RESIDUE
+    lines = c.select(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            "c_name",
+            F.when(is_bad, F.concat(F.lit("garbled#"), F.col("c_custkey"))).otherwise(
+                F.col("c_acctbal").cast("string")
+            ),
+            "c_mktsegment",
+        ).alias("value")
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(_CSV_CACHE, f"{key}-{os.getpid()}", "customer_q")
+    lines.write.mode("overwrite").text(dest)
+    raw = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_acctbal double, "
+            "c_mktsegment string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dest)
+    )
+    quarantined = F.col("_corrupt").isNotNull()
+    recovered_key = F.coalesce(
+        F.col("c_custkey"),
+        F.split(F.col("_corrupt"), ",").getItem(0).cast("long"),
+    )
+    return raw.select(
+        recovered_key.alias("c_custkey"),
+        quarantined.alias("quarantined"),
+        F.when(
+            ~quarantined, F.round(F.col("c_acctbal") * 100).cast("long")
+        ).alias("acctbal_cents"),
+    )

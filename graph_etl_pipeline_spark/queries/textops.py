@@ -979,3 +979,91 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
     )
+
+
+# Tokenizer-aware packing: BPE-ish lexer counts + per-doc truncation cap.
+PACK_TOK_MAXLEN = 512  # max tokens contributed per doc (truncation cap)
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_pack_tokenized",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                   AS n_bpe,
+        FROM documents
+    ),
+    capped AS (
+        SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+               CAST(LEAST(n_bpe, {PACK_TOK_MAXLEN}) AS BIGINT) AS n_tok
+        FROM tok
+    ),
+    laid AS (
+        SELECT doc_id, n_bpe, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS global_offset
+        FROM capped
+    )
+    SELECT doc_id, n_bpe, n_tok, global_offset,
+           global_offset // {PACK_SEQ_LEN} AS seq_id,
+           CASE WHEN n_tok > 0
+                THEN (global_offset + n_tok - 1) // {PACK_SEQ_LEN}
+                ELSE global_offset // {PACK_SEQ_LEN} END AS end_seq_id,
+           n_tok > 0 AND (global_offset + n_tok - 1) // {PACK_SEQ_LEN}
+                        > global_offset // {PACK_SEQ_LEN} AS straddles
+    FROM laid
+    """,
+    tags=("text", "llm", "pack"),
+)
+def text_pack_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-AWARE sequence packing (VERDICT r9 #7) — the companion
+    to text_pack_sequences that budgets by the BPE-ish LEXER token count
+    (letter runs | digit runs | single symbols — the text_token_count
+    proxy whose cross-engine parity is already proven) instead of
+    whitespace words, and applies the trainer's PER-DOCUMENT TRUNCATION
+    cap ({PACK_TOK_MAXLEN} tokens) before layout — the two places where
+    whitespace packing misestimates real tokenizer consumption (code
+    and non-space scripts lex to far more tokens than words; megadocs
+    get cut, not packed whole).
+
+    Layout is the same scalable TWO-LEVEL exclusive prefix sum over the
+    capped counts (operators/prefix.py — no global single-partition
+    window at any corpus size), and each doc additionally reports its
+    END sequence and a `straddles` flag (does the doc cross a
+    {PACK_SEQ_LEN}-token boundary?) — the signal an attention-masking
+    packer needs to decide splits. All arithmetic is exact int64, so
+    offsets and flags hash-identically in both engines at any
+    partitioning."""
+    from graph_etl_pipeline_spark.operators.prefix import exclusive_prefix_sum
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(d.text), F.lit(_BPE_RE), 0)
+        ).cast("long").alias("n_bpe"),
+    ).select(
+        "doc_id",
+        "n_bpe",
+        F.least(F.col("n_bpe"), F.lit(PACK_TOK_MAXLEN)).alias("n_tok"),
+    )
+    out = exclusive_prefix_sum(tok, "n_tok", "doc_id", PACK_BUCKET)
+    end_seq = F.when(
+        F.col("n_tok") > 0,
+        F.expr(f"(global_offset + n_tok - 1) div {PACK_SEQ_LEN}"),
+    ).otherwise(F.expr(f"global_offset div {PACK_SEQ_LEN}"))
+    return out.select(
+        "doc_id",
+        "n_bpe",
+        "n_tok",
+        "global_offset",
+        F.expr(f"global_offset div {PACK_SEQ_LEN}").alias("seq_id"),
+        end_seq.alias("end_seq_id"),
+        (
+            (F.col("n_tok") > 0)
+            & (end_seq > F.expr(f"global_offset div {PACK_SEQ_LEN}"))
+        ).alias("straddles"),
+    )

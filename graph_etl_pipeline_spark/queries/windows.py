@@ -1324,3 +1324,81 @@ def win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             credit.alias("credit_micro"),
         )
     )
+
+
+# --- CUSUM drift alarm ----------------------------------------------------------
+CUSUM_DRIFT_CENTS = 5_000  # per-event reference drift k (allowance), in cents
+CUSUM_ALARM_CENTS = 50_000  # alarm threshold h, in cents
+
+
+@register(
+    "win_cusum_alarm",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) - {CUSUM_DRIFT_CENTS} AS exc
+        FROM events
+    ),
+    pref AS (
+        SELECT user_id, ts, event_id,
+               SUM(exc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM x
+    ),
+    floored AS (
+        SELECT user_id, ts, event_id, p,
+               LEAST(MIN(p) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS floor_p
+        FROM pref
+    )
+    SELECT user_id, ts, event_id,
+           CAST(p - floor_p AS BIGINT) AS cusum_cents,
+           p - floor_p >= {CUSUM_ALARM_CENTS} AS alarm
+    FROM floored
+    """,
+    tags=("window", "analytics", "drift"),
+)
+def win_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SIDED CUSUM DRIFT DETECTOR (Page's cumulative-sum chart) per
+    user: S_0 = 0, S_n = max(0, S_{{n-1}} + (x_n − k)) with allowance
+    k = {CUSUM_DRIFT_CENTS} cents, alarm when S_n ≥ h =
+    {CUSUM_ALARM_CENTS} — the classic sequential change-point monitor
+    for spend/latency drift that a mean-shift z-score misses.
+
+    The recurrence looks inherently sequential (each S_n needs
+    S_{{n-1}}), but it has a closed form over prefixes: with
+    P_n = Σ_{{i≤n}}(x_i − k) and P_0 = 0,
+        S_n = P_n − min(0, min_{{j≤n}} P_j)
+    — the reflected-at-zero walk equals the walk minus its running
+    floor (S_n = max_{{0≤j≤n}}(P_n − P_j), the j=n term giving the
+    max(0, ·) clamp). So the whole detector is TWO chained window
+    functions (running sum, then running min of that sum, clamped to
+    the empty-prefix 0) on ONE (user_id) exchange —
+    the win_max_drawdown machinery pointed at drift — instead of a
+    per-user sequential fold. Everything is exact integer cents, so the
+    alarm bit is hash-identical in both engines at any partitioning.
+
+    At 100 TB: one shuffle on user_id, per-task width bounded by one
+    user's history; the production variant windows the same expressions
+    over a bounded trailing frame to cap state."""
+    ev = table(spark, sf_dir, "events")
+    exc = (F.round(F.col("value") * 100).cast("long") - F.lit(CUSUM_DRIFT_CENTS))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = ev.select(
+        "user_id", "ts", "event_id", F.sum(exc).over(w).alias("p")
+    )
+    floor_p = F.least(F.min("p").over(w), F.lit(0))
+    s = F.col("p") - floor_p
+    return with_p.select(
+        "user_id",
+        "ts",
+        "event_id",
+        s.cast("long").alias("cusum_cents"),
+        (s >= CUSUM_ALARM_CENTS).alias("alarm"),
+    )

@@ -48,8 +48,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the implementations edited in r11.
 # --- GENERATED WINDOW (scripts/gen_window.py) — do not hand-edit ---
 CORE_ORDER = [
+    "agg_weighted_median",
+    "text_pack_tokenized",
+    "pipeline_filter_funnel",
     "graph_harmonic_centrality",
+    "graph_closeness_sampled",
+    "dq_referential_integrity",
+    "embed_matryoshka_prefix",
+    "src_csv_quarantine",
     "win_attribution_multitouch",
+    "win_cusum_alarm",
+    "stream_watermark_late",
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_stateful_session_timeout",
+    "stream_dedup_within_watermark",
+    "stream_full_join_timeout",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -84,20 +98,6 @@ CORE_ORDER = [
     "join_left_semi",
     "join_two_hop",
     "mm_binary_features",
-    "mm_image_decode",
-    "mm_metadata_struct",
-    "proj_select_alias",
-    "sim_cosine_topk",
-    "sink_upsert_edge",
-    "sort_limit",
-    "src_json_flatten",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "win_lag_running_sum",
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -57,10 +57,19 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r10: empty so
-# far; any green operator whose query plan changes this round gets added
-# here and the window regenerated (scripts/gen_window.py).
-CHANGED_SINCE_GREEN: frozenset[str] = frozenset()
+# row — they must re-earn one (tier 2). Reset each round. r10: the six
+# stateful streaming fixtures now unload their state-store providers on
+# exit (streaming/jobs.py unload_state_stores — the r9 bench-regression
+# fix); results are byte-identical by design, but the run path changed,
+# so they re-earn rows.
+CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
+    "stream_watermark_late",
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_stateful_session_timeout",
+    "stream_dedup_within_watermark",
+    "stream_full_join_timeout",
+})
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every
 # name here must be IN the current window or carry a green driver row in

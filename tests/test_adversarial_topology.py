@@ -97,8 +97,16 @@ QUERIES = [
     "sink_dynamic_partition_overwrite",  # partition-scoped publish read-back (r9)
     "src_multiline_log_scan",     # per-file wholetext stitch + regex extract (r9)
     "pipeline_antientropy_repair",  # digest diff -> semi-pruned row join (r9)
-    "graph_harmonic_centrality",  # multi-source BFS min-fold, exact sixths (r10)
+    "graph_harmonic_centrality",  # chunked-bitset hop ORs vs BFS oracle (r10)
     "win_attribution_multitouch",  # reverse fill + floor-telescope credits (r10)
+    "graph_closeness_sampled",    # KMV pivot pick + sampled BFS min-fold (r10)
+    "win_cusum_alarm",            # chained running sum + prefix-min windows (r10)
+    "agg_weighted_median",        # RANGE-frame cumulative weights, tie-blind (r10)
+    "dq_referential_integrity",   # per-edge key collapse + anti-join counts (r10)
+    "pipeline_filter_funnel",     # one-scan flags + keep-first dedup window (r10)
+    "src_csv_quarantine",         # permissive parse + raw-line key recovery (r10)
+    "text_pack_tokenized",        # capped two-level prefix sum + straddle (r10)
+    "embed_matryoshka_prefix",    # dual TakeOrdered heaps + int64 dots (r10)
 ]
 
 _SCRIPT = f"""
@@ -129,7 +137,7 @@ print("FAILS:", fails)
 
 def test_oracle_parity_survives_hostile_topology():
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=420
+        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=560
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FAILS: 0" in r.stdout, r.stdout + r.stderr[-1000:]

@@ -85,10 +85,21 @@ ADVERSARIAL_EXEMPT = frozenset({
     "win_tumbling_hourly",
 })
 
+# r10+ exemptions, each with its reason — the checklist's contract is
+# that the choice is visible in the diff.
+R10_EMPTY_EXEMPT = frozenset({
+    # emits its O(#edges)/O(#stages) audit rows (with zero counts) even on
+    # empty input — a 0-row result would be the bug, not the contract
+    "dq_referential_integrity",
+    "pipeline_filter_funnel",
+    # stages a CSV fixture (same reason src_csv_scan is exempt)
+    "src_csv_quarantine",
+})
+
 # Pre-r10 rows not in the empty-input gate: streaming fixture builders,
 # seeded/trained operators that legitimately require non-empty input,
 # and rows sharing a code path with an enrolled family representative.
-EMPTY_EXEMPT = frozenset({
+EMPTY_EXEMPT = R10_EMPTY_EXEMPT | frozenset({
     "agg_approx_distinct", "agg_approx_quantiles", "agg_chi2_drift", "agg_collect_set",
     "agg_count_by_label", "agg_countmin_contract", "agg_cube", "agg_equidepth_histogram",
     "agg_event_cooccurrence", "agg_exact_median", "agg_exact_moments", "agg_gini_concentration",

@@ -59,6 +59,11 @@ EMPTY_SAFE = [
     "pipeline_antientropy_repair",
     "graph_harmonic_centrality",
     "win_attribution_multitouch",
+    "graph_closeness_sampled",
+    "win_cusum_alarm",
+    "agg_weighted_median",
+    "text_pack_tokenized",
+    "embed_matryoshka_prefix",
 ]
 
 

@@ -1,0 +1,298 @@
+"""Planted-fixture unit tests for the round-10 operators. Each test
+hand-computes the expected result on a tiny constructed input — the
+oracle-parity suite separately checks every operator against DuckDB on
+the shared testdata, so these pin the SEMANTICS on inputs engineered to
+hit the edge the operator exists for."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(f"{path}/events.parquet")
+
+
+def test_closeness_sampled_path_graph(spark, tmp_path):
+    """Path 1-2-3-4-5: K=16 pivots > |V|, so every vertex is a pivot and
+    the sampled estimator must equal the exact bounded closeness —
+    hand-computed (n_src_reached, sum_dist) per node."""
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        graph_closeness_sampled,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=u), u, "click", 1.0, "{}")
+        for u in range(1, 6)
+    ]
+    sf = str(tmp_path / "cls")
+    _write_events(spark, sf, rows)
+
+    got = {
+        r.node: (r.n_src_reached, r.sum_dist, r.closeness_ppm)
+        for r in graph_closeness_sampled(spark, sf).collect()
+    }
+    assert got == {
+        1: (3, 6, 500_000),
+        2: (4, 7, 571_428),
+        3: (4, 6, 666_666),
+        4: (4, 7, 571_428),
+        5: (3, 6, 500_000),
+    }
+
+
+def test_cusum_alarm_matches_sequential_recurrence(spark, tmp_path):
+    """One user, a value series with a planted upward drift: the windowed
+    closed form must equal the literal sequential recurrence
+    S_n = max(0, S_{n-1} + x_n - k), including the alarm crossing."""
+    from graph_etl_pipeline_spark.queries.windows import (
+        CUSUM_ALARM_CENTS, CUSUM_DRIFT_CENTS, win_cusum_alarm,
+    )
+
+    values = [10.0, 200.0, 5.0, 400.0, 300.0, 1.0, 250.0, 260.0, 270.0]
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 7, "click", v, "{}")
+        for i, v in enumerate(values)
+    ]
+    sf = str(tmp_path / "cusum")
+    _write_events(spark, sf, rows)
+
+    s, expect = 0, []
+    for v in values:
+        s = max(0, s + round(v * 100) - CUSUM_DRIFT_CENTS)
+        expect.append((s, s >= CUSUM_ALARM_CENTS))
+
+    out = sorted(win_cusum_alarm(spark, sf).collect(), key=lambda r: r.event_id)
+    assert [(r.cusum_cents, r.alarm) for r in out] == expect
+    assert any(a for _, a in expect)  # the fixture actually crosses h
+
+
+def test_weighted_median_range_frame_ties(spark, tmp_path):
+    """Hand-computed weighted medians, including a tied-value group and
+    an even-total group where the lower weighted median must win."""
+    from graph_etl_pipeline_spark.queries.aggregates import agg_weighted_median
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        # flag A: cents 100 w1, 200 w2, 300 w1 -> W=4, median 200
+        (1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "A", "O", t),
+        (1, 1, 1, 2, 2.0, 2.00, 0.0, 0.0, "A", "O", t),
+        (2, 1, 1, 1, 1.0, 3.00, 0.0, 0.0, "A", "O", t),
+        # flag B: cents 100 w1, 200 w1 -> W=2, lower median 100
+        (3, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "B", "O", t),
+        (3, 1, 1, 2, 1.0, 2.00, 0.0, 0.0, "B", "O", t),
+        # flag C: tied cents 500 w1 + 500 w1 + 700 w1 -> median 500
+        (4, 1, 1, 1, 1.0, 5.00, 0.0, 0.0, "C", "O", t),
+        (4, 1, 1, 2, 1.0, 5.00, 0.0, 0.0, "C", "O", t),
+        (4, 1, 1, 3, 1.0, 7.00, 0.0, 0.0, "C", "O", t),
+    ]
+    sf = str(tmp_path / "wmed")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {
+        r.flag: (r.total_weight, r.wmedian_cents)
+        for r in agg_weighted_median(spark, sf).collect()
+    }
+    assert got == {"A": (4, 200), "B": (2, 100), "C": (3, 500)}
+
+
+def test_referential_integrity_planted_orphans(spark, tmp_path):
+    """A minimal star with exactly one orphan order key (two rows) and one
+    orphan supplier key: counts, key lists, and ppm must be exact."""
+    from graph_etl_pipeline_spark.queries.quality import dq_referential_integrity
+
+    sf = str(tmp_path / "ri")
+    t = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame([(0, "R0")], "r_regionkey long, r_name string").write.parquet(f"{sf}/region.parquet")
+    spark.createDataFrame([(0, "N0", 0)], "n_nationkey long, n_name string, n_regionkey long").write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame([(1, "C1", 0)], "c_custkey long, c_name string, c_nationkey long").write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0), (2, "S2", 0)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame([(1, "P1")], "p_partkey long, p_name string").write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 1.0, t, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    # lineitem: 3 rows on good order 10, 2 rows on MISSING order 99;
+    # one row references MISSING supplier 9.
+    li = [
+        (10, 1, 1, 1), (10, 1, 2, 2), (10, 1, 1, 3),
+        (99, 1, 1, 1), (99, 1, 9, 2),
+    ]
+    spark.createDataFrame(
+        [(o, p, s, ln, 1.0, 1.0, 0.0, 0.0, "A", "O", t) for o, p, s, ln in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {r.fk_edge: r for r in dq_referential_integrity(spark, sf).collect()}
+    ok = got["lineitem.l_orderkey"]
+    assert (ok.n_rows, ok.n_keys, ok.n_orphan_rows, ok.n_orphan_keys) == (5, 2, 2, 1)
+    assert ok.orphan_ppm == 2 * 1_000_000 // 5
+    sk = got["lineitem.l_suppkey"]
+    assert (sk.n_orphan_rows, sk.n_orphan_keys) == (1, 1)
+    assert got["orders.o_custkey"].n_orphan_rows == 0
+    assert got["nation.n_regionkey"].orphan_ppm == 0
+    assert len(got) == 7
+
+
+def test_filter_funnel_sequential_attrition(spark, tmp_path):
+    """Five planted docs: one survivor, one too short, one under the token
+    floor, one repetitive, and an exact duplicate of the survivor — each
+    must fall at ITS stage, and the funnel must chain (n_in of stage k+1
+    == n_kept of stage k)."""
+    from graph_etl_pipeline_spark.queries.composite import (
+        FUNNEL_MIN_CHARS, pipeline_filter_funnel,
+    )
+
+    good = " ".join(f"tok{i}" for i in range(60))
+    assert len(good) >= FUNNEL_MIN_CHARS
+    rep = ("dup " * 80).strip()  # long enough, enough tokens, 1 distinct
+    docs = [
+        (1, good, "en", "web", len(good)),
+        (2, "tiny", "en", "web", 4),                      # stage 1
+        (3, "x" * 250, "en", "web", 250),                 # stage 2: 1 token
+        (4, rep, "en", "web", len(rep)),                  # stage 3
+        (5, good, "en", "web", len(good)),                # stage 4 dup of 1
+    ]
+    sf = str(tmp_path / "funnel")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.stage: r for r in pipeline_filter_funnel(spark, sf).collect()}
+    assert [(rows[s].n_in, rows[s].n_kept) for s in (1, 2, 3, 4)] == [
+        (5, 4), (4, 3), (3, 2), (2, 1),
+    ]
+    assert [rows[s].filter_name for s in (1, 2, 3, 4)] == [
+        "len_floor", "token_floor", "repetition_cap", "exact_dedup",
+    ]
+    assert all(rows[s].n_dropped == rows[s].n_in - rows[s].n_kept for s in rows)
+
+
+def test_csv_quarantine_flags_and_recovers(spark):
+    """On the real customer table: quarantined set must be exactly the
+    planted corruption residue, recovered keys must cover every source
+    row, and clean rows must carry exact cents."""
+    import duckdb
+
+    from graph_etl_pipeline_spark.queries.sources import (
+        QUARANTINE_MOD, QUARANTINE_RESIDUE, src_csv_quarantine,
+    )
+
+    out = src_csv_quarantine(spark, SF_SMOKE).collect()
+    src = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT)"
+            f" FROM '{SF_SMOKE}/customer.parquet'"
+        ).fetchall()
+    )
+    assert {r.c_custkey for r in out} == set(src)
+    for r in out:
+        assert r.quarantined == (r.c_custkey % QUARANTINE_MOD == QUARANTINE_RESIDUE)
+        assert r.acctbal_cents == (None if r.quarantined else src[r.c_custkey])
+    assert any(r.quarantined for r in out)
+
+
+def test_pack_tokenized_cap_offsets_straddle(spark, tmp_path):
+    """Three docs: one under the cap, one OVER the truncation cap, one
+    empty — offsets, seq ids, and the straddle flag replayed in Python."""
+    from graph_etl_pipeline_spark.queries.textops import (
+        PACK_SEQ_LEN, PACK_TOK_MAXLEN, text_pack_tokenized,
+    )
+
+    docs = [
+        (1, "a " * 100, "en", "w", 200),          # 100 tokens
+        (2, "b " * (PACK_TOK_MAXLEN + 88), "en", "w", 0),  # capped at 512
+        (3, "", "en", "w", 0),                     # zero tokens
+        (4, "c " * 30, "en", "w", 60),
+    ]
+    sf = str(tmp_path / "packtok")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.doc_id: r for r in text_pack_tokenized(spark, sf).collect()}
+    n_bpe = {1: 100, 2: PACK_TOK_MAXLEN + 88, 3: 0, 4: 30}
+    off, expect = 0, {}
+    for did in sorted(n_bpe):
+        n_tok = min(n_bpe[did], PACK_TOK_MAXLEN)
+        seq = off // PACK_SEQ_LEN
+        end = (off + n_tok - 1) // PACK_SEQ_LEN if n_tok else seq
+        expect[did] = (n_bpe[did], n_tok, off, seq, end, n_tok > 0 and end > seq)
+        off += n_tok
+    got = {
+        d: (r.n_bpe, r.n_tok, r.global_offset, r.seq_id, r.end_seq_id, r.straddles)
+        for d, r in out.items()
+    }
+    assert got == expect
+    assert out[2].n_tok == PACK_TOK_MAXLEN  # the cap engaged
+
+
+def test_matryoshka_prefix_disagreement(spark, tmp_path):
+    """Planted vectors where the truncated ranker disagrees with the full
+    ranker: vec 1 wins on the prefix dims, vec 2 wins on the tail — both
+    rank lists and the disagreement join must be exact."""
+    from graph_etl_pipeline_spark.queries.similarity import (
+        DIM, MRL_PREFIX_DIM, embed_matryoshka_prefix,
+    )
+
+    def vec(prefix_val, tail_val):
+        return [float(prefix_val)] * MRL_PREFIX_DIM + [float(tail_val)] * (
+            DIM - MRL_PREFIX_DIM
+        )
+
+    rows = [
+        (0, vec(1.0, 1.0), 0),       # probe
+        (1, vec(2.0, 0.0), 0),       # prefix specialist
+        (2, vec(0.0, 2.0), 0),       # tail specialist
+        (3, vec(1.0, 1.0), 0),       # balanced
+    ]
+    sf = str(tmp_path / "mrl")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = {r.vec_id: r for r in embed_matryoshka_prefix(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    # full dots: v1 = 2*16, v2 = 2*48, v3 = 16+48 -> full order 2,3,1
+    assert [out[v].full_rank for v in (2, 3, 1)] == [1, 2, 3]
+    # prefix dots: v1 = 2*16, v2 = 0, v3 = 16 -> prefix order 1,3,2
+    assert [out[v].prefix_rank for v in (1, 3, 2)] == [1, 2, 3]
+
+
+def test_matryoshka_contract_no_nulls_at_full_k(spark):
+    """On the real embeddings table both top-K heaps are full; any row
+    with a NULL rank is in exactly one list (the disagreement set)."""
+    from graph_etl_pipeline_spark.queries.similarity import (
+        MRL_TOPK, embed_matryoshka_prefix,
+    )
+
+    out = embed_matryoshka_prefix(spark, SF_SMOKE).collect()
+    full = [r for r in out if r.full_rank is not None]
+    pref = [r for r in out if r.prefix_rank is not None]
+    assert len(full) == MRL_TOPK and len(pref) == MRL_TOPK
+    assert sorted(r.full_rank for r in full) == list(range(1, MRL_TOPK + 1))
+    assert sorted(r.prefix_rank for r in pref) == list(range(1, MRL_TOPK + 1))
