@@ -92,7 +92,7 @@ EXTRA = [
     "sink_dynamic_partition_overwrite",  # partition-granular publish (r9)
     "src_multiline_log_scan",  # wholetext multiline stitch + extract (r9)
     "pipeline_antientropy_repair",  # digest diff + pruned row join (r9)
-    "graph_harmonic_centrality",  # all-sources bounded BFS, exact sixths (r10)
+    "graph_harmonic_centrality",  # chunked-bitset hop ORs, exact sixths (r10)
     "win_attribution_multitouch",  # U-shaped credits, two window exchanges (r10)
     "graph_closeness_sampled",  # K-pivot sampled BFS closeness (r10)
     "win_cusum_alarm",  # CUSUM drift detector, one exchange (r10)
@@ -102,6 +102,10 @@ EXTRA = [
     "src_csv_quarantine",  # permissive CSV + quarantine recovery (r10)
     "text_pack_tokenized",  # tokenizer-aware capped packing (r10)
     "embed_matryoshka_prefix",  # prefix-dim ranking contract (r10)
+    "cdc_tombstone_compaction",  # log compaction + tombstone GC (r10)
+    "agg_hdr_histogram",  # log-bucketed histogram + quantile walk (r10)
+    "geo_bbox_contains_join",  # cell-cover containment join (r10)
+    "sample_class_balance",  # per-class quota downsampling (r10)
 ]
 
 

@@ -1671,3 +1671,136 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").cast("long").alias("wmedian_cents"),
         )
     )
+
+
+# --- HDR (log-bucketed) latency histogram ------------------------------------
+HDR_SUBS = 4  # sub-buckets per power of two (2 mantissa bits)
+
+
+def _sql_hdr_bucket(v: str) -> tuple[str, str, str]:
+    """(e, sub, lower-bound) exprs for the HDR bucket of integer v >= 1."""
+    e = f"(length(bin({v})) - 1)"
+    sub = f"(({HDR_SUBS} * ({v} - (CAST(1 AS BIGINT) << {e}))) >> {e})"
+    lb = f"(((CAST(1 AS BIGINT) << {e}) * ({HDR_SUBS} + {sub})) // {HDR_SUBS})"
+    return e, sub, lb
+
+
+@register(
+    "agg_hdr_histogram",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) + 1 AS v
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) + 1 >= 1
+    ),
+    bucketed AS (
+        SELECT event_type,
+               {_sql_hdr_bucket("v")[0]} AS e, {_sql_hdr_bucket("v")[1]} AS sub
+        FROM vals
+    ),
+    hist AS (
+        SELECT event_type, e, sub, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, e, sub, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY e, sub
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM hist
+    ),
+    q AS (
+        SELECT event_type, tot,
+               MIN(CASE WHEN 100 * cw >= 50 * tot
+                        THEN ((CAST(1 AS BIGINT) << e) * ({HDR_SUBS} + sub)) // {HDR_SUBS}
+                   END) AS p50_lb,
+               MIN(CASE WHEN 100 * cw >= 95 * tot
+                        THEN ((CAST(1 AS BIGINT) << e) * ({HDR_SUBS} + sub)) // {HDR_SUBS}
+                   END) AS p95_lb,
+               MIN(CASE WHEN 100 * cw >= 99 * tot
+                        THEN ((CAST(1 AS BIGINT) << e) * ({HDR_SUBS} + sub)) // {HDR_SUBS}
+                   END) AS p99_lb,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM cum GROUP BY event_type, tot
+    )
+    SELECT event_type, CAST(tot AS BIGINT) AS n,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(p50_lb AS BIGINT) AS p50_lb,
+           CAST(p95_lb AS BIGINT) AS p95_lb,
+           CAST(p99_lb AS BIGINT) AS p99_lb
+    FROM q
+    """,
+    tags=("agg", "histogram", "sketch", "dq"),
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-HISTOGRAM aggregation — the log-bucketed value-distribution
+    sketch fleet latency/spend tooling actually stores (hdrhistogram.org
+    semantics): bucket = (power-of-two exponent, {HDR_SUBS} linear
+    sub-buckets within it), giving bounded relative error at every
+    magnitude with O(log(max)·{HDR_SUBS}) buckets, mergeable by simple
+    count addition across shards/days — the property percentile arrays
+    lack. p50/p95/p99 are then reconstructed from bucket lower bounds.
+
+    Exactness discipline: the exponent comes from the BINARY STRING
+    length (length(bin(v))−1) — a bit-length, not floor(log2(double))
+    whose last-ulp behavior near powers of two differs between engines;
+    sub-bucket and lower bound are pure int64 shifts and divs. Every
+    reported number (counts, bucket ids, quantile lower bounds) is an
+    exact integer, hash-identical at any partitioning.
+
+    Scale: one scan → map-side (type, e, sub) count (few hundred groups,
+    fully map-combinable); quantile reconstruction runs on the BUCKET
+    table (O(types·buckets) rows), never re-touching the data — the same
+    two-window-one-exchange shape as agg_weighted_median but over the
+    sketch, which is why this is the 100 TB path where exact medians are
+    not."""
+    ev = table(spark, sf_dir, "events")
+    v = (F.round(F.col("value") * 100).cast("long") + 1).alias("v")
+    vals = ev.select("event_type", v).filter(F.col("v") >= 1)
+    e = (F.length(F.bin("v")) - 1).cast("long")
+    bucketed = vals.select(
+        "event_type",
+        e.alias("e"),
+        F.expr(
+            f"shiftright({HDR_SUBS} * (v - shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin(v)) - 1)), length(bin(v)) - 1)"
+        ).cast("long").alias("sub"),
+    )
+    hist = bucketed.groupBy("event_type", "e", "sub").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    lb = F.expr(
+        f"(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) * ({HDR_SUBS} + sub))"
+        f" div {HDR_SUBS}"
+    )
+    cum = hist.select(
+        "event_type",
+        "e",
+        "sub",
+        "n",
+        F.sum("n").over(wcum).alias("cw"),
+        F.sum("n").over(wall).alias("tot"),
+        lb.alias("lb"),
+    )
+    pick = lambda pct: F.min(  # noqa: E731
+        F.when(100 * F.col("cw") >= pct * F.col("tot"), F.col("lb"))
+    ).cast("long")
+    return cum.groupBy("event_type", "tot").agg(
+        pick(50).alias("p50_lb"),
+        pick(95).alias("p95_lb"),
+        pick(99).alias("p99_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    ).select(
+        "event_type",
+        F.col("tot").cast("long").alias("n"),
+        "n_buckets",
+        "p50_lb",
+        "p95_lb",
+        "p99_lb",
+    )

@@ -309,3 +309,94 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
     ).select("event_id", "user_id", "ts", "attr_value", "valid_from")
+
+
+# --- Log compaction with tombstone retention -------------------------------------
+COMPACT_TOMBSTONE_DAYS = 30  # tombstones younger than this survive compaction
+
+
+@register(
+    "cdc_tombstone_compaction",
+    oracle=f"""
+    WITH latest AS (
+        SELECT o_custkey AS key,
+               o_orderstatus = 'F' AS is_tombstone,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS payload_cents,
+               o_orderdate AS ts
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn FROM orders
+        ) WHERE rn = 1
+    ),
+    horizon AS (
+        SELECT MAX(o_orderdate) - INTERVAL {COMPACT_TOMBSTONE_DAYS} DAY AS cutoff
+        FROM orders
+    )
+    SELECT key, is_tombstone,
+           CASE WHEN is_tombstone THEN NULL ELSE payload_cents END AS payload_cents,
+           ts
+    FROM latest, horizon
+    WHERE NOT is_tombstone OR ts >= cutoff
+    """,
+    tags=("cdc", "compaction", "sink"),
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAFKA-STYLE LOG COMPACTION with tombstone retention — the third
+    leg of the CDC family (cdc_snapshot_diff produces a feed,
+    cdc_apply_changefeed consumes one; this one compacts the LOG
+    itself): per key keep only the LATEST record; if that record is a
+    delete marker (tombstone), keep the tombstone only while it is
+    younger than the retention horizon — old tombstones are purged and
+    the key vanishes from the compacted segment. Dropping tombstones
+    too early is the classic compaction bug (a lagging consumer never
+    learns the delete and resurrects the key), which is why retention
+    is a first-class parameter and the tombstone rows are in the
+    OUTPUT, not just subtracted.
+
+    The changelog is derived deterministically from orders (latest
+    order per customer; finalized status = tombstone); the horizon is
+    max(o_orderdate) − {COMPACT_TOMBSTONE_DAYS} days, computed in-plan
+    as a 1-row broadcast — both engines derive it identically, no
+    wall-clock in the query.
+
+    Scale shape: compaction is ONE per-key window reduction (CDC logs
+    are key-skewed, so the reduce happens before anything joins), the
+    horizon is a 1-row cross broadcast, and tombstone GC is a map-side
+    filter — segment in, segment out, O(keys) output. This is exactly
+    the periodic-compactor job shape over a 100 TB changelog: shuffle
+    once on key, no driver involvement."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            (F.col("o_orderstatus") == "F").alias("is_tombstone"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("payload_cents"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    horizon = F.broadcast(
+        o.agg(
+            (
+                F.max("o_orderdate") - F.expr(f"INTERVAL {COMPACT_TOMBSTONE_DAYS} DAY")
+            ).alias("cutoff")
+        )
+    )
+    return (
+        latest.crossJoin(horizon)
+        .filter(~F.col("is_tombstone") | (F.col("ts") >= F.col("cutoff")))
+        .select(
+            "key",
+            "is_tombstone",
+            F.when(~F.col("is_tombstone"), F.col("payload_cents")).alias(
+                "payload_cents"
+            ),
+            "ts",
+        )
+    )

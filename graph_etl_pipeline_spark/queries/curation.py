@@ -765,3 +765,65 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(WPRI_K)
     )
+
+
+# --- Class-balanced downsampling ---------------------------------------------
+
+
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rnk
+        FROM documents
+    ),
+    floor_n AS (
+        SELECT MIN(n) AS n_min FROM (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        )
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_min AS BIGINT) AS class_quota
+    FROM ranked, floor_n
+    WHERE rnk <= n_min
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED DOWNSAMPLING — equalize class sizes by cutting every
+    class to the MINORITY class's count (the classifier-training /
+    eval-set recipe where majority-class gradient domination is the
+    failure mode; the upsampling direction is sample_upsample_epochs).
+    Within each class the survivors are the quota-smallest seeded-md5
+    draws — the registry's established deterministic-uniform discipline
+    (sample_reservoir_bottomk's hash, partitioned per class), so the
+    sample is uniform-within-class, reproducible, and hash-identical in
+    both engines; doc_id breaks hash ties.
+
+    Plan shape: ONE window exchange on the class key ranks every row;
+    the quota is a two-level aggregate (per-class counts → 1-row global
+    min) that joins back as a broadcast — no second pass over the data,
+    no collect. At 100 TB the per-class rank is the same bounded
+    window any per-key top-K pays; a pathologically hot class bounds the
+    task at its row count, where the production variant switches the
+    rank to the bottom-K heap (TakeOrdered per class, sample_weighted_
+    priority's machinery) once quota ≪ class size."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    quota = F.broadcast(
+        d.groupBy("lang").count().agg(F.min("count").alias("class_quota"))
+    )
+    return (
+        ranked.crossJoin(quota)
+        .filter(F.col("rnk") <= F.col("class_quota"))
+        .select("doc_id", "lang", "rnk", F.col("class_quota").cast("long").alias("class_quota"))
+    )

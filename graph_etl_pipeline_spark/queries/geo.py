@@ -162,3 +162,122 @@ def geo_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.s_suppkey").alias("nn_suppkey"),
         F.col("best.d2").alias("d2"),
     )
+
+
+# Bounding boxes for the containment join: half-extent per axis derived
+# from its own md5 lane, capped well under one grid cell so a box covers
+# at most a 2x2 cell block (bounded fan-out).
+GEO_BOX_MAX_HALF = 60_000
+
+
+def _half_sql(seed: str, key: str) -> str:
+    return (
+        f"1 + CAST(('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 6))"
+        f" AS BIGINT) % {GEO_BOX_MAX_HALF}"
+    )
+
+
+def _half(seed: str, key: F.Column) -> F.Column:
+    return 1 + F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(GEO_BOX_MAX_HALF),
+    )
+
+
+@register(
+    "geo_bbox_contains_join",
+    oracle=f"""
+    WITH p AS (
+        SELECT c_custkey,
+               {_coord_sql("gx", "c_custkey")} AS x,
+               {_coord_sql("gy", "c_custkey")} AS y
+        FROM customer
+    ),
+    b AS (
+        SELECT s_suppkey,
+               {_coord_sql("sx", "s_suppkey")} AS cx,
+               {_coord_sql("sy", "s_suppkey")} AS cy,
+               {_half_sql("shw", "s_suppkey")} AS hw,
+               {_half_sql("shh", "s_suppkey")} AS hh
+        FROM supplier
+    )
+    SELECT p.c_custkey, b.s_suppkey,
+           CAST(b.cx - b.hw AS BIGINT) AS x_lo, CAST(b.cx + b.hw AS BIGINT) AS x_hi
+    FROM p JOIN b
+      ON p.x BETWEEN b.cx - b.hw AND b.cx + b.hw
+     AND p.y BETWEEN b.cy - b.hh AND b.cy + b.hh
+    """,
+    tags=("geo", "join", "spatial"),
+)
+def geo_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED CONTAINMENT JOIN (point-in-bbox) — the second
+    spatial-join verb beside geo_grid_nn_join's nearest-neighbor: which
+    region contains this point (geofencing, tile assignment, admin-area
+    tagging). The naive plan is a range-predicate theta-join — a
+    nested-loop at any scale. Here each BOX explodes to the grid cells
+    its extent covers (half-extents are capped under one cell edge, so
+    that cover is at most a 2×2 block — a bounded ×≤4 map-side fan-out,
+    the build side's analogue of the NN probe ring), each POINT lands in
+    its single cell, candidates meet in a plain equi-join on the cell
+    id, and the exact BETWEEN containment verifies map-side after the
+    join. A point lies in exactly one cell, so a box-cell pair can match
+    it at most once — no post-join dedup needed.
+
+    All geometry is exact int64 micro-units derived from seeded md5
+    lanes (the shared geo-fixture discipline; the oracle replays the
+    derivation and joins on the raw predicate, so a wrong cell cover —
+    the classic off-by-one at cell boundaries — surfaces as a missing
+    or extra pair, not a silent approximation).
+
+    At 100 TB: cells bound candidate volume by local density; the boxes
+    side (regions/geofences) is usually dimension-sized and broadcasts,
+    while the exploded cover keeps working unchanged when both sides are
+    fact-sized (shuffle on cell id). Larger regions use a coarser grid
+    level for the cover — same operator, different cell constant."""
+    p = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("gx", F.col("c_custkey")).alias("x"),
+        _coord("gy", F.col("c_custkey")).alias("y"),
+    ).withColumn("cell_x", F.expr(f"x div {GEO_CELL}")).withColumn(
+        "cell_y", F.expr(f"y div {GEO_CELL}")
+    )
+    b = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _coord("sx", F.col("s_suppkey")).alias("cx"),
+        _coord("sy", F.col("s_suppkey")).alias("cy"),
+        _half("shw", F.col("s_suppkey")).alias("hw"),
+        _half("shh", F.col("s_suppkey")).alias("hh"),
+    )
+    cover = b.select(
+        "s_suppkey",
+        "cx",
+        "cy",
+        "hw",
+        "hh",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cx - hw) div {GEO_CELL}"), F.expr(f"(cx + hw) div {GEO_CELL}")
+            )
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cy - hh) div {GEO_CELL}"), F.expr(f"(cy + hh) div {GEO_CELL}")
+            )
+        ).alias("cell_y"),
+    )
+    joined = p.join(F.broadcast(cover), ["cell_x", "cell_y"]).filter(
+        F.col("x").between(F.col("cx") - F.col("hw"), F.col("cx") + F.col("hw"))
+        & F.col("y").between(F.col("cy") - F.col("hh"), F.col("cy") + F.col("hh"))
+    )
+    return joined.select(
+        "c_custkey",
+        "s_suppkey",
+        (F.col("cx") - F.col("hw")).cast("long").alias("x_lo"),
+        (F.col("cx") + F.col("hw")).cast("long").alias("x_hi"),
+    )

@@ -49,8 +49,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # --- GENERATED WINDOW (scripts/gen_window.py) — do not hand-edit ---
 CORE_ORDER = [
     "agg_weighted_median",
+    "agg_hdr_histogram",
+    "cdc_tombstone_compaction",
+    "sample_class_balance",
     "text_pack_tokenized",
     "pipeline_filter_funnel",
+    "geo_bbox_contains_join",
     "graph_harmonic_centrality",
     "graph_closeness_sampled",
     "dq_referential_integrity",
@@ -94,10 +98,6 @@ CORE_ORDER = [
     "fn_timestamps",
     "graph_count_by_label",
     "graph_reachability",
-    "join_consistency_antijoin",
-    "join_left_semi",
-    "join_two_hop",
-    "mm_binary_features",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -107,6 +107,10 @@ QUERIES = [
     "src_csv_quarantine",         # permissive parse + raw-line key recovery (r10)
     "text_pack_tokenized",        # capped two-level prefix sum + straddle (r10)
     "embed_matryoshka_prefix",    # dual TakeOrdered heaps + int64 dots (r10)
+    "cdc_tombstone_compaction",   # per-key window + 1-row horizon broadcast (r10)
+    "agg_hdr_histogram",          # bit-length buckets + cum bucket walk (r10)
+    "geo_bbox_contains_join",     # cell-cover explode + BETWEEN verify (r10)
+    "sample_class_balance",       # per-class md5 rank + broadcast quota (r10)
 ]
 
 _SCRIPT = f"""
@@ -137,7 +141,7 @@ print("FAILS:", fails)
 
 def test_oracle_parity_survives_hostile_topology():
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=560
+        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=900
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FAILS: 0" in r.stdout, r.stdout + r.stderr[-1000:]

@@ -64,6 +64,10 @@ EMPTY_SAFE = [
     "agg_weighted_median",
     "text_pack_tokenized",
     "embed_matryoshka_prefix",
+    "cdc_tombstone_compaction",
+    "agg_hdr_histogram",
+    "geo_bbox_contains_join",
+    "sample_class_balance",
 ]
 
 

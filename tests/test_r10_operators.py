@@ -296,3 +296,155 @@ def test_matryoshka_contract_no_nulls_at_full_k(spark):
     assert len(full) == MRL_TOPK and len(pref) == MRL_TOPK
     assert sorted(r.full_rank for r in full) == list(range(1, MRL_TOPK + 1))
     assert sorted(r.prefix_rank for r in pref) == list(range(1, MRL_TOPK + 1))
+
+
+def test_tombstone_compaction_retention(spark, tmp_path):
+    """Planted changelog: recent tombstone kept, stale tombstone purged,
+    live update kept, tombstone superseded by a newer update kept as the
+    update."""
+    from graph_etl_pipeline_spark.queries.cdc import (
+        COMPACT_TOMBSTONE_DAYS, cdc_tombstone_compaction,
+    )
+
+    t = datetime.datetime(2024, 6, 30)
+    d = datetime.timedelta
+    rows = [
+        # key 1: latest is a RECENT tombstone -> kept as tombstone
+        (10, 1, "O", 5.0, t - d(days=90), "x"),
+        (11, 1, "F", 6.0, t - d(days=5), "x"),
+        # key 2: latest is a STALE tombstone -> purged entirely
+        (20, 2, "F", 7.0, t - d(days=80), "x"),
+        # key 3: plain latest update -> kept with payload
+        (30, 3, "O", 8.25, t - d(days=40), "x"),
+        (31, 3, "O", 9.75, t - d(days=2), "x"),
+        # key 4: old tombstone superseded by a newer update -> kept as update
+        (40, 4, "F", 1.0, t - d(days=70), "x"),
+        (41, 4, "P", 2.5, t - d(days=1), "x"),
+        # key 5 defines max(o_orderdate) = t
+        (50, 5, "O", 3.0, t, "x"),
+    ]
+    sf = str(tmp_path / "compact")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    out = {r.key: r for r in cdc_tombstone_compaction(spark, sf).collect()}
+    assert set(out) == {1, 3, 4, 5}  # key 2's stale tombstone purged
+    assert out[1].is_tombstone and out[1].payload_cents is None
+    assert (out[3].is_tombstone, out[3].payload_cents) == (False, 975)
+    assert (out[4].is_tombstone, out[4].payload_cents) == (False, 250)
+    assert COMPACT_TOMBSTONE_DAYS == 30  # fixture horizons assume it
+
+
+def test_hdr_histogram_buckets_and_quantiles(spark, tmp_path):
+    """Planted values replayed through the exact bucket arithmetic in
+    Python: exponent from bit length, 4 linear sub-buckets, quantile
+    lower bounds from the cumulative bucket walk."""
+    from graph_etl_pipeline_spark.queries.aggregates import (
+        HDR_SUBS, agg_hdr_histogram,
+    )
+
+    values = [0.00, 0.01, 0.02, 0.5, 1.0, 10.0, 10.0, 100.0, 1000.0, 12345.67]
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(values)
+    ]
+    sf = str(tmp_path / "hdr")
+    _write_events(spark, sf, rows)
+
+    def bucket(v):
+        e = v.bit_length() - 1
+        sub = (HDR_SUBS * (v - (1 << e))) >> e
+        return e, sub
+
+    def lb(e, sub):
+        return ((1 << e) * (HDR_SUBS + sub)) // HDR_SUBS
+
+    from collections import Counter
+    hist = Counter(bucket(round(v * 100) + 1) for v in values)
+    ordered = sorted(hist)
+    n = len(values)
+
+    def pick(pct):
+        cw = 0
+        for b in ordered:
+            cw += hist[b]
+            if 100 * cw >= pct * n:
+                return lb(*b)
+
+    (row,) = agg_hdr_histogram(spark, sf).collect()
+    assert (row.event_type, row.n, row.n_buckets) == ("click", n, len(hist))
+    assert (row.p50_lb, row.p95_lb, row.p99_lb) == (pick(50), pick(95), pick(99))
+
+
+def test_bbox_contains_matches_bruteforce(spark):
+    """On the real tables: the grid-cover equi-join must produce exactly
+    the brute-force containment pairs (md5 coordinate derivation
+    replayed in Python)."""
+    import hashlib
+
+    import duckdb
+
+    from graph_etl_pipeline_spark.queries.geo import (
+        GEO_BOX_MAX_HALF, GEO_UNITS, geo_bbox_contains_join,
+    )
+
+    def lane(seed, key, mod):
+        h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:6]
+        return int(h, 16) % mod
+
+    custs = [r[0] for r in duckdb.sql(
+        f"SELECT c_custkey FROM '{SF_SMOKE}/customer.parquet'").fetchall()]
+    supps = [r[0] for r in duckdb.sql(
+        f"SELECT s_suppkey FROM '{SF_SMOKE}/supplier.parquet'").fetchall()]
+    boxes = {
+        s: (
+            lane("sx", s, GEO_UNITS), lane("sy", s, GEO_UNITS),
+            1 + lane("shw", s, GEO_BOX_MAX_HALF), 1 + lane("shh", s, GEO_BOX_MAX_HALF),
+        )
+        for s in supps
+    }
+    expect = {
+        (c, s)
+        for c in custs
+        for s, (cx, cy, hw, hh) in boxes.items()
+        if abs(lane("gx", c, GEO_UNITS) - cx) <= hw
+        and abs(lane("gy", c, GEO_UNITS) - cy) <= hh
+    }
+    got = {
+        (r.c_custkey, r.s_suppkey)
+        for r in geo_bbox_contains_join(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert expect  # the fixture actually produces containments
+
+
+def test_class_balance_quota_and_draws(spark, tmp_path):
+    """Three classes sized 5/3/4: every class cut to exactly 3, and the
+    survivors are each class's 3 smallest seeded-md5 draws."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.curation import sample_class_balance
+
+    docs, did = [], 0
+    for lang, n in (("en", 5), ("de", 3), ("fr", 4)):
+        for _ in range(n):
+            docs.append((did, f"text {did}", lang, "w", 10))
+            did += 1
+    sf = str(tmp_path / "bal")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = sample_class_balance(spark, sf).collect()
+    by_lang = {}
+    for r in out:
+        assert r.class_quota == 3
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    draw = lambda d: (hashlib.md5(f"bal:{d}".encode()).hexdigest(), d)  # noqa: E731
+    for lang, n in (("en", 5), ("de", 3), ("fr", 4)):
+        ids = [d for (d, _, lg, _, _) in docs if lg == lang]
+        assert by_lang[lang] == set(sorted(ids, key=draw)[:3]), lang
