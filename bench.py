@@ -106,6 +106,9 @@ EXTRA = [
     "agg_hdr_histogram",  # log-bucketed histogram + quantile walk (r10)
     "geo_bbox_contains_join",  # cell-cover containment join (r10)
     "sample_class_balance",  # per-class quota downsampling (r10)
+    "agg_welch_t_drift",  # exact-piece Welch mean-shift monitor (r10)
+    "graph_betweenness_stress_sampled",  # sampled-pair stress centrality (r10)
+    "src_varint_records_scan",  # varint-framed binary record scan (r10)
 ]
 
 

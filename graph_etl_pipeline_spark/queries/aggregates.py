@@ -1804,3 +1804,137 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p95_lb",
         "p99_lb",
     )
+
+
+# --- Welch's t drift statistic -----------------------------------------------
+
+
+@register(
+    "agg_welch_t_drift",
+    oracle="""
+    WITH split AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS x,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <
+                    (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                            + (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                               - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 2
+                     FROM events)
+                    THEN 1 ELSE 0 END AS ia
+        FROM events
+    ),
+    sums AS (
+        SELECT
+            CAST(SUM(ia) AS BIGINT) AS n1,
+            CAST(SUM(1 - ia) AS BIGINT) AS n2,
+            CAST(SUM(ia * x) AS BIGINT) AS s1,
+            CAST(SUM((1 - ia) * x) AS BIGINT) AS s2,
+            SUM(CAST(ia AS HUGEINT) * x * x) AS q1,
+            SUM(CAST(1 - ia AS HUGEINT) * x * x) AS q2
+        FROM split
+    ),
+    pieces AS (
+        SELECT n1, n2, s1, s2,
+               CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS dnum,
+               (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+                   * (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
+               + (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+                   * (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS vnum,
+               CAST(n1 AS HUGEINT) * n1 * (n1 - 1)
+                   * n2 * n2 * (n2 - 1) AS vden
+        FROM sums
+    )
+    SELECT n1, n2,
+           CAST(dnum AS VARCHAR) AS delta_num,
+           CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS delta_den,
+           CAST(vnum AS VARCHAR) AS se2_num,
+           CAST(vden AS VARCHAR) AS se2_den,
+           (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE))
+           * (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE))
+           / (CAST(CAST(vnum AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(vden AS VARCHAR) AS DOUBLE)) AS t2
+    FROM pieces
+    """,
+    tags=("agg", "drift", "stats"),
+)
+def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S T² DRIFT STATISTIC — the mean-shift member of the drift
+    family (agg_ks_drift detects distribution-shape drift, agg_chi2_drift
+    categorical drift; this one answers "did the MEAN move, allowing
+    unequal variances?" — the unequal-variance form matters because a
+    drifting pipeline usually moves mean and variance together, where
+    pooled-variance Student's t silently miscalibrates). The two samples
+    are the early/late halves of event time split at the min/max
+    midpoint — the same broadcastable-scalar split discipline as
+    agg_chi2_drift, no wall clock.
+
+    Exactness discipline (the agg_exact_moments convention): values
+    quantize once to integer cents; each half keeps (n, Σx, Σx²) in
+    int64/decimal(38) — map-combinable, order-independent. The statistic
+    then ships as EXACT INT128 RATIONAL PIECES rendered as strings —
+    Δ = delta_num/delta_den (mean difference), SE² = se2_num/se2_den
+    (s₁²/n₁ + s₂²/n₂ over the common denominator n₁²(n₁−1)n₂²(n₂−1)) —
+    so the hash row certifies every bit of the inference inputs; the
+    headline t² double is derived from those exact pieces with four IEEE
+    ops through the string bridge (identical in both engines — raw
+    decimal(38)→double casts differ by 1 ulp, strings do not).
+
+    Scale: one scan, one 1-row min/max broadcast, one map-combined
+    global aggregate — the sums merge by addition across shards/days, so
+    the monitor runs incrementally at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    mid = F.broadcast(
+        ev.agg(
+            (
+                F.floor(F.unix_timestamp(F.min("ts")))
+                + F.expr(
+                    "(CAST(floor(unix_timestamp(MAX(ts))) AS BIGINT)"
+                    " - CAST(floor(unix_timestamp(MIN(ts))) AS BIGINT)) div 2"
+                )
+            ).cast("long").alias("mid")
+        )
+    )
+    x = F.round(F.col("value") * 100).cast("long")
+    split = ev.crossJoin(mid).select(
+        x.alias("x"),
+        F.when(
+            F.floor(F.unix_timestamp("ts")).cast("long") < F.col("mid"), 1
+        ).otherwise(0).alias("ia"),
+    )
+    d38 = "decimal(38,0)"
+    sums = split.agg(
+        F.sum("ia").cast("long").alias("n1"),
+        F.sum(1 - F.col("ia")).cast("long").alias("n2"),
+        F.sum(F.col("ia") * F.col("x")).cast("long").alias("s1"),
+        F.sum((1 - F.col("ia")) * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("ia").cast(d38) * F.col("x") * F.col("x")).alias("q1"),
+        F.sum((1 - F.col("ia")).cast(d38) * F.col("x") * F.col("x")).alias("q2"),
+    )
+    c = lambda col: F.col(col).cast(d38)  # noqa: E731
+    dnum = c("s1") * F.col("n2") - c("s2") * F.col("n1")
+    w2 = c("n2") * F.col("n2") * (F.col("n2") - 1)
+    w1 = c("n1") * F.col("n1") * (F.col("n1") - 1)
+    vnum = (c("n1") * F.col("q1") - c("s1") * F.col("s1")) * w2 + (
+        c("n2") * F.col("q2") - c("s2") * F.col("s2")
+    ) * w1
+    vden = w1 * w2
+    pieces = sums.select(
+        "n1",
+        "n2",
+        dnum.cast("string").alias("delta_num"),
+        (c("n1") * F.col("n2")).cast("string").alias("delta_den"),
+        vnum.cast("string").alias("se2_num"),
+        vden.cast("string").alias("se2_den"),
+    )
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    delta = dd("delta_num") / dd("delta_den")
+    return pieces.select(
+        "n1",
+        "n2",
+        "delta_num",
+        "delta_den",
+        "se2_num",
+        "se2_den",
+        (delta * delta / (dd("se2_num") / dd("se2_den"))).alias("t2"),
+    )

@@ -1535,3 +1535,189 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("count(1) * 1000000 div sum(dist)").alias("closeness_ppm"),
         )
     )
+
+
+# --- Sampled stress (betweenness-family) centrality ------------------------------
+STRESS_HOPS = 3
+STRESS_PAIRS = 6  # sampled (source, target) pivot pairs
+
+
+def _sql_sigma_rounds() -> str:
+    """Unrolled Brandes forward pass: per round, candidate path counts =
+    sum of predecessors' sigma, anti-joined against settled so only the
+    first (= shortest) discovery keeps a row."""
+    ctes = []
+    for r in range(1, STRESS_HOPS + 1):
+        ctes.append(f"""e{r} AS (
+        SELECT f{r - 1}.src, bi.t AS node, SUM(f{r - 1}.sigma) AS sigma
+        FROM f{r - 1} JOIN bi ON bi.s = f{r - 1}.node
+        GROUP BY 1, 2
+    ),
+    f{r} AS (
+        SELECT e{r}.src, e{r}.node, CAST({r} AS BIGINT) AS dist, e{r}.sigma
+        FROM e{r} ANTI JOIN s{r - 1} USING (src, node)
+    ),
+    s{r} AS (SELECT * FROM s{r - 1} UNION ALL SELECT * FROM f{r})""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_betweenness_stress_sampled",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT s AS node FROM bi),
+    pv AS (
+        SELECT node, row_number() OVER (
+            ORDER BY md5('btw:' || CAST(node AS VARCHAR)), node
+        ) - 1 AS i
+        FROM verts
+        ORDER BY md5('btw:' || CAST(node AS VARCHAR)), node
+        LIMIT {2 * STRESS_PAIRS}
+    ),
+    pairs AS (
+        SELECT a.i // 2 AS pair_id, a.node AS ps, b.node AS pt
+        FROM pv a JOIN pv b ON b.i = a.i + 1 AND a.i % 2 = 0
+    ),
+    f0 AS (
+        SELECT node AS src, node, CAST(0 AS BIGINT) AS dist,
+               CAST(1 AS BIGINT) AS sigma
+        FROM pv
+    ),
+    s0 AS (SELECT * FROM f0),
+    {_sql_sigma_rounds()},
+    dst AS (SELECT * FROM s{STRESS_HOPS}),
+    pdist AS (
+        SELECT p.pair_id, p.ps, p.pt, d.dist AS d_st, d.sigma AS sigma_st
+        FROM pairs p JOIN dst d ON d.src = p.ps AND d.node = p.pt
+        WHERE d.dist > 0
+    )
+    SELECT a.node,
+           CAST(SUM(a.sigma * b.sigma) AS BIGINT) AS stress,
+           CAST(COUNT(DISTINCT pd.pair_id) AS BIGINT) AS n_pairs
+    FROM pdist pd
+    JOIN dst a ON a.src = pd.ps AND a.dist > 0
+    JOIN dst b ON b.src = pd.pt AND b.node = a.node AND b.dist > 0
+    WHERE a.dist + b.dist = pd.d_st
+    GROUP BY a.node
+    """,
+    tags=("graph", "iterative", "centrality", "sampling"),
+)
+def graph_betweenness_stress_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED STRESS CENTRALITY (the exact-integer member of the
+    betweenness family) — Brandes-style pair dependencies over sampled
+    pivot pairs: for K={STRESS_PAIRS} deterministically sampled
+    (source, target) pairs, count per vertex the SHORTEST s→t PATHS
+    PASSING THROUGH it (Shimbel's stress). Betweenness proper normalizes
+    by σ_st — a ratio whose float accumulation is summation-order-
+    dependent and therefore unhashable across engines; stress keeps the
+    same "who sits on the traffic" signal as pure path COUNTS, exact
+    int64, and a caller can normalize the output per pair (σ_st ships
+    alongside via the through-endpoint rows).
+
+    Algorithm: one multi-source Brandes FORWARD pass from all
+    2·{STRESS_PAIRS} pivots at once — per round, candidate σ(v) = Σ of
+    the previous frontier's σ over in-edges (a groupBy-sum), anti-joined
+    against settled state so only first (= shortest-distance) discovery
+    survives; the classic path-count DP lifted to a composite (src,
+    node) key. Then v lies on a shortest s→t path iff
+    d_s(v) + d_t(v) = d(s,t) (both BFS trees come from the SAME forward
+    pass — the graph is undirected) and contributes σ_s(v)·σ_t(v).
+    Endpoints are excluded (dist > 0 on both legs), matching the
+    standard betweenness convention.
+
+    Scale: pivot-pair sampling is THE practical betweenness estimator
+    (Brandes–Pich / Riondato–Kornaropoulos sampling) — state is
+    2K·|ball| rows, independent of |V|; every step is a bounded
+    frontier shuffle or an O(K·|ball|) join. The exact all-pairs form
+    is |V|²-hard by nature and intentionally absent; this operator is
+    the auditable sampled form, with the pivot draw on the registry's
+    seeded-md5 discipline so both engines sample identically."""
+    from pyspark.sql import Window
+
+    edges = interaction_edges(spark, sf_dir)
+    bi = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .localCheckpoint(eager=True)
+    )
+    verts = bi.select(F.col("s").alias("node")).distinct()
+    pv = (
+        verts.orderBy(
+            F.md5(F.concat(F.lit("btw:"), F.col("node").cast("string"))), "node"
+        )
+        .limit(2 * STRESS_PAIRS)
+        .select(
+            "node",
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        F.md5(F.concat(F.lit("btw:"), F.col("node").cast("string"))),
+                        "node",
+                    )
+                )
+                - 1
+            ).alias("i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        pv.alias("a")
+        .join(pv.alias("b"), F.expr("b.i = a.i + 1 AND a.i % 2 = 0"))
+        .select(
+            F.expr("a.i div 2").alias("pair_id"),
+            F.col("a.node").alias("ps"),
+            F.col("b.node").alias("pt"),
+        )
+    )
+    settled = pv.select(
+        F.col("node").alias("src"),
+        "node",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for rnd in range(1, STRESS_HOPS + 1):
+        expanded = (
+            frontier.join(bi, frontier.node == bi.s)
+            .groupBy("src", F.col("t").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        frontier = (
+            expanded.join(settled, ["src", "node"], "left_anti")
+            .select(
+                "src", "node", F.lit(rnd).cast("long").alias("dist"), "sigma"
+            )
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+    dst = settled
+    pdist = pairs.join(
+        dst.select(
+            F.col("src").alias("ps"),
+            F.col("node").alias("pt"),
+            F.col("dist").alias("d_st"),
+        ),
+        ["ps", "pt"],
+    ).filter(F.col("d_st") > 0)
+    a = dst.select(
+        F.col("src").alias("ps"),
+        "node",
+        F.col("dist").alias("da"),
+        F.col("sigma").alias("sa"),
+    ).filter(F.col("da") > 0)
+    b = dst.select(
+        F.col("src").alias("pt"),
+        "node",
+        F.col("dist").alias("db"),
+        F.col("sigma").alias("sb"),
+    ).filter(F.col("db") > 0)
+    through = (
+        pdist.join(a, "ps")
+        .join(b, ["pt", "node"])
+        .filter(F.col("da") + F.col("db") == F.col("d_st"))
+    )
+    return through.groupBy("node").agg(
+        F.sum(F.col("sa") * F.col("sb")).cast("long").alias("stress"),
+        F.countDistinct("pair_id").cast("long").alias("n_pairs"),
+    )

@@ -50,6 +50,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CORE_ORDER = [
     "agg_weighted_median",
     "agg_hdr_histogram",
+    "agg_welch_t_drift",
     "cdc_tombstone_compaction",
     "sample_class_balance",
     "text_pack_tokenized",
@@ -57,9 +58,11 @@ CORE_ORDER = [
     "geo_bbox_contains_join",
     "graph_harmonic_centrality",
     "graph_closeness_sampled",
+    "graph_betweenness_stress_sampled",
     "dq_referential_integrity",
     "embed_matryoshka_prefix",
     "src_csv_quarantine",
+    "src_varint_records_scan",
     "win_attribution_multitouch",
     "win_cusum_alarm",
     "stream_watermark_late",
@@ -95,9 +98,6 @@ CORE_ORDER = [
     "fn_code_parse",
     "fn_dict_normalize",
     "fn_hash_uid",
-    "fn_timestamps",
-    "graph_count_by_label",
-    "graph_reachability",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -111,6 +111,9 @@ QUERIES = [
     "agg_hdr_histogram",          # bit-length buckets + cum bucket walk (r10)
     "geo_bbox_contains_join",     # cell-cover explode + BETWEEN verify (r10)
     "sample_class_balance",       # per-class md5 rank + broadcast quota (r10)
+    "agg_welch_t_drift",          # decimal(38) sums + int128-string pieces (r10)
+    "graph_betweenness_stress_sampled",  # sigma groupBy-sum BFS + pair joins (r10)
+    "src_varint_records_scan",    # per-file frame walk, Arrow batches (r10)
 ]
 
 _SCRIPT = f"""

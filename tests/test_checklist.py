@@ -94,6 +94,11 @@ R10_EMPTY_EXEMPT = frozenset({
     "pipeline_filter_funnel",
     # stages a CSV fixture (same reason src_csv_scan is exempt)
     "src_csv_quarantine",
+    # stages a binary fixture (same reason)
+    "src_varint_records_scan",
+    # global aggregate: emits its 1-row statistic (with zero counts) even
+    # on empty input - a 0-row result would be the bug
+    "agg_welch_t_drift",
 })
 
 # Pre-r10 rows not in the empty-input gate: streaming fixture builders,

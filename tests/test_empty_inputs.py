@@ -68,6 +68,7 @@ EMPTY_SAFE = [
     "agg_hdr_histogram",
     "geo_bbox_contains_join",
     "sample_class_balance",
+    "graph_betweenness_stress_sampled",
 ]
 
 

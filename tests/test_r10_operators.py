@@ -448,3 +448,113 @@ def test_class_balance_quota_and_draws(spark, tmp_path):
     for lang, n in (("en", 5), ("de", 3), ("fr", 4)):
         ids = [d for (d, _, lg, _, _) in docs if lg == lang]
         assert by_lang[lang] == set(sorted(ids, key=draw)[:3]), lang
+
+
+def test_welch_t_pieces_match_python_replay(spark, tmp_path):
+    """Two planted halves with different means/variances: the exact int
+    rational pieces and the 4-op t² must equal a literal Python replay of
+    Welch's formula over the same integers."""
+    from fractions import Fraction
+
+    from graph_etl_pipeline_spark.queries.aggregates import agg_welch_t_drift
+
+    base = datetime.datetime(2024, 5, 1)
+    early = [10.00, 12.00, 11.00, 13.00, 9.00]        # ts < midpoint
+    late = [20.00, 25.00, 30.00, 22.00]                # ts >= midpoint
+    rows = [
+        (i, base + datetime.timedelta(hours=i), 1, "click", v, "{}")
+        for i, v in enumerate(early)
+    ] + [
+        (100 + i, base + datetime.timedelta(hours=100 + i), 1, "click", v, "{}")
+        for i, v in enumerate(late)
+    ]
+    sf = str(tmp_path / "welch")
+    _write_events(spark, sf, rows)
+
+    x1 = [round(v * 100) for v in early]
+    x2 = [round(v * 100) for v in late]
+    n1, n2, s1, s2 = len(x1), len(x2), sum(x1), sum(x2)
+    q1, q2 = sum(v * v for v in x1), sum(v * v for v in x2)
+    dnum = s1 * n2 - s2 * n1
+    w1, w2 = n1 * n1 * (n1 - 1), n2 * n2 * (n2 - 1)
+    vnum = (n1 * q1 - s1 * s1) * w2 + (n2 * q2 - s2 * s2) * w1
+    vden = w1 * w2
+
+    (row,) = agg_welch_t_drift(spark, sf).collect()
+    assert (row.n1, row.n2) == (n1, n2)
+    assert (int(row.delta_num), int(row.delta_den)) == (dnum, n1 * n2)
+    assert (int(row.se2_num), int(row.se2_den)) == (vnum, vden)
+    # the double is derived from the exact pieces; Fraction replay bounds it
+    t2_exact = Fraction(dnum, n1 * n2) ** 2 / Fraction(vnum, vden)
+    assert abs(row.t2 - float(t2_exact)) < 1e-9 * float(t2_exact)
+    assert row.t2 > 4  # the planted mean shift is real
+
+
+def test_stress_sampled_path_graph_replay(spark, tmp_path):
+    """Path 1-2-3-4-5: pivots/pairs replayed from the md5 draw, stress
+    replayed from unique shortest paths (sigma = 1 on a path graph):
+    v's stress = #pairs whose <=3-hop path strictly contains v."""
+    import hashlib
+
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        STRESS_HOPS, STRESS_PAIRS, graph_betweenness_stress_sampled,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=u), u, "click", 1.0, "{}")
+        for u in range(1, 6)
+    ]
+    sf = str(tmp_path / "btw")
+    _write_events(spark, sf, rows)
+
+    draw = lambda n: (hashlib.md5(f"btw:{n}".encode()).hexdigest(), n)  # noqa: E731
+    pv = sorted(range(1, 6), key=draw)[: 2 * STRESS_PAIRS]
+    pairs = [(pv[i], pv[i + 1]) for i in range(0, len(pv) - 1, 2)]
+    expect = {}
+    for s, t in pairs:
+        if abs(s - t) > STRESS_HOPS:
+            continue  # farther than the hop bound: pair contributes nothing
+        for v in range(min(s, t) + 1, max(s, t)):
+            expect[v] = expect.get(v, [0, 0])
+            expect[v][0] += 1  # sigma products are 1 on a path graph
+            expect[v][1] += 1
+
+    got = {
+        r.node: [r.stress, r.n_pairs]
+        for r in graph_betweenness_stress_sampled(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_varint_codec_roundtrip_and_truncation():
+    from graph_etl_pipeline_spark.queries.sources import (
+        varint_encode, varint_records_decode,
+    )
+
+    payloads = [b"", b"x", b"a" * 127, b"b" * 128, b"c" * 300, b"tail"]
+    blob = b"".join(varint_encode(len(p)) + p for p in payloads)
+    assert varint_records_decode(blob) == payloads
+    with pytest.raises(ValueError):
+        varint_records_decode(blob[:-1])  # truncated payload
+    with pytest.raises(ValueError):
+        varint_records_decode(varint_encode(300)[:1])  # truncated header
+
+
+def test_varint_scan_full_coverage(spark):
+    import duckdb
+
+    from graph_etl_pipeline_spark.queries.sources import src_varint_records_scan
+
+    got = {
+        r.c_custkey: (r.c_name, r.c_mktsegment)
+        for r in src_varint_records_scan(spark, SF_SMOKE).collect()
+    }
+    src = {
+        k: (n, m)
+        for k, n, m in duckdb.sql(
+            f"SELECT c_custkey, c_name, c_mktsegment"
+            f" FROM '{SF_SMOKE}/customer.parquet'"
+        ).fetchall()
+    }
+    assert got == src
