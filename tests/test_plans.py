@@ -356,3 +356,28 @@ def test_weighted_priority_take_ordered_heap(spark, sf_dir):
     plan = _plan(spark, "sample_weighted_priority", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """agg_weighted_median's docstring: both windows (running range-sum,
+    group total) and the final group-agg share ONE exchange on the group
+    key — pin it."""
+    plan = _plan(spark, "agg_weighted_median", sf_dir)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_matryoshka_dual_take_ordered_no_shuffle(spark, sf_dir):
+    """embed_matryoshka_prefix's docstring: two TakeOrderedAndProject
+    heaps over one scan, no hash-partitioned shuffle anywhere (the only
+    exchanges are the probe/top-K broadcasts)."""
+    plan = _plan(spark, "embed_matryoshka_prefix", sf_dir)
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_hdr_histogram_two_exchanges(spark, sf_dir):
+    """agg_hdr_histogram's docstring: one map-combined bucket count, then
+    the quantile walk on the bucket table — exactly two hash exchanges,
+    the data touched once."""
+    plan = _plan(spark, "agg_hdr_histogram", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
