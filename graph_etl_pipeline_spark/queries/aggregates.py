@@ -1835,25 +1835,27 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces AS (
         SELECT n1, n2, s1, s2,
                CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS dnum,
-               (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
-                   * (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
-               + (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
-                   * (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS vnum,
-               CAST(n1 AS HUGEINT) * n1 * (n1 - 1)
-                   * n2 * n2 * (n2 - 1) AS vden
+               CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS v1num,
+               CAST(n1 AS HUGEINT) * n1 * (n1 - 1) AS v1den,
+               CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS v2num,
+               CAST(n2 AS HUGEINT) * n2 * (n2 - 1) AS v2den
         FROM sums
     )
     SELECT n1, n2,
            CAST(dnum AS VARCHAR) AS delta_num,
            CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS delta_den,
-           CAST(vnum AS VARCHAR) AS se2_num,
-           CAST(vden AS VARCHAR) AS se2_den,
+           CAST(v1num AS VARCHAR) AS se1_num,
+           CAST(v1den AS VARCHAR) AS se1_den,
+           CAST(v2num AS VARCHAR) AS se2_num,
+           CAST(v2den AS VARCHAR) AS se2_den,
            (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
             / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE))
            * (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
               / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE))
-           / (CAST(CAST(vnum AS VARCHAR) AS DOUBLE)
-              / CAST(CAST(vden AS VARCHAR) AS DOUBLE)) AS t2
+           / (CAST(CAST(v1num AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(v1den AS VARCHAR) AS DOUBLE)
+              + CAST(CAST(v2num AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(v2den AS VARCHAR) AS DOUBLE)) AS t2
     FROM pieces
     """,
     tags=("agg", "drift", "stats"),
@@ -1873,12 +1875,15 @@ def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize once to integer cents; each half keeps (n, Σx, Σx²) in
     int64/decimal(38) — map-combinable, order-independent. The statistic
     then ships as EXACT INT128 RATIONAL PIECES rendered as strings —
-    Δ = delta_num/delta_den (mean difference), SE² = se2_num/se2_den
-    (s₁²/n₁ + s₂²/n₂ over the common denominator n₁²(n₁−1)n₂²(n₂−1)) —
-    so the hash row certifies every bit of the inference inputs; the
-    headline t² double is derived from those exact pieces with four IEEE
-    ops through the string bridge (identical in both engines — raw
-    decimal(38)→double casts differ by 1 ulp, strings do not).
+    Δ = delta_num/delta_den (mean difference) and the two variance terms
+    s₁²/n₁ = se1_num/se1_den, s₂²/n₂ = se2_num/se2_den EACH as their own
+    pair (denominators n_i²(n_i−1), ~n⁴; a COMMON denominator would be
+    ~n⁶ and overflow decimal(38)/HUGEINT past ~2M rows per half — the
+    split form holds to ~10¹² rows per half at cent quantization) — so
+    the hash row certifies every bit of the inference inputs; the
+    headline t² double is derived from those exact pieces with the same
+    fixed IEEE op sequence in both engines through the string bridge
+    (raw decimal(38)→double casts differ by 1 ulp, strings do not).
 
     Scale: one scan, one 1-row min/max broadcast, one map-combined
     global aggregate — the sums merge by addition across shards/days, so
@@ -1913,28 +1918,36 @@ def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = lambda col: F.col(col).cast(d38)  # noqa: E731
     dnum = c("s1") * F.col("n2") - c("s2") * F.col("n1")
-    w2 = c("n2") * F.col("n2") * (F.col("n2") - 1)
-    w1 = c("n1") * F.col("n1") * (F.col("n1") - 1)
-    vnum = (c("n1") * F.col("q1") - c("s1") * F.col("s1")) * w2 + (
-        c("n2") * F.col("q2") - c("s2") * F.col("s2")
-    ) * w1
-    vden = w1 * w2
+    # s_i²/n_i ships as its OWN rational pair (num_i = n_i·q_i − s_i²,
+    # den_i = n_i²(n_i−1), each ~n⁴) instead of over the common
+    # denominator n₁²(n₁−1)·n₂²(n₂−1) (~n⁶), which overflows decimal(38)
+    # once either half passes ~2M rows (ADVICE r10 #2) — the split form
+    # holds to ~10¹² rows per half at cent quantization.
     pieces = sums.select(
         "n1",
         "n2",
         dnum.cast("string").alias("delta_num"),
         (c("n1") * F.col("n2")).cast("string").alias("delta_den"),
-        vnum.cast("string").alias("se2_num"),
-        vden.cast("string").alias("se2_den"),
+        (c("n1") * F.col("q1") - c("s1") * F.col("s1"))
+        .cast("string").alias("se1_num"),
+        (c("n1") * F.col("n1") * (F.col("n1") - 1))
+        .cast("string").alias("se1_den"),
+        (c("n2") * F.col("q2") - c("s2") * F.col("s2"))
+        .cast("string").alias("se2_num"),
+        (c("n2") * F.col("n2") * (F.col("n2") - 1))
+        .cast("string").alias("se2_den"),
     )
     dd = lambda col: F.col(col).cast("double")  # noqa: E731
     delta = dd("delta_num") / dd("delta_den")
+    se2 = dd("se1_num") / dd("se1_den") + dd("se2_num") / dd("se2_den")
     return pieces.select(
         "n1",
         "n2",
         "delta_num",
         "delta_den",
+        "se1_num",
+        "se1_den",
         "se2_num",
         "se2_den",
-        (delta * delta / (dd("se2_num") / dd("se2_den"))).alias("t2"),
+        (delta * delta / se2).alias("t2"),
     )

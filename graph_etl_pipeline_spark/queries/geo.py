@@ -271,7 +271,13 @@ def geo_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell_y"),
     )
-    joined = p.join(F.broadcast(cover), ["cell_x", "cell_y"]).filter(
+    # No explicit F.broadcast hint: Catalyst broadcasts the exploded
+    # cover while it sits under autoBroadcastJoinThreshold (the usual
+    # dimension-sized geofence case) and falls back to a shuffle
+    # equi-join on (cell_x, cell_y) when the boxes side is fact-sized —
+    # a hard hint would pin the build side and OOM the driver instead
+    # of degrading to the shuffle plan (ADVICE r10 #3).
+    joined = p.join(cover, ["cell_x", "cell_y"]).filter(
         F.col("x").between(F.col("cx") - F.col("hw"), F.col("cx") + F.col("hw"))
         & F.col("y").between(F.col("cy") - F.col("hh"), F.col("cy") + F.col("hh"))
     )

@@ -47,30 +47,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r01..r10 with window_policy.CHANGED_SINCE_GREEN reset to
 # the implementations edited in r11.
 # --- GENERATED WINDOW (scripts/gen_window.py) — do not hand-edit ---
+# History rounds this window was derived from; the pin test replays
+# the derivation over exactly these rounds, so the driver landing
+# CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
+CORE_ORDER_THROUGH_ROUND = 10
 CORE_ORDER = [
-    "agg_weighted_median",
-    "agg_hdr_histogram",
     "agg_welch_t_drift",
-    "cdc_tombstone_compaction",
-    "sample_class_balance",
-    "text_pack_tokenized",
-    "pipeline_filter_funnel",
     "geo_bbox_contains_join",
-    "graph_harmonic_centrality",
-    "graph_closeness_sampled",
-    "graph_betweenness_stress_sampled",
-    "dq_referential_integrity",
-    "embed_matryoshka_prefix",
-    "src_csv_quarantine",
-    "src_varint_records_scan",
-    "win_attribution_multitouch",
-    "win_cusum_alarm",
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
-    "stream_stateful_session_timeout",
-    "stream_dedup_within_watermark",
-    "stream_full_join_timeout",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -82,22 +65,43 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "mm_frame_sample",
-    "set_intersect_except",
-    "agg_collect_set",
-    "agg_count_by_label",
-    "agg_global_count",
-    "agg_group_topn",
-    "agg_topk",
-    "arr_contains_lookup",
-    "dedup_docs_exact",
-    "dedup_exact",
-    "dedup_merge_most_complete",
-    "flt_compound_predicate",
-    "fn_case_classify",
-    "fn_code_parse",
-    "fn_dict_normalize",
-    "fn_hash_uid",
+    "fn_timestamps",
+    "graph_count_by_label",
+    "graph_reachability",
+    "join_consistency_antijoin",
+    "join_left_semi",
+    "join_two_hop",
+    "mm_binary_features",
+    "mm_image_decode",
+    "mm_metadata_struct",
+    "proj_select_alias",
+    "sim_cosine_topk",
+    "sink_upsert_edge",
+    "sort_limit",
+    "src_json_flatten",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "win_lag_running_sum",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "agg_cube",
+    "agg_histogram",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_winsorize",
+    "dedup_simhash_hamming",
+    "graph_connected_components",
+    "graph_triangle_count",
+    "join_time_range",
+    "profile_table_stats",
+    "sample_domain_mix",
+    "sample_stratified_exact",
+    "split_train_holdout",
+    "stream_tumbling_hourly",
+    "text_decontaminate",
+    "text_repetition_ratio",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -57,18 +57,14 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r10: the six
-# stateful streaming fixtures now unload their state-store providers on
-# exit (streaming/jobs.py unload_state_stores — the r9 bench-regression
-# fix); results are byte-identical by design, but the run path changed,
-# so they re-earn rows.
+# row — they must re-earn one (tier 2). Reset each round. r11: the two
+# ADVICE-r10 fixes — agg_welch_t_drift ships per-half rational pairs
+# (schema changed: se1_*/se2_* replace the overflowing common-denominator
+# se2_*), geo_bbox_contains_join dropped its hard broadcast hint (plan
+# changed, results byte-identical by design).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
-    "stream_stateful_session_timeout",
-    "stream_dedup_within_watermark",
-    "stream_full_join_timeout",
+    "agg_welch_t_drift",
+    "geo_bbox_contains_join",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every
@@ -101,6 +97,22 @@ SURVEY_DECLARED = frozenset({
 
 def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_round(root: str | None = None) -> int:
+    """Highest round number among CORRECTNESS_r*.json files (0 if none).
+    gen_window.py stamps this next to the generated CORE_ORDER so the
+    pin test can replay the derivation over EXACTLY the history the
+    generator saw — the driver dropping CORRECTNESS_r{N+1}.json mid-round
+    must not retroactively invalidate the committed window (the r10
+    structural red, VERDICT r10 #1)."""
+    root = root or repo_root()
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0)
 
 
 def load_history(root: str | None = None, through_round: int | None = None) -> dict[str, int]:

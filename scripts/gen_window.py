@@ -26,12 +26,20 @@ END = "# --- END GENERATED WINDOW ---"
 
 
 def render() -> str:
+    through = window_policy.latest_round(REPO)
     window = window_policy.derive_window(
         registration_order(),
-        window_policy.load_history(REPO),
+        window_policy.load_history(REPO, through_round=through),
         changed=window_policy.CHANGED_SINCE_GREEN,
     )
-    lines = [BEGIN, "CORE_ORDER = ["]
+    lines = [
+        BEGIN,
+        "# History rounds this window was derived from; the pin test replays",
+        "# the derivation over exactly these rounds, so the driver landing",
+        "# CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.",
+        f"CORE_ORDER_THROUGH_ROUND = {through}",
+        "CORE_ORDER = [",
+    ]
     lines += [f'    "{n}",' for n in window]
     lines += ["]", END]
     return "\n".join(lines)

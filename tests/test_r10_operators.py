@@ -477,15 +477,19 @@ def test_welch_t_pieces_match_python_replay(spark, tmp_path):
     q1, q2 = sum(v * v for v in x1), sum(v * v for v in x2)
     dnum = s1 * n2 - s2 * n1
     w1, w2 = n1 * n1 * (n1 - 1), n2 * n2 * (n2 - 1)
-    vnum = (n1 * q1 - s1 * s1) * w2 + (n2 * q2 - s2 * s2) * w1
-    vden = w1 * w2
+    v1num, v2num = n1 * q1 - s1 * s1, n2 * q2 - s2 * s2
 
     (row,) = agg_welch_t_drift(spark, sf).collect()
     assert (row.n1, row.n2) == (n1, n2)
     assert (int(row.delta_num), int(row.delta_den)) == (dnum, n1 * n2)
-    assert (int(row.se2_num), int(row.se2_den)) == (vnum, vden)
+    # per-half rational pairs (~n⁴ each, not the ~n⁶ common denominator
+    # that overflowed decimal(38) past ~2M rows — ADVICE r10)
+    assert (int(row.se1_num), int(row.se1_den)) == (v1num, w1)
+    assert (int(row.se2_num), int(row.se2_den)) == (v2num, w2)
     # the double is derived from the exact pieces; Fraction replay bounds it
-    t2_exact = Fraction(dnum, n1 * n2) ** 2 / Fraction(vnum, vden)
+    t2_exact = Fraction(dnum, n1 * n2) ** 2 / (
+        Fraction(v1num, w1) + Fraction(v2num, w2)
+    )
     assert abs(row.t2 - float(t2_exact)) < 1e-9 * float(t2_exact)
     assert row.t2 > 4  # the planted mean shift is real
 

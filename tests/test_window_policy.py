@@ -12,7 +12,8 @@ import os
 
 from graph_etl_pipeline_spark import window_policy as wp
 from graph_etl_pipeline_spark.registry import (
-    CORE_ORDER, DRIVER_CAP, all_queries, registration_order,
+    CORE_ORDER, CORE_ORDER_THROUGH_ROUND, DRIVER_CAP, all_queries,
+    registration_order,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -21,14 +22,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_core_order_matches_derivation():
     """registry.CORE_ORDER is a generated artifact: any hand edit (or a
     new registration without regenerating) diverges from the derivation
-    and fails here. Equivalent to `scripts/gen_window.py --check`."""
+    and fails here. The derivation replays over EXACTLY the history
+    rounds stamped next to the literal (CORE_ORDER_THROUGH_ROUND), so
+    the driver writing CORRECTNESS_r{N+1}.json mid-round does not flip
+    this red (the r10 structural failure, VERDICT r10 #1) — the stamp
+    advances when scripts/gen_window.py reruns as the mechanical first
+    commit of the next round."""
     derived = wp.derive_window(
         registration_order(),
-        wp.load_history(REPO),
+        wp.load_history(REPO, through_round=CORE_ORDER_THROUGH_ROUND),
         changed=wp.CHANGED_SINCE_GREEN,
     )
     assert CORE_ORDER == derived
     assert len(CORE_ORDER) == DRIVER_CAP
+
+
+def test_stamp_not_stale_beyond_one_round():
+    """The stamp may trail the newest CORRECTNESS file by at most one
+    round (the mid-round state after the driver lands r{N+1}); two or
+    more means someone skipped the mechanical regeneration commit."""
+    assert wp.latest_round(REPO) - CORE_ORDER_THROUGH_ROUND <= 1
 
 
 def test_derivation_reproduces_r9_window():
