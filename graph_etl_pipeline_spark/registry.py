@@ -52,8 +52,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
 CORE_ORDER_THROUGH_ROUND = 10
 CORE_ORDER = [
+    "graph_hyperanf_sketch",
     "agg_welch_t_drift",
     "geo_bbox_contains_join",
+    "stream_tumbling_hourly",
+    "stream_incremental_upsert",
+    "stream_stateful_running",
+    "stream_dedup_keys",
+    "stream_session_window",
+    "stream_sliding_hourly",
+    "stream_watermark_late",
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_stateful_session_timeout",
+    "stream_dedup_within_watermark",
+    "stream_full_join_timeout",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -64,7 +77,6 @@ CORE_ORDER = [
     "join_left_anti",
     "agg_multi_counter",
     "win_row_number_dedup",
-    "stream_incremental_upsert",
     "fn_timestamps",
     "graph_count_by_label",
     "graph_reachability",
@@ -90,18 +102,6 @@ CORE_ORDER = [
     "agg_histogram",
     "agg_pivot",
     "agg_rollup",
-    "agg_winsorize",
-    "dedup_simhash_hamming",
-    "graph_connected_components",
-    "graph_triangle_count",
-    "join_time_range",
-    "profile_table_stats",
-    "sample_domain_mix",
-    "sample_stratified_exact",
-    "split_train_holdout",
-    "stream_tumbling_hourly",
-    "text_decontaminate",
-    "text_repetition_ratio",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -76,6 +76,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # ContextCleaner only reclaims shuffle files / broadcasts /
+        # terminated-streaming-query state when their weak refs are
+        # processed — i.e. when the driver JVM actually GCs. With an 8 GiB
+        # heap and a small live set it may not GC for the whole process
+        # life, so a many-query session accumulates an unbounded cleanup
+        # backlog (measured r11: the 4-query stateful-stream family run
+        # repeatedly degrades 3.7 s → 9-12 s without GC and stays flat
+        # WITH it, at ~0.1 s per forced GC). The stock escape hatch is
+        # periodicGC.interval, default 30 MINUTES — longer than an entire
+        # bench session; 1 minute bounds the backlog at negligible cost.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     return builder.getOrCreate()
 

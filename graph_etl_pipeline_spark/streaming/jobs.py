@@ -21,17 +21,29 @@ from pyspark.sql import functions as F
 from graph_etl_pipeline_spark.functions.numeric import dec
 from graph_etl_pipeline_spark.sinks.upsert import merge_upsert
 
+_EVENTS_SCHEMA_MEMO: dict[str, object] = {}
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The required explicit
     schema is probed from the parquet footer (one metadata read), so ts
     arrives however THIS PySpark reads TIMESTAMP(NANOS) — long nanos on
     ≤4.0 with the legacy conf, TIMESTAMP_NTZ on 4.1+ — and is rebuilt
-    into a proper timestamp by the same helper as the batch reader."""
+    into a proper timestamp by the same helper as the batch reader.
+    The probe is memoized per events path: it is a driver batch job
+    (footer read + file listing), and the stream-stream joins build TWO
+    sources per query — without the memo every run pays 2 untracked
+    batch jobs before the stream even starts (the schema of a fixture
+    table never changes within a process)."""
     from graph_etl_pipeline_spark.io import rebuild_event_ts
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    key = f"{sf_dir}/events.parquet"
+    schema = _EVENTS_SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(key).schema
+        _EVENTS_SCHEMA_MEMO[key] = schema
     # The file source requires a directory; glob-filter down to the events
     # file inside the sf_dir.
     raw = (

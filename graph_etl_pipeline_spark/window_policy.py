@@ -61,10 +61,25 @@ ANCHORS = (
 # ADVICE-r10 fixes — agg_welch_t_drift ships per-half rational pairs
 # (schema changed: se1_*/se2_* replace the overflowing common-denominator
 # se2_*), geo_bbox_contains_join dropped its hard broadcast hint (plan
-# changed, results byte-identical by design).
+# changed, results byte-identical by design) — plus the whole streaming
+# family, whose run path gained memoized schema probes
+# (streaming/jobs.py events_stream, streaming_queries._fixture_schema);
+# results byte-identical by design, path changed, so they re-earn rows.
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
     "agg_welch_t_drift",
     "geo_bbox_contains_join",
+    "stream_tumbling_hourly",
+    "stream_incremental_upsert",
+    "stream_stateful_running",
+    "stream_dedup_keys",
+    "stream_session_window",
+    "stream_sliding_hourly",
+    "stream_watermark_late",
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_stateful_session_timeout",
+    "stream_dedup_within_watermark",
+    "stream_full_join_timeout",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every

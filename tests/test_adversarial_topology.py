@@ -114,6 +114,7 @@ QUERIES = [
     "agg_welch_t_drift",          # decimal(38) sums + int128-string pieces (r10)
     "graph_betweenness_stress_sampled",  # sigma groupBy-sum BFS + pair joins (r10)
     "src_varint_records_scan",    # per-file frame walk, Arrow batches (r10)
+    "graph_hyperanf_sketch",      # packed HLL register maxes vs exact-ball oracle (r11)
 ]
 
 _SCRIPT = f"""

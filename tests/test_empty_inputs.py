@@ -69,6 +69,7 @@ EMPTY_SAFE = [
     "geo_bbox_contains_join",
     "sample_class_balance",
     "graph_betweenness_stress_sampled",
+    "graph_hyperanf_sketch",
 ]
 
 
