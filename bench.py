@@ -110,6 +110,7 @@ EXTRA = [
     "graph_betweenness_stress_sampled",  # sampled-pair stress centrality (r10)
     "src_varint_records_scan",  # varint-framed binary record scan (r10)
     "graph_hyperanf_sketch",  # packed-HLL register-max neighborhood sketch (r11)
+    "graph_neighborhood_function",  # global N(t) milli-unit roll-up (r11)
 ]
 
 

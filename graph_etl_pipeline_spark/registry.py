@@ -53,6 +53,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CORE_ORDER_THROUGH_ROUND = 10
 CORE_ORDER = [
     "graph_hyperanf_sketch",
+    "graph_neighborhood_function",
     "agg_welch_t_drift",
     "geo_bbox_contains_join",
     "stream_tumbling_hourly",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "agg_cube",
     "agg_histogram",
     "agg_pivot",
-    "agg_rollup",
 ]
 # --- END GENERATED WINDOW ---
 

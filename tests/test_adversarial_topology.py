@@ -115,6 +115,7 @@ QUERIES = [
     "graph_betweenness_stress_sampled",  # sigma groupBy-sum BFS + pair joins (r10)
     "src_varint_records_scan",    # per-file frame walk, Arrow batches (r10)
     "graph_hyperanf_sketch",      # packed HLL register maxes vs exact-ball oracle (r11)
+    "graph_neighborhood_function",  # global milli-unit N(t) roll-up of the sketch (r11)
 ]
 
 _SCRIPT = f"""

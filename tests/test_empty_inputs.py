@@ -70,6 +70,7 @@ EMPTY_SAFE = [
     "sample_class_balance",
     "graph_betweenness_stress_sampled",
     "graph_hyperanf_sketch",
+    "graph_neighborhood_function",
 ]
 
 

@@ -145,3 +145,34 @@ def test_welch_t_survives_multimillion_row_halves(spark, tmp_path):
         + Fraction(int(row.se2_num), int(row.se2_den))
     )
     assert row.t2 is not None and abs(row.t2 - float(t2)) < 1e-9 * float(t2)
+
+
+def test_neighborhood_function_path_graph_replay(spark, tmp_path):
+    """Path 1-2-3-4-5: N(t)_milli must equal the Python replay
+    Σ_v (673·256·2^33 div D_t(v)) over the exact interval balls, and the
+    ppm fractions must floor-divide against the hop-3 value."""
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        ANF_NUM_MILLI, graph_neighborhood_function,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=u), u, "click", 1.0, "{}")
+        for u in range(1, 6)
+    ]
+    sf = str(tmp_path / "nf")
+    _write_events(spark, sf, rows)
+
+    nf = {}
+    for hop in (1, 2, 3):
+        nf[hop] = sum(
+            ANF_NUM_MILLI // _anf_denom({u for u in range(1, 6) if abs(u - v) <= hop})
+            for v in range(1, 6)
+        )
+    got = {r.hop: (r.n_vertices, r.nf_milli, r.frac_of_h3_ppm)
+           for r in graph_neighborhood_function(spark, sf).collect()}
+    assert got == {
+        t: (5, nf[t], nf[t] * 1_000_000 // nf[3]) for t in (1, 2, 3)
+    }
+    # N(t) is monotone non-decreasing and hop3 fraction is exactly 10^6
+    assert nf[1] <= nf[2] <= nf[3] and got[3][2] == 1_000_000
