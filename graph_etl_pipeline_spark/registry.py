@@ -50,10 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 10
+CORE_ORDER_THROUGH_ROUND = 11
 CORE_ORDER = [
-    "graph_hyperanf_sketch",
-    "graph_neighborhood_function",
     "agg_welch_t_drift",
     "geo_bbox_contains_join",
     "stream_tumbling_hourly",
@@ -78,30 +76,32 @@ CORE_ORDER = [
     "join_left_anti",
     "agg_multi_counter",
     "win_row_number_dedup",
-    "fn_timestamps",
-    "graph_count_by_label",
-    "graph_reachability",
-    "join_consistency_antijoin",
-    "join_left_semi",
-    "join_two_hop",
-    "mm_binary_features",
-    "mm_image_decode",
-    "mm_metadata_struct",
-    "proj_select_alias",
-    "sim_cosine_topk",
-    "sink_upsert_edge",
-    "sort_limit",
-    "src_json_flatten",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "win_lag_running_sum",
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "agg_cube",
-    "agg_histogram",
-    "agg_pivot",
+    "agg_rollup",
+    "agg_winsorize",
+    "dedup_simhash_hamming",
+    "graph_connected_components",
+    "graph_triangle_count",
+    "join_time_range",
+    "profile_table_stats",
+    "sample_domain_mix",
+    "sample_stratified_exact",
+    "split_train_holdout",
+    "text_decontaminate",
+    "text_repetition_ratio",
+    "text_token_budget",
+    "win_asof_last_click",
+    "win_rank_frames",
+    "agg_equidepth_histogram",
+    "agg_event_cooccurrence",
+    "agg_heavy_hitters",
+    "agg_mad_outliers",
+    "cdc_snapshot_diff",
+    "dedup_cluster_keep",
+    "dedup_fuzzy_names",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_rule_extract",
 ]
 # --- END GENERATED WINDOW ---
 
