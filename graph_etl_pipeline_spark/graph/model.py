@@ -48,10 +48,24 @@ class PropertyGraph:
         e = self.edges
         if rel_types:
             e = e.filter(e.rel_type.isin(*rel_types))
+        return self.hop_edges(frontier, e, direction)
+
+    @staticmethod
+    def hop_edges(frontier: DataFrame, e: DataFrame, direction: str = "out") -> DataFrame:
+        """`hop` over a pre-resolved (already type-filtered, possibly
+        cached) edge frame — lets iterative callers resolve the edge set
+        once instead of once per level. Alias-qualified: a persisted
+        frontier's lineage still contains the edge frame's attributes
+        (no checkpoint to sever it), so bare column references would be
+        ambiguous from the second level on."""
         here, there = ("src_uid", "dst_uid") if direction == "out" else ("dst_uid", "src_uid")
+        f, ee = frontier.alias("__hop_f"), e.alias("__hop_e")
         return (
-            frontier.join(e, frontier.uid == e[here])
-            .select(e[there].alias("uid"), "root")
+            f.join(ee, F.col("__hop_f.uid") == F.col(f"__hop_e.{here}"))
+            .select(
+                F.col(f"__hop_e.{there}").alias("uid"),
+                F.col("__hop_f.root").alias("root"),
+            )
             .distinct()
         )
 
@@ -69,21 +83,48 @@ class PropertyGraph:
 
         roots: (uid, root) seed pairs. Returns every (uid, root) reached
         within max_depth hops, roots included. Each iteration is one
-        distributed join; localCheckpoint truncates the growing lineage so
-        plan size stays constant (SURVEY §7 risk list). The early-exit
-        isEmpty() is one cheap job per level and stops at the graph's true
-        diameter instead of always paying max_depth joins."""
+        distributed join, and the loop exits at the graph's true diameter
+        instead of always paying max_depth joins.
+
+        Per-iteration fixed-cost discipline (VERDICT r11 #5 — at toy
+        scale the traversal's wall-clock is driver job count, not data):
+
+        * SHALLOW bounds (max_depth ≤ 4, every reference hierarchy) pay
+          ONE job per level: the frontier is persisted lazily and forced
+          by ``count()``, which doubles as the early-exit test — no
+          checkpoint block write, no separate isEmpty job. Lineage grows
+          only max_depth levels deep, well inside Catalyst's comfort
+          zone, and each persisted frontier is read from cache by both
+          the next hop and the final union.
+        * DEEP bounds keep eager localCheckpoint + isEmpty: there,
+          lineage truncation is what keeps plan analysis O(1) per round
+          (SURVEY §7 risk list), worth the extra job per level.
+
+        The filtered/typed edge set is resolved once before the loop so
+        every level joins the same frame (one cache entry at scale
+        instead of max_depth re-scans of the union view)."""
+        e = self.edges
+        if rel_types:
+            e = e.filter(e.rel_type.isin(*rel_types))
+        shallow = max_depth <= 4
+        if shallow:
+            e = e.persist()
         visited = roots
         frontier = roots
         for _ in range(max_depth):
             nxt = (
-                self.hop(frontier, rel_types, direction)
+                self.hop_edges(frontier, e, direction)
                 .join(visited, ["uid", "root"], "left_anti")
             )
-            if checkpoint:
+            if checkpoint and not shallow:
                 nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
+                if nxt.isEmpty():
+                    break
+            else:
+                nxt = nxt.persist()
+                if nxt.count() == 0:
+                    nxt.unpersist()
+                    break
             visited = visited.unionByName(nxt)
             frontier = nxt
         return visited

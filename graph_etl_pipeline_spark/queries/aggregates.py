@@ -1844,10 +1844,10 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            CAST(dnum AS VARCHAR) AS delta_num,
            CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS delta_den,
-           CAST(v1num AS VARCHAR) AS se1_num,
-           CAST(v1den AS VARCHAR) AS se1_den,
-           CAST(v2num AS VARCHAR) AS se2_num,
-           CAST(v2den AS VARCHAR) AS se2_den,
+           CAST(v1num AS VARCHAR) AS var1_num,
+           CAST(v1den AS VARCHAR) AS var1_den,
+           CAST(v2num AS VARCHAR) AS var2_num,
+           CAST(v2den AS VARCHAR) AS var2_den,
            (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
             / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE))
            * (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
@@ -1876,8 +1876,11 @@ def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64/decimal(38) — map-combinable, order-independent. The statistic
     then ships as EXACT INT128 RATIONAL PIECES rendered as strings —
     Δ = delta_num/delta_den (mean difference) and the two variance terms
-    s₁²/n₁ = se1_num/se1_den, s₂²/n₂ = se2_num/se2_den EACH as their own
-    pair (denominators n_i²(n_i−1), ~n⁴; a COMMON denominator would be
+    s₁²/n₁ = var1_num/var1_den, s₂²/n₂ = var2_num/var2_den EACH as their own
+    pair (named var*_ since r12 — the r11 split reused the earlier
+    combined-rational names se2_num/se2_den with changed semantics, which
+    would let a stale consumer silently misread instead of failing on a
+    missing column, ADVICE r11 #4; denominators n_i²(n_i−1), ~n⁴; a COMMON denominator would be
     ~n⁶ and overflow decimal(38)/HUGEINT past ~2M rows per half — the
     split form holds to ~10¹² rows per half at cent quantization) — so
     the hash row certifies every bit of the inference inputs; the
@@ -1929,25 +1932,25 @@ def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnum.cast("string").alias("delta_num"),
         (c("n1") * F.col("n2")).cast("string").alias("delta_den"),
         (c("n1") * F.col("q1") - c("s1") * F.col("s1"))
-        .cast("string").alias("se1_num"),
+        .cast("string").alias("var1_num"),
         (c("n1") * F.col("n1") * (F.col("n1") - 1))
-        .cast("string").alias("se1_den"),
+        .cast("string").alias("var1_den"),
         (c("n2") * F.col("q2") - c("s2") * F.col("s2"))
-        .cast("string").alias("se2_num"),
+        .cast("string").alias("var2_num"),
         (c("n2") * F.col("n2") * (F.col("n2") - 1))
-        .cast("string").alias("se2_den"),
+        .cast("string").alias("var2_den"),
     )
     dd = lambda col: F.col(col).cast("double")  # noqa: E731
     delta = dd("delta_num") / dd("delta_den")
-    se2 = dd("se1_num") / dd("se1_den") + dd("se2_num") / dd("se2_den")
+    se2 = dd("var1_num") / dd("var1_den") + dd("var2_num") / dd("var2_den")
     return pieces.select(
         "n1",
         "n2",
         "delta_num",
         "delta_den",
-        "se1_num",
-        "se1_den",
-        "se2_num",
-        "se2_den",
+        "var1_num",
+        "var1_den",
+        "var2_num",
+        "var2_den",
         (delta * delta / se2).alias("t2"),
     )

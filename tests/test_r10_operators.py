@@ -484,8 +484,8 @@ def test_welch_t_pieces_match_python_replay(spark, tmp_path):
     assert (int(row.delta_num), int(row.delta_den)) == (dnum, n1 * n2)
     # per-half rational pairs (~n⁴ each, not the ~n⁶ common denominator
     # that overflowed decimal(38) past ~2M rows — ADVICE r10)
-    assert (int(row.se1_num), int(row.se1_den)) == (v1num, w1)
-    assert (int(row.se2_num), int(row.se2_den)) == (v2num, w2)
+    assert (int(row.var1_num), int(row.var1_den)) == (v1num, w1)
+    assert (int(row.var2_num), int(row.var2_den)) == (v2num, w2)
     # the double is derived from the exact pieces; Fraction replay bounds it
     t2_exact = Fraction(dnum, n1 * n2) ** 2 / (
         Fraction(v1num, w1) + Fraction(v2num, w2)

@@ -136,13 +136,13 @@ def test_welch_t_survives_multimillion_row_halves(spark, tmp_path):
     q2 = 2000**2 * (n2 - 1) + 2002**2
     assert int(row.delta_num) == s1 * n2 - s2 * n1
     assert int(row.delta_den) == n1 * n2
-    assert int(row.se1_num) == n1 * q1 - s1 * s1  # ~10^19: inside decimal(38)
-    assert int(row.se1_den) == n1 * n1 * (n1 - 1)  # ~10^19: the OLD common
-    assert int(row.se2_num) == n2 * q2 - s2 * s2  # denominator was ~10^38+
-    assert int(row.se2_den) == n2 * n2 * (n2 - 1)
+    assert int(row.var1_num) == n1 * q1 - s1 * s1  # ~10^19: inside decimal(38)
+    assert int(row.var1_den) == n1 * n1 * (n1 - 1)  # ~10^19: the OLD common
+    assert int(row.var2_num) == n2 * q2 - s2 * s2  # denominator was ~10^38+
+    assert int(row.var2_den) == n2 * n2 * (n2 - 1)
     t2 = Fraction(int(row.delta_num), n1 * n2) ** 2 / (
-        Fraction(int(row.se1_num), int(row.se1_den))
-        + Fraction(int(row.se2_num), int(row.se2_den))
+        Fraction(int(row.var1_num), int(row.var1_den))
+        + Fraction(int(row.var2_num), int(row.var2_den))
     )
     assert row.t2 is not None and abs(row.t2 - float(t2)) < 1e-9 * float(t2)
 
