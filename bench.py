@@ -111,6 +111,9 @@ EXTRA = [
     "src_varint_records_scan",  # varint-framed binary record scan (r10)
     "graph_hyperanf_sketch",  # packed-HLL register-max neighborhood sketch (r11)
     "graph_neighborhood_function",  # global N(t) milli-unit roll-up (r11)
+    "pipeline_minhash_verified_dedup",  # LSH→verify→CC→corpus-apply composite (r12)
+    "graph_effective_diameter",  # 90%-diameter readout over the ANF sketch (r12)
+    "stream_sketch_register_merge",  # foreachBatch register-MAX sketch state (r12)
 ]
 
 
@@ -124,11 +127,17 @@ def _gc(spark) -> None:
     r11: the stateful-stream family degrades 3.7 s → 9-12 s per query
     over a long session without this, flat with it; each GC costs
     ~0.1 s). session.py also sets spark.cleaner.periodicGC.interval=1min
-    as the structural backstop; the explicit call here pins WHERE the
-    pause lands so it is never inside a timed region. This mirrors
-    steady-state throughput — the metric bench.py declares — not an
-    artificially dirty session."""
+    as the structural backstop; the explicit call here pins where MOST
+    of the pause lands. ContextCleaner drains its reference queue
+    asynchronously on its own thread (ADVICE r11 #5), so the GC is
+    followed by a short sleep + second GC to let the drain complete
+    before the next timer starts; a straggling cleanup can still
+    occasionally overlap a timed region — min-of-N absorbs that. This
+    mirrors steady-state throughput — the metric bench.py declares —
+    not an artificially dirty session."""
     try:
+        spark._jvm.System.gc()
+        time.sleep(0.05)  # let ContextCleaner's async thread drain the queue
         spark._jvm.System.gc()
     except Exception:
         pass
@@ -253,6 +262,25 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": int(cpus),
+            }
+        )
+    )
+    # Third compact line (~250 bytes) so the streaming family is
+    # auditable in the archived artifact even when the big EXTRA line
+    # scrolls out of the driver's stdout tail (VERDICT r11 #2): the r10
+    # recovery targets (interval ≤2.6 s, left ≤3.4, session ≤4.1) were
+    # only checkable via BASELINE.md prose in r11 because 5 of the 6
+    # stream rows truncated. Duplicates EXTRA's numbers, tiny and last.
+    print(
+        json.dumps(
+            {
+                "metric": "stream_queries_wallclock",
+                "queries": {
+                    n: extra_timings[n]
+                    for n in EXTRA
+                    if n.startswith("stream_") and n in extra_timings
+                },
+                "sf": sf_val,
             }
         )
     )

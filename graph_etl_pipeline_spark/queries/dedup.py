@@ -625,6 +625,13 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster diameters are small (near-dup balls), so hash-min converges
     in 2-3 rounds; the star-contraction variant stands by for
     pathological chain clusters (graph/model.py)."""
+    return _cluster_keep_flags(spark, sf_dir)
+
+
+def _cluster_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_id, keep) for every document that appears in at
+    least one verified LSH pair — the shared core of dedup_cluster_keep
+    and pipeline_minhash_verified_dedup."""
     from graph_etl_pipeline_spark.graph.model import PropertyGraph
 
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -644,6 +651,64 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uid").alias("doc_id"),
         F.col("component").alias("canonical_id"),
         (F.col("uid") == F.col("component")).alias("keep"),
+    )
+
+
+@register(
+    "pipeline_minhash_verified_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    undirected AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    flags AS (
+        SELECT node AS doc_id,
+               MIN(anc) AS canonical_id,
+               (node = MIN(anc)) AS kept
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(f.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(f.kept, TRUE) AS kept
+    FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+    """,
+    tags=("pipeline", "dedup", "llm"),
+)
+def pipeline_minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MINHASH DEDUP — the shape a production dedup job
+    actually ships (VERDICT r11 #6; r10 #7's missing composite row):
+    MinHash+LSH band-bucket candidates → exact-Jaccard verification of
+    candidates only (the dedup_minhash_lsh plan) → connected-components
+    keeper selection over the verified pair graph (the dedup_cluster_keep
+    plan) → applied back to the FULL corpus. One row per input document:
+    its canonical representative and whether it survives dedup —
+    documents in no verified pair are their own canonical and always
+    kept, so `WHERE kept` is the deduplicated training corpus and
+    `GROUP BY canonical_id` is the duplicate-cluster manifest.
+
+    Scale composition notes: every stage reuses the content-addressed
+    materialized shingle table (built once per corpus); the CC iteration
+    runs on the SPARSE verified-pair graph only (≪ corpus size); the
+    final application is one left join of the corpus against the tiny
+    flags table — broadcastable whenever near-dup incidence is low, which
+    is exactly the regime where dedup runs repeatedly. No stage widens
+    beyond what its standalone query already pays, so the composite's
+    cost ≈ dedup_cluster_keep + one corpus-width join."""
+    d = table(spark, sf_dir, "documents")
+    flags = _cluster_keep_flags(spark, sf_dir).withColumnRenamed("keep", "kept")
+    return d.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        F.coalesce("kept", F.lit(True)).alias("kept"),
     )
 
 

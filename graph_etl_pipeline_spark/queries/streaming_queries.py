@@ -990,3 +990,182 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# --- Streaming HLL register maintenance (r12, VERDICT r11 #7b) ---------------
+
+_EHLL_M = 16  # registers per key (m=2^4), matching the HyperANF layout
+_EHLL_HALF = _EHLL_M // 2
+_EHLL_SCALE = 8589934592  # 2^33: an empty register contributes 2^(33-0)
+
+
+def _ehll_event_words(batch_df: DataFrame) -> DataFrame:
+    """Map each event to its single-register packed contribution
+    (user_id, r0, r1): register index j from md5 lane 1 of the event id,
+    rank rho from lane 2 — the same seeded split-one-strong-hash layout
+    as graph_queries._anf_denominators, seeded 'ehll:' so the two sketch
+    families never collide."""
+    lane = lambda start: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit("ehll:"), F.col("event_id").cast("string"))),
+            start,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    j = (lane(1) % _EHLL_M).alias("j")
+    rho = (
+        (F.when(lane(9) == 0, F.lit(33)).otherwise(33 - F.length(F.bin(lane(9)))))
+        .cast("long")
+        .alias("rho")
+    )
+    return batch_df.select("user_id", j, rho).select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN j < {_EHLL_HALF} THEN shiftleft(rho, CAST(j * 6 AS INT))"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("r0"),
+        F.expr(
+            f"CASE WHEN j >= {_EHLL_HALF}"
+            f" THEN shiftleft(rho, CAST((j - {_EHLL_HALF}) * 6 AS INT))"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("r1"),
+    )
+
+
+def ehll_batch_registers(batch_df: DataFrame) -> DataFrame:
+    """Reduce one micro-batch to per-user packed register MAXes — the
+    same map-combinable slice-max aggregation as graph_queries.anf_hop
+    (partial HashAggregate; the shuffle carries (user_id, r0, r1))."""
+    words = _ehll_event_words(batch_df)
+    slice_max = lambda col, k: F.max(  # noqa: E731
+        F.shiftright(F.col(col), 6 * k).bitwiseAND(63)
+    )
+
+    def repack(prefix: str) -> F.Column:
+        out = F.lit(0).cast("long")
+        for k in range(_EHLL_HALF):
+            out = out + F.shiftleft(F.col(f"{prefix}{k}").cast("long"), 6 * k)
+        return out
+
+    return (
+        words.groupBy("user_id")
+        .agg(
+            *[slice_max("r0", k).alias(f"a{k}") for k in range(_EHLL_HALF)],
+            *[slice_max("r1", k).alias(f"b{k}") for k in range(_EHLL_HALF)],
+        )
+        .select("user_id", repack("a").alias("r0"), repack("b").alias("r1"))
+    )
+
+
+def ehll_register_merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Cross-batch register-wise MAX merge for the per-user HLL state
+    table — expression-level unpack/greatest/repack on the packed words
+    (no aggregation; state is already key-unique per side). MAX is
+    associative, commutative, and idempotent, so the final state is
+    independent of how the engine split the stream into micro-batches
+    AND of replays — the T2 merge discipline applied to sketch state.
+    The state table is customer-keyed (the seed defines the key
+    universe), so the merge is a LEFT join and zero registers are the
+    merge-neutral seed (MAX(0, x) = x)."""
+    e, i = current.alias("e"), incoming.alias("i")
+    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "left")
+
+    def regmax(col: str) -> F.Column:
+        out = F.lit(0).cast("long")
+        for k in range(_EHLL_HALF):
+            sl = lambda side: F.shiftright(  # noqa: B023,E731
+                F.col(f"{side}.{col}"), 6 * k
+            ).bitwiseAND(63)
+            out = out + F.shiftleft(
+                F.greatest(sl("e"), F.coalesce(sl("i"), F.lit(0).cast("long"))),
+                6 * k,
+            )
+        return out.alias(col)
+
+    return j.select(F.col("e.user_id").alias("user_id"), regmax("r0"), regmax("r1"))
+
+
+def _ehll_sql_lane(start: int) -> str:
+    return f"('0x'||substr(md5('ehll:'||CAST(event_id AS VARCHAR)),{start},8))::BIGINT"
+
+
+@register(
+    "stream_sketch_register_merge",
+    oracle=f"""
+    WITH eh AS (
+        SELECT user_id,
+               ({_ehll_sql_lane(1)}) % {_EHLL_M} AS j,
+               CASE WHEN {_ehll_sql_lane(9)} = 0 THEN 33
+                    ELSE 33 - length(bin({_ehll_sql_lane(9)})) END AS rho
+        FROM events
+    ),
+    regs AS (SELECT user_id, j, MAX(rho) AS m FROM eh GROUP BY user_id, j),
+    packed AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN j < {_EHLL_HALF} THEN m << (j * 6) ELSE 0 END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN j >= {_EHLL_HALF} THEN m << ((j - {_EHLL_HALF}) * 6) ELSE 0 END) AS BIGINT) AS r1,
+               CAST(({_EHLL_M} - COUNT(*)) * {_EHLL_SCALE}
+                    + SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS d
+        FROM regs GROUP BY user_id
+    )
+    SELECT c.c_custkey AS user_id,
+           COALESCE(p.r0, 0) AS r0,
+           COALESCE(p.r1, 0) AS r1,
+           COALESCE(p.d, {_EHLL_M} * {_EHLL_SCALE}) AS d
+    FROM customer c LEFT JOIN packed p ON p.user_id = c.c_custkey
+    """,
+    tags=("streaming", "sketch", "sink"),
+)
+def stream_sketch_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SKETCH MAINTENANCE (VERDICT r11 #7): foreachBatch
+    register-MAX merge into a persisted per-user HLL state table —
+    T2's versioned-parquet merge discipline (streaming/jobs.py
+    incremental_upsert: checkpoint + idempotent versioned rewrite =
+    effectively-exactly-once) applied to the r11 packed-register sketch
+    layout (two BIGINT words of 16 × 6-bit registers per key).
+
+    Each micro-batch reduces to per-user register MAXes (map-combinable
+    slice-max aggregation, the anf_hop plan); the cross-batch merge is an
+    expression-level register-wise MAX against the held state. Because
+    register MAX is associative, commutative, and IDEMPOTENT, the final
+    state is invariant to micro-batch boundaries, arrival order, and
+    replays — the strongest form of the T2 contract, and exactly how a
+    production pipeline maintains per-entity cardinality sketches over an
+    event stream (state is m·6 bits per key forever, reads are O(1)).
+    The emitted denominator d = Σ_j 2^(33−M_j) is the exact-BIGINT
+    serving form the HyperANF family standardizes on — estimates derive
+    from it with one division, and state tables from disjoint shards
+    union under the same slice-max aggregation."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.streaming.jobs import incremental_upsert
+
+    existing = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit(0).cast("long").alias("r0"),
+        F.lit(0).cast("long").alias("r1"),
+    )
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    ckpt = os.path.join(
+        SCRATCH_DIR, f"stream_ckpt_{uuid.uuid4().hex[:8]}-{os.getpid()}"
+    )
+    state = incremental_upsert(
+        events_stream(spark, sf_dir),
+        existing,
+        keys=["user_id"],
+        checkpoint_dir=ckpt,
+        table_name=f"stream_ehll_{uuid.uuid4().hex[:8]}",
+        prepare=ehll_batch_registers,
+        merge=ehll_register_merge,
+    )
+    d = F.lit(0).cast("long")
+    for col in ("r0", "r1"):
+        for k in range(_EHLL_HALF):
+            d = d + F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(33 - (shiftright({col}, {6 * k}) & 63) AS INT))"
+            )
+    return state.select("user_id", "r0", "r1", d.alias("d"))

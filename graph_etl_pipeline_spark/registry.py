@@ -52,20 +52,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
 CORE_ORDER_THROUGH_ROUND = 11
 CORE_ORDER = [
+    "pipeline_minhash_verified_dedup",
+    "graph_effective_diameter",
+    "stream_sketch_register_merge",
     "agg_welch_t_drift",
-    "geo_bbox_contains_join",
-    "stream_tumbling_hourly",
-    "stream_incremental_upsert",
-    "stream_stateful_running",
-    "stream_dedup_keys",
-    "stream_session_window",
-    "stream_sliding_hourly",
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
-    "stream_stateful_session_timeout",
-    "stream_dedup_within_watermark",
-    "stream_full_join_timeout",
+    "graph_reachability",
+    "graph_copurchase_project",
+    "graph_jaccard_similarity",
+    "graph_hyperanf_sketch",
+    "graph_neighborhood_function",
+    "dedup_embedding_cosine",
+    "dedup_semdedup_clusters",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -76,6 +73,7 @@ CORE_ORDER = [
     "join_left_anti",
     "agg_multi_counter",
     "win_row_number_dedup",
+    "stream_incremental_upsert",
     "agg_rollup",
     "agg_winsorize",
     "dedup_simhash_hamming",
@@ -102,6 +100,8 @@ CORE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_rule_extract",
+    "dq_expectations",
+    "embed_quantize_error_contract",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -57,29 +57,24 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r11: the two
-# ADVICE-r10 fixes — agg_welch_t_drift ships per-half rational pairs
-# (schema changed: se1_*/se2_* replace the overflowing common-denominator
-# se2_*), geo_bbox_contains_join dropped its hard broadcast hint (plan
-# changed, results byte-identical by design) — plus the whole streaming
-# family, whose run path gained memoized schema probes
-# (streaming/jobs.py events_stream, streaming_queries._fixture_schema);
-# results byte-identical by design, path changed, so they re-earn rows.
+# row — they must re-earn one (tier 2). Reset each round. r12:
+# agg_welch_t_drift renamed the per-half variance columns se*_→var*_
+# (ADVICE r11 #4, schema changed); the four bounded_self_pairs callers
+# gained the memoized hot-key probe (operators/pairs.py _HOT_PROBE —
+# results identical by construction, plan-build path changed); the two
+# HyperANF rows split producer/consumer on the _ANF_DENOMS memo
+# (ADVICE r11 #1/#2); graph_reachability's shallow frontier loop moved
+# from localCheckpoint+isEmpty to persist+count with a pre-resolved
+# cached edge set (VERDICT r11 #5 — same rows, fewer driver jobs).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
     "agg_welch_t_drift",
-    "geo_bbox_contains_join",
-    "stream_tumbling_hourly",
-    "stream_incremental_upsert",
-    "stream_stateful_running",
-    "stream_dedup_keys",
-    "stream_session_window",
-    "stream_sliding_hourly",
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
-    "stream_stateful_session_timeout",
-    "stream_dedup_within_watermark",
-    "stream_full_join_timeout",
+    "dedup_embedding_cosine",
+    "dedup_semdedup_clusters",
+    "graph_copurchase_project",
+    "graph_jaccard_similarity",
+    "graph_hyperanf_sketch",
+    "graph_neighborhood_function",
+    "graph_reachability",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every

@@ -116,6 +116,9 @@ QUERIES = [
     "src_varint_records_scan",    # per-file frame walk, Arrow batches (r10)
     "graph_hyperanf_sketch",      # packed HLL register maxes vs exact-ball oracle (r11)
     "graph_neighborhood_function",  # global milli-unit N(t) roll-up of the sketch (r11)
+    "pipeline_minhash_verified_dedup",  # LSH candidates -> exact verify -> CC keepers -> corpus join (r12)
+    "graph_effective_diameter",   # min_by readout over the sketch state, count-guarded empty (r12)
+    "stream_sketch_register_merge",  # foreachBatch register-MAX state merge, batch-split blind (r12)
 ]
 
 _SCRIPT = f"""

@@ -99,6 +99,9 @@ R10_EMPTY_EXEMPT = frozenset({
     # global aggregate: emits its 1-row statistic (with zero counts) even
     # on empty input - a 0-row result would be the bug
     "agg_welch_t_drift",
+    # streaming path (same reason the rest of the stream_ family is
+    # exempt: the file-source fixture requires real input files)
+    "stream_sketch_register_merge",
 })
 
 # Pre-r10 rows not in the empty-input gate: streaming fixture builders,

@@ -71,6 +71,8 @@ EMPTY_SAFE = [
     "graph_betweenness_stress_sampled",
     "graph_hyperanf_sketch",
     "graph_neighborhood_function",
+    "pipeline_minhash_verified_dedup",
+    "graph_effective_diameter",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Round-12 operator tests: the end-to-end minhash dedup composite and
+the bounded_self_pairs hot-probe memo semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from graph_etl_pipeline_spark.registry import all_queries
+
+
+def test_minhash_verified_dedup_keeper_invariants(spark, sf_dir):
+    """End-to-end keeper-count contract: the composite emits exactly one
+    row per input document; every duplicate cluster keeps exactly its
+    canonical member; documents in no verified pair are their own
+    canonical and always kept — so kept-count equals
+    |corpus| − (|pair-graph nodes| − |clusters|)."""
+    specs = all_queries()
+    out = specs["pipeline_minhash_verified_dedup"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    n_docs = docs.count()
+    assert out.count() == n_docs  # one row per input document, no drops
+
+    rows = out.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    for canon, members in by_cluster.items():
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1, f"cluster {canon} keeps {len(kept)} rows"
+        assert kept[0].doc_id == canon  # the canonical member is the keeper
+        assert canon == min(m.doc_id for m in members)  # CC minimum rule
+
+    # Singleton documents (no verified near-dup) are their own canonical.
+    pair_nodes = {
+        r.doc_id
+        for r in specs["dedup_cluster_keep"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.doc_id not in pair_nodes:
+            assert r.kept and r.canonical_id == r.doc_id
+
+    n_clusters = len(by_cluster)
+    n_kept = sum(1 for r in rows if r.kept)
+    assert n_kept == n_clusters  # one keeper per cluster, singletons included
+    assert n_kept == n_docs - (len(pair_nodes) - len({
+        r.canonical_id for r in rows if r.doc_id in pair_nodes
+    }))
+
+
+def test_hot_probe_memo_is_strategy_only(spark):
+    """The _HOT_PROBE memo can only change the physical strategy, never
+    the rows: force both verdicts for the same frame and assert an
+    identical pair set either way."""
+    from graph_etl_pipeline_spark.operators import pairs as P
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(6)], "k string, o int"
+    )
+    sel = lambda j: j.select(  # noqa: E731
+        F.col("a.k").alias("k"), F.col("a.o").alias("oa"), F.col("b.o").alias("ob")
+    )
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        "k",
+        4,
+    )
+    P._HOT_PROBE.pop(key, None)
+    tiled = {tuple(r) for r in P.bounded_self_pairs(df, "k", "o", 4, sel).collect()}
+    assert P._HOT_PROBE[key] is True  # groups of 6 > cap 4 → hot
+    P._HOT_PROBE[key] = False  # force the plain branch on the same frame
+    plain = {tuple(r) for r in P.bounded_self_pairs(df, "k", "o", 4, sel).collect()}
+    P._HOT_PROBE.pop(key, None)
+    assert tiled == plain and len(plain) == 2 * (6 * 5 // 2)
