@@ -511,9 +511,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "conv_id", "user_id", "click_ts", "conv_ts")
     name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
-    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        STREAM_JOIN_SHUFFLE_PARTITIONS,
+        stream_shuffle_partitions,
+    )
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, STREAM_JOIN_SHUFFLE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -649,9 +652,12 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # horizon is past the final watermark so the ENGINE never emits them;
     # the filter is belt-and-braces for the matched-side projection only
     name = f"stream_lojto_{uuid.uuid4().hex[:8]}"
-    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        STREAM_JOIN_SHUFFLE_PARTITIONS,
+        stream_shuffle_partitions,
+    )
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, STREAM_JOIN_SHUFFLE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -977,9 +983,12 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_ts",
     )
     name = f"stream_fojto_{uuid.uuid4().hex[:8]}"
-    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        STREAM_JOIN_SHUFFLE_PARTITIONS,
+        stream_shuffle_partitions,
+    )
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, STREAM_JOIN_SHUFFLE_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)

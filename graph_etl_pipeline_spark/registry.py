@@ -63,6 +63,9 @@ CORE_ORDER = [
     "graph_neighborhood_function",
     "dedup_embedding_cosine",
     "dedup_semdedup_clusters",
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_full_join_timeout",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -99,9 +102,6 @@ CORE_ORDER = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_rule_extract",
-    "dq_expectations",
-    "embed_quantize_error_contract",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -252,6 +252,19 @@ import contextlib
 
 STREAM_SHUFFLE_PARTITIONS = 8
 
+# Stream-STREAM joins run even narrower: each shuffle partition carries
+# FOUR state-store instances (left/right keyToNumValues + keyWithIndex),
+# so their per-micro-batch fixed cost (open, lookup, commit, snapshot ×
+# stores × partitions) is 4× a single-operator stateful query's at the
+# same width. Fresh-process A/B at sf0.1 (r12): width 8→4 takes
+# stream_full_join_timeout 6.4→4.0 s and stream_left_join_timeout
+# 4.6→4.1 s with identical results; the Python-stateful sessionizer
+# moves the OTHER way (8→2 is 6.3→10.4 s — applyInPandasWithState needs
+# the Arrow-worker parallelism), which is why this is a separate knob
+# and not a lower global default. Production sizing still follows state
+# VOLUME; these fixtures' join state is a few thousand rows.
+STREAM_JOIN_SHUFFLE_PARTITIONS = 4
+
 
 @contextlib.contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):

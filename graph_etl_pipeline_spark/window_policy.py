@@ -65,8 +65,14 @@ ANCHORS = (
 # HyperANF rows split producer/consumer on the _ANF_DENOMS memo
 # (ADVICE r11 #1/#2); graph_reachability's shallow frontier loop moved
 # from localCheckpoint+isEmpty to persist+count with a pre-resolved
-# cached edge set (VERDICT r11 #5 — same rows, fewer driver jobs).
+# cached edge set (VERDICT r11 #5 — same rows, fewer driver jobs); the
+# three stream-stream join fixtures now run at the narrower
+# STREAM_JOIN_SHUFFLE_PARTITIONS width (4 state stores per partition —
+# results identical under any width per the hostile gate, path changed).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
+    "stream_interval_join",
+    "stream_left_join_timeout",
+    "stream_full_join_timeout",
     "agg_welch_t_drift",
     "dedup_embedding_cosine",
     "dedup_semdedup_clusters",
