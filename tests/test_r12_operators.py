@@ -73,3 +73,79 @@ def test_hot_probe_memo_is_strategy_only(spark):
     plain = {tuple(r) for r in P.bounded_self_pairs(df, "k", "o", 4, sel).collect()}
     P._HOT_PROBE.pop(key, None)
     assert tiled == plain and len(plain) == 2 * (6 * 5 // 2)
+
+
+def test_ehll_register_merge_batch_split_invariance(spark, sf_dir):
+    """The streaming sketch state must be invariant to how the engine
+    splits the stream into micro-batches: fold the same events through
+    1-batch, 2-batch, and per-row splits with ehll_batch_registers +
+    ehll_register_merge and assert identical final state — the register
+    MAX algebra (associative, commutative, idempotent) made executable."""
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        ehll_batch_registers,
+        ehll_register_merge,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id")
+        .limit(40)
+        .collect()
+    )
+    assert len(ev) >= 10
+    users = sorted({r.user_id for r in ev})
+    seed = spark.createDataFrame(
+        [(u, 0, 0) for u in users], "user_id bigint, r0 bigint, r1 bigint"
+    )
+
+    def fold(splits):
+        state = seed
+        for rows in splits:
+            if not rows:
+                continue
+            batch = spark.createDataFrame(rows, "user_id bigint, event_id bigint")
+            state = ehll_register_merge(state, ehll_batch_registers(batch))
+        return {(r.user_id): (r.r0, r.r1) for r in state.collect()}
+
+    rows = [(r.user_id, r.event_id) for r in ev]
+    one = fold([rows])
+    two = fold([rows[: len(rows) // 2], rows[len(rows) // 2:]])
+    per3 = fold([rows[i : i + 3] for i in range(0, len(rows), 3)])
+    replay = fold([rows, rows[:7]])  # replayed prefix must be a no-op
+    assert one == two == per3 == replay
+    # and a duplicated-event batch is idempotent within a batch too
+    dup = fold([rows + rows])
+    assert dup == one
+
+
+def test_effective_diameter_known_graph(spark, tmp_path):
+    """Path graph 1-2-3-4-5 (the r11 replay fixture): the readout must
+    pick the smallest hop whose N(t) ppm fraction clears the 900000
+    threshold, agreeing row-for-row with graph_neighborhood_function."""
+    import datetime
+
+    from graph_etl_pipeline_spark.queries.graph_queries import (
+        EFF_DIAMETER_PPM,
+        graph_effective_diameter,
+        graph_neighborhood_function,
+    )
+    from tests.test_r11_operators import _write_events
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (u, base + datetime.timedelta(minutes=u), u, "click", 1.0, "{}")
+        for u in range(1, 6)
+    ]
+    sf = str(tmp_path / "diam")
+    _write_events(spark, sf, rows)
+
+    nf = {
+        r.hop: r.frac_of_h3_ppm
+        for r in graph_neighborhood_function(spark, sf).collect()
+    }
+    out = graph_effective_diameter(spark, sf).collect()
+    expect = min(h for h, frac in nf.items() if frac >= EFF_DIAMETER_PPM)
+    assert len(out) == 1
+    assert out[0].eff_diameter_hops == expect
+    assert out[0].frac_at_diameter_ppm == nf[expect]
+    assert out[0].threshold_ppm == EFF_DIAMETER_PPM
