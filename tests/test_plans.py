@@ -443,3 +443,46 @@ def test_session_batch_two_windows_one_sort_one_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1  # hashpartitioning(user_id) only
     assert plan.count("Sort ") == 1  # both windows share the one sort
     assert plan.count("HashAggregate") == 2  # partial + final, co-located
+
+
+def test_sink_upsert_plan_shape(spark, sf_dir):
+    """sink_upsert_node is two chained full-outer MERGEs on c_custkey —
+    the r11/r12 drift investigations concluded host band, so pin the
+    plan shape they verified: full-outer joins present, no cartesian
+    fallback, and the double merge must not multiply exchanges beyond
+    one per join side per level (4 total at this width)."""
+    plan = _plan(spark, "sink_upsert_node", sf_dir)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_mm_binary_features_single_arrow_pass(spark, sf_dir):
+    """mm_binary_features must stay ONE mapInPandas pass over the scan —
+    a second Arrow boundary (or a shuffle before it) would double the
+    serialization cost the r11 drift was suspected of (it was host band;
+    plan confirmed unchanged)."""
+    plan = _plan(spark, "mm_binary_features", sf_dir)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan.split("MapInPandas")[0]  # map-side, pre-shuffle
+
+
+def test_minhash_verified_dedup_single_corpus_join(spark, sf_dir):
+    """The end-to-end dedup composite's final corpus application must be
+    ONE join of the corpus against the flags table (broadcast or
+    shuffled — Catalyst's choice by size), never a cartesian, and the
+    corpus side must scan only doc_id for it (column pruning: the text
+    column feeds the shingle pipeline, not the final apply)."""
+    plan = _plan(spark, "pipeline_minhash_verified_dedup", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the final left join reads the corpus as doc_id alone
+    assert "struct<doc_id:bigint>" in plan
+
+
+def test_effective_diameter_is_tiny_rollup(spark, sf_dir):
+    """The diameter readout adds ONE aggregate over the 3-row N(t)
+    output — it must not re-trigger the hop iteration's wide shuffles
+    (the sketch state is memoized; the readout's own plan is a
+    min_by over a filter)."""
+    plan = _plan(spark, "graph_effective_diameter", sf_dir)
+    assert "min_by" in plan or "MinBy" in plan
