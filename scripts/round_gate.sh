@@ -12,10 +12,16 @@ echo "== gate 1/2: pytest =="
 python -m pytest tests/ -q
 
 echo "== gate 2/2: bench =="
-out=$(python bench.py 2>/dev/null | tail -1)
+# bench prints three JSON lines (EXTRA, headline, compact stream —
+# VERDICT r11 #2 added the stream line AFTER the headline record, so
+# tail -1 is no longer the headline); select by metric name.
+out=$(python bench.py 2>/dev/null | tail -5)
 echo "$out" | python -c "
 import json, re, sys
-j = json.loads(sys.stdin.read())
+lines = [json.loads(l) for l in sys.stdin if l.strip()]
+(j,) = [d for d in lines if d.get('metric') == 'headline_queries_total_wallclock']
+stream = [d for d in lines if d.get('metric') == 'stream_queries_wallclock']
+assert stream and stream[0]['queries'], 'compact stream line missing'
 assert j['unit'] == 'sec' and j['queries'], 'bench JSON missing timings'
 # Per-query 2x-of-baseline assertion (VERDICT r4 #3): BASELINE.md's
 # round-1 sf0.1 table is the single source of truth (ADVICE r5 — the
