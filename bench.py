@@ -114,6 +114,7 @@ EXTRA = [
     "pipeline_minhash_verified_dedup",  # LSH→verify→CC→corpus-apply composite (r12)
     "graph_effective_diameter",  # 90%-diameter readout over the ANF sketch (r12)
     "stream_sketch_register_merge",  # foreachBatch register-MAX sketch state (r12)
+    "embed_centroid_drift",  # fixed-point per-label centroid shift monitor (r12)
 ]
 
 

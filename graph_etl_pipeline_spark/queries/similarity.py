@@ -1697,3 +1697,112 @@ def embed_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topf.join(topp, ["vec_id", "label", "full_dot", "prefix_dot"], "full_outer").select(
         "vec_id", "label", "full_dot", "prefix_dot", "full_rank", "prefix_rank"
     )
+
+
+# --- Embedding-space drift (r12) ----------------------------------------
+
+_DRIFT_DEN_2_48 = float(1 << 48)  # FIXED_SCALE² — fixed-point → real units
+
+
+@register(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+        SELECT label, vec_id % 2 AS ia, g.i,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT) AS xq
+        FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+    ),
+    counts AS (
+        SELECT label,
+               CAST(SUM(vec_id % 2) AS BIGINT) AS n1,
+               CAST(SUM(1 - vec_id % 2) AS BIGINT) AS n2
+        FROM embeddings GROUP BY label
+    ),
+    sums AS (
+        SELECT label, i,
+               CAST(SUM(ia * xq) AS BIGINT) AS s1,
+               CAST(SUM((1 - ia) * xq) AS BIGINT) AS s2
+        FROM q GROUP BY label, i
+    ),
+    terms AS (
+        SELECT s.label,
+               CAST(s1 AS HUGEINT) * c.n2 - CAST(s2 AS HUGEINT) * c.n1 AS t
+        FROM sums s JOIN counts c ON c.label = s.label
+    ),
+    num AS (SELECT label, SUM(t * t) AS num FROM terms GROUP BY label)
+    SELECT c.label, c.n1, c.n2,
+           CAST(num AS VARCHAR) AS shift2_num,
+           CAST(CAST(c.n1 AS HUGEINT) * c.n1 * c.n2 * c.n2 AS VARCHAR) AS shift2_den,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(c.n1 AS HUGEINT) * c.n1 * c.n2 * c.n2 AS VARCHAR) AS DOUBLE)
+           / {_DRIFT_DEN_2_48} AS shift2
+    FROM num JOIN counts c ON c.label = num.label
+    WHERE c.n1 > 0 AND c.n2 > 0
+    """,
+    tags=("embedding", "drift", "llm"),
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT MONITOR — the drift family's member for
+    vector columns (agg_ks_drift = scalar shape, agg_chi2_drift =
+    categorical, agg_welch_t_drift = scalar mean; this one answers "did
+    the EMBEDDING DISTRIBUTION move?" via per-label centroid shift, the
+    first-moment screen an LLM-data pipeline runs when an upstream
+    encoder or corpus mix changes). Samples are the two vec_id-parity
+    shards of each label — the deterministic stand-in for batch-vs-corpus
+    (embeddings carry no event time; in production ia is the ingest-batch
+    flag), mirroring agg_chi2_drift's broadcastable split discipline.
+
+    Exactness discipline (the sim_kmeans FIXED_SCALE convention, proven
+    engine-identical): components quantize once to 2^-24 fixed point
+    (FLOOR(x·2^24 + 0.5)); per (label, dim, half) sums are exact int64;
+    the squared centroid distance ships as EXACT INT128 RATIONAL PIECES —
+    Σ_d (s1_d·n2 − s2_d·n1)² over (n1·n2)² — rendered as strings, with
+    the headline shift² double derived from those pieces through the
+    string bridge divided by 2^48 (fixed-point → real units), the same
+    fixed IEEE op sequence in both engines. Headroom: the numerator is
+    ~DIM·(n²·2^24)², inside decimal(38)/HUGEINT to ~8·10^5 rows per
+    label-half; past that, drop FIXED_SCALE a few bits or ship per-dim
+    pairs (the agg_welch_t_drift split-denominator move).
+
+    Scale: one posexplode scan (DIM fixed-width int rows, map-side
+    partial agg), one (label, dim) exchange collapsing to label rows, and
+    a broadcast-sized counts join — the monitor merges by addition across
+    shards/days, so it runs incrementally at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    ia = (F.col("vec_id") % 2).cast("long")
+    counts = e.groupBy("label").agg(
+        F.sum(ia).cast("long").alias("n1"),
+        F.sum(1 - ia).cast("long").alias("n2"),
+    )
+    xq = F.floor(F.col("x").cast("double") * FIXED_SCALE + F.lit(0.5)).cast("long")
+    pos = e.select(
+        "label", ia.alias("ia"), F.posexplode("embedding").alias("i0", "x")
+    ).select("label", "ia", xq.alias("xq"), F.col("i0"))
+    sums = pos.groupBy("label", "i0").agg(
+        F.sum(F.col("ia") * F.col("xq")).cast("long").alias("s1"),
+        F.sum((1 - F.col("ia")) * F.col("xq")).cast("long").alias("s2"),
+    )
+    d38 = "decimal(38,0)"
+    t = F.col("s1").cast(d38) * F.col("n2") - F.col("s2").cast(d38) * F.col("n1")
+    num = (
+        sums.join(F.broadcast(counts), "label")
+        .select("label", (t * t).alias("tt"))
+        .groupBy("label")
+        .agg(F.sum("tt").cast(d38).alias("num"))
+    )
+    den = F.col("n1").cast(d38) * F.col("n1") * F.col("n2") * F.col("n2")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        num.join(counts, "label")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "label",
+            "n1",
+            "n2",
+            F.col("num").cast("string").alias("shift2_num"),
+            den.cast("string").alias("shift2_den"),
+            (dd("shift2_num") / dd("shift2_den") / F.lit(_DRIFT_DEN_2_48)).alias(
+                "shift2"
+            ),
+        )
+    )

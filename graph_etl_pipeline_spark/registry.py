@@ -54,6 +54,7 @@ CORE_ORDER_THROUGH_ROUND = 11
 CORE_ORDER = [
     "pipeline_minhash_verified_dedup",
     "graph_effective_diameter",
+    "embed_centroid_drift",
     "stream_sketch_register_merge",
     "agg_welch_t_drift",
     "graph_reachability",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "dedup_fuzzy_names",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -119,6 +119,7 @@ QUERIES = [
     "pipeline_minhash_verified_dedup",  # LSH candidates -> exact verify -> CC keepers -> corpus join (r12)
     "graph_effective_diameter",   # min_by readout over the sketch state, count-guarded empty (r12)
     "stream_sketch_register_merge",  # foreachBatch register-MAX state merge, batch-split blind (r12)
+    "embed_centroid_drift",       # fixed-point vector sums + int128 rational pieces (r12)
 ]
 
 _SCRIPT = f"""

@@ -73,6 +73,7 @@ EMPTY_SAFE = [
     "graph_neighborhood_function",
     "pipeline_minhash_verified_dedup",
     "graph_effective_diameter",
+    "embed_centroid_drift",
 ]
 
 

@@ -149,3 +149,50 @@ def test_effective_diameter_known_graph(spark, tmp_path):
     assert out[0].eff_diameter_hops == expect
     assert out[0].frac_at_diameter_ppm == nf[expect]
     assert out[0].threshold_ppm == EFF_DIAMETER_PPM
+
+
+def test_embed_centroid_drift_fraction_replay(spark, sf_dir):
+    """Python Fraction replay of the exact rational pieces: quantize the
+    vectors with the same FLOOR fixed-point rule, build each label's
+    half-centroid difference exactly, and require bit-identical
+    num/den strings plus the same fixed-op-sequence double."""
+    from fractions import Fraction
+
+    from graph_etl_pipeline_spark.queries.similarity import (
+        FIXED_SCALE,
+        embed_centroid_drift,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    import math
+
+    per = {}
+    for r in rows:
+        ia = r.vec_id % 2
+        st = per.setdefault(r.label, {"n": [0, 0], "s": {}})
+        key = 0 if ia == 1 else 1  # index 0 = the ia half, 1 = the other
+        st["n"][key] += 1
+        for i, x in enumerate(r.embedding):
+            q = math.floor(float(x) * FIXED_SCALE + 0.5)
+            s = st["s"].setdefault(i, [0, 0])
+            s[key] += q
+
+    got = {r.label: r for r in embed_centroid_drift(spark, sf_dir).collect()}
+    assert set(got) == {
+        lbl for lbl, st in per.items() if st["n"][0] > 0 and st["n"][1] > 0
+    }
+    for lbl, st in per.items():
+        if st["n"][0] == 0 or st["n"][1] == 0:
+            continue
+        n1, n2 = st["n"]
+        num = sum(
+            (s[0] * n2 - s[1] * n1) ** 2 for s in st["s"].values()
+        )
+        den = n1 * n1 * n2 * n2
+        r = got[lbl]
+        assert (r.n1, r.n2) == (n1, n2), lbl
+        assert int(r.shift2_num) == num and int(r.shift2_den) == den, lbl
+        assert r.shift2 == float(num) / float(den) / float(1 << 48), lbl
+        # sanity: the exact rational is within 1 ulp of the double
+        exact = Fraction(num, den) / (1 << 48)
+        assert abs(r.shift2 - float(exact)) <= abs(float(exact)) * 1e-12
