@@ -115,6 +115,7 @@ EXTRA = [
     "graph_effective_diameter",  # 90%-diameter readout over the ANF sketch (r12)
     "stream_sketch_register_merge",  # foreachBatch register-MAX sketch state (r12)
     "embed_centroid_drift",  # fixed-point per-label centroid shift monitor (r12)
+    "agg_hdr_shard_merge",  # HDR mergeability + error-bracket contract (r12)
 ]
 
 

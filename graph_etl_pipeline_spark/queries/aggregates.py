@@ -1954,3 +1954,226 @@ def agg_welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var2_den",
         (delta * delta / se2).alias("t2"),
     )
+
+
+# --- HDR shard-merge + accuracy contract (r12) --------------------------
+
+
+@register(
+    "agg_hdr_shard_merge",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) + 1 AS v,
+               event_id % 2 AS shard
+        FROM events
+        WHERE CAST(ROUND(value * 100) AS BIGINT) + 1 >= 1
+    ),
+    bucketed AS (
+        SELECT event_type, shard, v,
+               {_sql_hdr_bucket("v")[0]} AS e, {_sql_hdr_bucket("v")[1]} AS sub
+        FROM vals
+    ),
+    shard_hist AS (
+        SELECT event_type, shard, e, sub, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3, 4
+    ),
+    merged AS (
+        SELECT event_type, e, sub, CAST(SUM(n) AS BIGINT) AS n
+        FROM shard_hist GROUP BY 1, 2, 3
+    ),
+    whole AS (
+        SELECT event_type, e, sub, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3
+    ),
+    dig_w AS (
+        SELECT event_type,
+               md5(string_agg(e || ':' || sub || ':' || n, ',' ORDER BY e, sub))
+                   AS dig_whole
+        FROM whole GROUP BY event_type
+    ),
+    dig_m AS (
+        SELECT event_type,
+               md5(string_agg(e || ':' || sub || ':' || n, ',' ORDER BY e, sub))
+                   AS dig_merged
+        FROM merged GROUP BY event_type
+    ),
+    cum AS (
+        SELECT event_type, e, sub, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY e, sub
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM merged
+    ),
+    q AS (
+        SELECT event_type, tot,
+               MIN(CASE WHEN 100 * cw >= 95 * tot
+                        THEN ((CAST(1 AS BIGINT) << e) * ({HDR_SUBS} + sub)) // {HDR_SUBS}
+                   END) AS p95_lb,
+               MIN(CASE WHEN 100 * cw >= 95 * tot
+                        THEN ((CAST(1 AS BIGINT) << e) * ({HDR_SUBS} + sub + 1)
+                              + {HDR_SUBS} - 1) // {HDR_SUBS} - 1
+                   END) AS p95_ub
+        FROM cum GROUP BY event_type, tot
+    ),
+    vcum AS (
+        SELECT event_type, v,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(c) OVER (PARTITION BY event_type) AS tot
+        FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM vals GROUP BY 1, 2)
+    ),
+    exact AS (
+        SELECT event_type,
+               MIN(CASE WHEN 100 * cw >= 95 * tot THEN v END) AS p95_exact
+        FROM vcum GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(q.tot AS BIGINT) AS n,
+           CAST(q.p95_lb AS BIGINT) AS p95_lb,
+           CAST(x.p95_exact AS BIGINT) AS p95_exact,
+           (q.p95_lb <= x.p95_exact AND x.p95_exact <= q.p95_ub) AS bracket_ok,
+           (w.dig_whole = m.dig_merged) AS merge_exact
+    FROM q
+    JOIN exact x ON x.event_type = q.event_type
+    JOIN dig_w w ON w.event_type = q.event_type
+    JOIN dig_m m ON m.event_type = q.event_type
+    """,
+    tags=("agg", "histogram", "sketch", "contract"),
+)
+def agg_hdr_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR SHARD-MERGE + ACCURACY CONTRACT — the two properties that make
+    the log-bucketed histogram the 100 TB quantile path, certified
+    in-query on real data (the agg_kmv_shard_merge discipline applied to
+    agg_hdr_histogram's sketch):
+
+    * MERGEABILITY (`merge_exact`): per-shard bucket tables (events split
+      by event_id parity — the per-executor/per-day stand-in) merged by
+      plain count addition are md5-digest-IDENTICAL to the whole-corpus
+      bucket table — bucket identity is a pure function of the value, so
+      shards can never disagree on boundaries and merge order cannot
+      matter. This is "sketch at write time, merge at read time".
+    * BOUNDED ERROR (`bracket_ok`): the p95 reconstructed from the MERGED
+      sketch brackets the EXACT p95 order statistic (from the raw
+      per-value counts): p95_lb <= p95_exact <= p95_ub, with ub the
+      picked bucket's inclusive integer upper bound (ceil of the next
+      lower bound minus one — exact at every exponent, including the
+      tiny-e buckets where the plain div collapses lb == next lb) —
+      hdrhistogram.org's relative-error promise made falsifiable per
+      event_type.
+
+    Exactness: the agg_hdr_histogram integer discipline (bit-length
+    exponent, int64 shifts/divs); digests are ordered e:sub:n string md5s
+    both engines replay byte-for-byte (struct array_sort on the Spark
+    side orders exactly like ORDER BY e, sub — n is unique per bucket).
+    Plan: one scan -> map-combined (type, shard, e, sub) counts;
+    everything downstream (merge, digests, quantile walks) runs on bucket
+    tables orders of magnitude smaller than the data; the exact-p95 check
+    adds one per-value count exchange — the certification cost, paid in
+    the contract row, never in the serving path."""
+    ev = table(spark, sf_dir, "events")
+    v = (F.round(F.col("value") * 100).cast("long") + 1).alias("v")
+    vals = ev.select(
+        "event_type", v, (F.col("event_id") % 2).alias("shard")
+    ).filter(F.col("v") >= 1)
+    bucketed = vals.select(
+        "event_type",
+        "shard",
+        "v",
+        (F.length(F.bin("v")) - 1).cast("long").alias("e"),
+        F.expr(
+            f"shiftright({HDR_SUBS} * (v - shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin(v)) - 1)), length(bin(v)) - 1)"
+        ).cast("long").alias("sub"),
+    )
+    shard_hist = bucketed.groupBy("event_type", "shard", "e", "sub").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    merged = shard_hist.groupBy("event_type", "e", "sub").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    whole = bucketed.groupBy("event_type", "e", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+    def dig(hist: DataFrame, name: str) -> DataFrame:
+        ordered = F.array_sort(F.collect_list(F.struct("e", "sub", "n")))
+        return hist.groupBy("event_type").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        ordered,
+                        lambda t: F.concat_ws(
+                            ":",
+                            t.getField("e").cast("string"),
+                            t.getField("sub").cast("string"),
+                            t.getField("n").cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias(name)
+        )
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lb = F.expr(
+        f"(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) * ({HDR_SUBS} + sub))"
+        f" div {HDR_SUBS}"
+    )
+    ub = F.expr(
+        f"(shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) * ({HDR_SUBS} + sub + 1)"
+        f" + {HDR_SUBS} - 1) div {HDR_SUBS} - 1"
+    )
+    cum = merged.select(
+        "event_type",
+        "n",
+        F.sum("n").over(wcum).alias("cw"),
+        F.sum("n").over(Window.partitionBy("event_type")).alias("tot"),
+        lb.alias("lb"),
+        ub.alias("ub"),
+    )
+    crossing = 100 * F.col("cw") >= 95 * F.col("tot")
+    q = cum.groupBy("event_type", "tot").agg(
+        F.min(F.when(crossing, F.col("lb"))).cast("long").alias("p95_lb"),
+        F.min(F.when(crossing, F.col("ub"))).cast("long").alias("p95_ub"),
+    )
+
+    vc = vals.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    vw = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vc.select(
+        "event_type",
+        "v",
+        F.sum("c").over(vw).alias("cw"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("tot"),
+    )
+    exact = vcum.groupBy("event_type").agg(
+        F.min(F.when(100 * F.col("cw") >= 95 * F.col("tot"), F.col("v")))
+        .cast("long")
+        .alias("p95_exact")
+    )
+
+    digs = dig(whole, "dig_whole").join(dig(merged, "dig_merged"), "event_type")
+    return (
+        q.join(exact, "event_type")
+        .join(digs, "event_type")
+        .select(
+            "event_type",
+            F.col("tot").cast("long").alias("n"),
+            "p95_lb",
+            "p95_exact",
+            (
+                (F.col("p95_lb") <= F.col("p95_exact"))
+                & (F.col("p95_exact") <= F.col("p95_ub"))
+            ).alias("bracket_ok"),
+            (F.col("dig_whole") == F.col("dig_merged")).alias("merge_exact"),
+        )
+    )

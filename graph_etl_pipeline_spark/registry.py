@@ -52,6 +52,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
 CORE_ORDER_THROUGH_ROUND = 11
 CORE_ORDER = [
+    "agg_hdr_shard_merge",
     "pipeline_minhash_verified_dedup",
     "graph_effective_diameter",
     "embed_centroid_drift",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "dedup_cluster_keep",
     "dedup_fuzzy_names",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -120,6 +120,7 @@ QUERIES = [
     "graph_effective_diameter",   # min_by readout over the sketch state, count-guarded empty (r12)
     "stream_sketch_register_merge",  # foreachBatch register-MAX state merge, batch-split blind (r12)
     "embed_centroid_drift",       # fixed-point vector sums + int128 rational pieces (r12)
+    "agg_hdr_shard_merge",        # bucket digests + dual quantile walks under hostile topology (r12)
 ]
 
 _SCRIPT = f"""

@@ -74,6 +74,7 @@ EMPTY_SAFE = [
     "pipeline_minhash_verified_dedup",
     "graph_effective_diameter",
     "embed_centroid_drift",
+    "agg_hdr_shard_merge",
 ]
 
 
