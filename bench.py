@@ -245,11 +245,17 @@ def main() -> None:
     # 2x-gate grades against out of BENCH_r9/r10 (VERDICT r10 #3 /
     # "what's missing" #1). The LAST line is now a compact
     # headline-only record (~600 bytes) that always survives whole.
+    # EXTRA prints ASCENDING by time so the expensive rows — the ones a
+    # cross-round regression audit needs — land nearest the archived
+    # stdout tail (VERDICT r12 "what's missing" #1: each round's new
+    # rows pushed the old expensive rows off the tail; r12's audit
+    # caught sample_poisson_bootstrap only by luck of position).
+    extra_sorted = dict(sorted(extra_timings.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
             {
                 "metric": "extra_queries_wallclock",
-                "extra_queries": extra_timings,
+                "extra_queries": extra_sorted,
                 "sf": sf_val,
                 "cpus": int(cpus),
             }
@@ -282,6 +288,26 @@ def main() -> None:
                     for n in EXTRA
                     if n.startswith("stream_") and n in extra_timings
                 },
+                "sf": sf_val,
+            }
+        )
+    )
+    # Fourth compact line: every EXTRA row that cost >= 1 s, sorted
+    # DESCENDING (most expensive first), as a guaranteed-to-survive
+    # duplicate of the big EXTRA line's hot tail. Together with the
+    # ascending sort above this makes the full set of audit-relevant
+    # EXTRA timings visible in the archived artifact even if the big
+    # line truncates entirely (VERDICT r12 "what's missing" #1).
+    print(
+        json.dumps(
+            {
+                "metric": "extra_top_wallclock",
+                "queries": dict(
+                    sorted(
+                        ((n, t) for n, t in extra_timings.items() if t >= 1.0),
+                        key=lambda kv: -kv[1],
+                    )
+                ),
                 "sf": sf_val,
             }
         )

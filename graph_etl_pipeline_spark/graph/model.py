@@ -102,32 +102,49 @@ class PropertyGraph:
 
         The filtered/typed edge set is resolved once before the loop so
         every level joins the same frame (one cache entry at scale
-        instead of max_depth re-scans of the union view)."""
+        instead of max_depth re-scans of the union view).
+
+        Cache hygiene (ADVICE r12 #1): the shallow path's persisted
+        frames (edge set + per-level frontiers) are all UNPERSISTED in a
+        finally block — distinct root sets / rel_types would otherwise
+        accumulate CacheManager entries for the session lifetime. The
+        returned union is materialized first via an eager
+        localCheckpoint (one small job over the still-cached frontiers;
+        its blocks are reclaimed by ContextCleaner once the caller drops
+        the frame), so the caller never recomputes the traversal."""
         e = self.edges
         if rel_types:
             e = e.filter(e.rel_type.isin(*rel_types))
         shallow = max_depth <= 4
+        persisted: list[DataFrame] = []
         if shallow:
             e = e.persist()
+            persisted.append(e)
         visited = roots
         frontier = roots
-        for _ in range(max_depth):
-            nxt = (
-                self.hop_edges(frontier, e, direction)
-                .join(visited, ["uid", "root"], "left_anti")
-            )
-            if checkpoint and not shallow:
-                nxt = nxt.localCheckpoint(eager=True)
-                if nxt.isEmpty():
-                    break
-            else:
-                nxt = nxt.persist()
-                if nxt.count() == 0:
-                    nxt.unpersist()
-                    break
-            visited = visited.unionByName(nxt)
-            frontier = nxt
-        return visited
+        try:
+            for _ in range(max_depth):
+                nxt = (
+                    self.hop_edges(frontier, e, direction)
+                    .join(visited, ["uid", "root"], "left_anti")
+                )
+                if checkpoint and not shallow:
+                    nxt = nxt.localCheckpoint(eager=True)
+                    if nxt.isEmpty():
+                        break
+                else:
+                    nxt = nxt.persist()
+                    persisted.append(nxt)
+                    if nxt.count() == 0:
+                        break
+                visited = visited.unionByName(nxt)
+                frontier = nxt
+            if persisted:
+                visited = visited.localCheckpoint(eager=True)
+            return visited
+        finally:
+            for df in persisted:
+                df.unpersist()
 
     def connected_components(
         self,

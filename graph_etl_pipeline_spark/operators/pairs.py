@@ -126,9 +126,22 @@ def bounded_self_pairs(
     the key count (the SemDeDup cell join). It must emit exactly
     ``plain_self_pairs``' pair set; only the physical strategy differs."""
     plain = plain_impl or (lambda d: plain_self_pairs(d, key, order_col))
+    # Memo key includes the resolved input FILE LIST, not just the plan
+    # hash (ADVICE r12 #2): semanticHash is plan-shape-based, so data
+    # rewritten in place under the same path within one application
+    # would otherwise serve a stale verdict and a newly-hot corpus could
+    # run the unbounded plain join — the skew blowup this module exists
+    # to prevent. inputFiles() is a driver-side plan walk (no job); a
+    # re-ingest that changes any part file changes the key. Same
+    # fingerprint discipline as graph_queries._ANF_DENOMS.
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()  # non-file-backed frames: plan hash alone
     probe_key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
+        files,
         key,
         cap,
     )

@@ -1075,11 +1075,18 @@ def ehll_register_merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
     associative, commutative, and idempotent, so the final state is
     independent of how the engine split the stream into micro-batches
     AND of replays — the T2 merge discipline applied to sketch state.
-    The state table is customer-keyed (the seed defines the key
-    universe), so the merge is a LEFT join and zero registers are the
-    merge-neutral seed (MAX(0, x) = x)."""
+
+    The join is FULL OUTER with both sides coalesced to the
+    merge-neutral zero registers (MAX(0, x) = x), so the helper is
+    correct for OPEN key universes: an incoming user absent from the
+    state table creates its row rather than silently losing sketch
+    state (ADVICE r12 #4 — the previous LEFT join relied on the
+    customer-seeded fixture's incoming ⊆ current invariant; under that
+    invariant full-outer emits the identical rows, and both sides
+    already shuffle on user_id, so the physical plan cost is the
+    same SortMergeJoin exchange pair)."""
     e, i = current.alias("e"), incoming.alias("i")
-    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "left")
+    j = e.join(i, F.col("e.user_id") == F.col("i.user_id"), "full_outer")
 
     def regmax(col: str) -> F.Column:
         out = F.lit(0).cast("long")
@@ -1087,13 +1094,18 @@ def ehll_register_merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
             sl = lambda side: F.shiftright(  # noqa: B023,E731
                 F.col(f"{side}.{col}"), 6 * k
             ).bitwiseAND(63)
+            zero = F.lit(0).cast("long")
             out = out + F.shiftleft(
-                F.greatest(sl("e"), F.coalesce(sl("i"), F.lit(0).cast("long"))),
+                F.greatest(F.coalesce(sl("e"), zero), F.coalesce(sl("i"), zero)),
                 6 * k,
             )
         return out.alias(col)
 
-    return j.select(F.col("e.user_id").alias("user_id"), regmax("r0"), regmax("r1"))
+    return j.select(
+        F.coalesce(F.col("e.user_id"), F.col("i.user_id")).alias("user_id"),
+        regmax("r0"),
+        regmax("r1"),
+    )
 
 
 def _ehll_sql_lane(start: int) -> str:

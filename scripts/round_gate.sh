@@ -12,13 +12,22 @@ echo "== gate 1/2: pytest =="
 python -m pytest tests/ -q
 
 echo "== gate 2/2: bench =="
-# bench prints three JSON lines (EXTRA, headline, compact stream —
-# VERDICT r11 #2 added the stream line AFTER the headline record, so
-# tail -1 is no longer the headline); select by metric name.
-out=$(python bench.py 2>/dev/null | tail -5)
+# bench prints several JSON lines (EXTRA, headline, compact stream,
+# compact extra-top); feed ALL stdout to the selector and pick by
+# metric name — no tail budget to outgrow (ADVICE r12 #3: a hard-coded
+# tail -5 would crash with an opaque unpacking error the moment bench
+# gained a line).
+out=$(python bench.py 2>/dev/null)
 echo "$out" | python -c "
 import json, re, sys
-lines = [json.loads(l) for l in sys.stdin if l.strip()]
+lines = []
+for l in sys.stdin:
+    if not l.strip():
+        continue
+    try:
+        lines.append(json.loads(l))
+    except json.JSONDecodeError:
+        pass  # non-JSON diagnostics never block the gate
 (j,) = [d for d in lines if d.get('metric') == 'headline_queries_total_wallclock']
 stream = [d for d in lines if d.get('metric') == 'stream_queries_wallclock']
 assert stream and stream[0]['queries'], 'compact stream line missing'
