@@ -50,13 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 11
+CORE_ORDER_THROUGH_ROUND = 12
 CORE_ORDER = [
-    "agg_hdr_shard_merge",
-    "pipeline_minhash_verified_dedup",
-    "graph_effective_diameter",
-    "embed_centroid_drift",
-    "stream_sketch_register_merge",
     "agg_welch_t_drift",
     "graph_reachability",
     "graph_copurchase_project",
@@ -79,29 +74,34 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "agg_rollup",
-    "agg_winsorize",
-    "dedup_simhash_hamming",
-    "graph_connected_components",
-    "graph_triangle_count",
-    "join_time_range",
-    "profile_table_stats",
-    "sample_domain_mix",
-    "sample_stratified_exact",
-    "split_train_holdout",
-    "text_decontaminate",
-    "text_repetition_ratio",
-    "text_token_budget",
-    "win_asof_last_click",
-    "win_rank_frames",
-    "agg_equidepth_histogram",
-    "agg_event_cooccurrence",
-    "agg_heavy_hitters",
-    "agg_mad_outliers",
-    "cdc_snapshot_diff",
-    "dedup_cluster_keep",
-    "dedup_fuzzy_names",
-    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_rule_extract",
+    "dq_expectations",
+    "embed_quantize_error_contract",
+    "embed_quantize_int8",
+    "graph_pagerank",
+    "join_asof_nearest",
+    "mm_audio_frame_rms",
+    "pipeline_corpus_curation",
+    "pipeline_training_dataset",
+    "sample_temperature_mix",
+    "sample_weighted_tokens",
+    "scd2_history",
+    "set_union",
+    "sim_kmeans_assign",
+    "sim_kmeans_iterate",
+    "sink_partitioned_prune",
+    "src_xlsx_scan",
+    "text_chunk_overlap",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_tfidf_topk",
+    "win_funnel_conversion",
+    "win_gapfill_hourly",
+    "win_retention_cohorts",
+    "win_session_batch",
+    "win_sliding_hourly",
 ]
 # --- END GENERATED WINDOW ---
 
