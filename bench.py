@@ -116,6 +116,8 @@ EXTRA = [
     "stream_sketch_register_merge",  # foreachBatch register-MAX sketch state (r12)
     "embed_centroid_drift",  # fixed-point per-label centroid shift monitor (r12)
     "agg_hdr_shard_merge",  # HDR mergeability + error-bracket contract (r12)
+    "pipeline_semdedup_apply",  # SemDeDup→CC→corpus-apply composite (r13)
+    "text_token_drift",  # hashed-vocabulary χ² drift monitor (r13)
 ]
 
 

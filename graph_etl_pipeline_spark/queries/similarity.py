@@ -807,12 +807,50 @@ def _semdedup_cell_pairs(m: DataFrame, cap: int) -> DataFrame:
     def _sel(j: DataFrame) -> DataFrame:
         return j.select(
             F.col("b.vec_id").alias("a_id"),
+            F.col("a.vec_id").alias("b_id"),
             _int_dot(F.col("a.qe"), F.col("b.qe")).alias("d"),
             F.col("a.nn").alias("na"),
             F.col("b.nn").alias("nb"),
         )
 
     return bounded_self_pairs(m, "cid", "vec_id", cap, _sel, plain_impl=_bcast_plain)
+
+
+def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained (vec_id, cid, qe, nn) member table SemDeDup scores
+    pairs over — Lloyd assignment plus per-vector self-norms,
+    content-addressed materialized so the pair self-join never re-derives
+    the Lloyd chain on both sides and repeat runs skip the rounds
+    entirely (the persisted-artifact production shape)."""
+    from graph_etl_pipeline_spark.io import materialize
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, _cents = _lloyd(e, LLOYD_ROUNDS)
+    return materialize(
+        assigned.select("vec_id", "cid", "qe", _int_dot("qe", "qe").alias("nn")),
+        "semdedup_members",
+    )
+
+
+def _semdedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lo_id, hi_id) within-cell pairs with exact cosine ≥ τ — the
+    VERIFIED semantic near-dup edge set, shared by
+    dedup_semdedup_clusters (greedy higher-id drop flags) and
+    pipeline_semdedup_apply (connected-components canonicalization).
+    The τ comparison is the exact int128 fixed-point form documented on
+    dedup_semdedup_clusters."""
+    m = _semdedup_members(spark, sf_dir)
+    scored = _semdedup_cell_pairs(m, CHUNK_CAP)
+    return scored.filter(
+        (F.col("d") > 0)
+        & (
+            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+            * F.lit(10000)
+            >= F.lit(SEMDEDUP_TAU_SQ_E4)
+            * F.col("na").cast("decimal(19,0)")
+            * F.col("nb").cast("decimal(19,0)")
+        )
+    ).select(F.col("b_id").alias("lo_id"), F.col("a_id").alias("hi_id"))
 
 
 @register(
@@ -868,38 +906,114 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen (CodegenFallback) — a fixed per-element constant that
     amortizes across executors at cluster scale; the exactness (int64
     fold) is what buys the cross-engine hash row."""
-    from graph_etl_pipeline_spark.io import materialize
-
-    e = table(spark, sf_dir, "embeddings")
-    assigned, _cents = _lloyd(e, LLOYD_ROUNDS)
-    # Self-norms once per VECTOR (not per pair — 3× less pair work), and
-    # materialize (content-addressed) so the self-join below doesn't
-    # re-derive the whole Lloyd chain on both sides AND repeat runs in a
-    # process skip the Lloyd rounds entirely — the production shape: the
-    # trained assignment table is a persisted artifact, re-clustering is
-    # an explicit retrain, not a side effect of every downstream query.
-    m = materialize(
-        assigned.select("vec_id", "cid", "qe", _int_dot("qe", "qe").alias("nn")),
-        "semdedup_members",
-    )
-    scored = _semdedup_cell_pairs(m, CHUNK_CAP)
-    dup = scored.filter(
-        (F.col("d") > 0)
-        & (
-            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
-            * F.lit(10000)
-            >= F.lit(SEMDEDUP_TAU_SQ_E4)
-            * F.col("na").cast("decimal(19,0)")
-            * F.col("nb").cast("decimal(19,0)")
-        )
-    )
-    drops = dup.select(F.col("a_id").alias("vec_id")).distinct().withColumn(
+    m = _semdedup_members(spark, sf_dir)
+    dup = _semdedup_verified_pairs(spark, sf_dir)
+    drops = dup.select(F.col("hi_id").alias("vec_id")).distinct().withColumn(
         "dropped", F.lit(True)
     )
     return (
         m.select("vec_id", F.col("cid").alias("cluster"))
         .join(drops, "vec_id", "left")
         .select("vec_id", "cluster", F.col("dropped").isNull().alias("keep"))
+    )
+
+
+@register(
+    "pipeline_semdedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_sql_lloyd_ctes()},
+    m AS (SELECT vec_id, cid, qe FROM a{LLOYD_ROUNDS - 1}),
+    p AS (
+        SELECT b.vec_id AS lo, a.vec_id AS hi,
+               {_sql_idot("a.qe", "b.qe")} AS d,
+               {_sql_idot("a.qe", "a.qe")} AS na,
+               {_sql_idot("b.qe", "b.qe")} AS nb
+        FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    ),
+    pairs AS (
+        SELECT lo, hi FROM p
+        WHERE d > 0
+          AND CAST(d AS HUGEINT) * d * 10000
+              >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
+    ),
+    undirected AS (
+        SELECT lo AS a, hi AS b FROM pairs
+        UNION ALL
+        SELECT hi AS a, lo AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    flags AS (
+        SELECT node AS vec_id,
+               MIN(anc) AS canonical_id,
+               (node = MIN(anc)) AS kept
+        FROM reach GROUP BY node
+    )
+    SELECT e.vec_id,
+           COALESCE(f.canonical_id, e.vec_id) AS canonical_id,
+           COALESCE(f.kept, TRUE) AS kept
+    FROM embeddings e LEFT JOIN flags f ON f.vec_id = e.vec_id
+    """,
+    tags=("pipeline", "dedup", "similarity", "llm"),
+)
+def pipeline_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END SEMANTIC DEDUP (VERDICT r12 #6) — the embedding-side
+    twin of pipeline_minhash_verified_dedup (queries/dedup.py): SemDeDup
+    cell-bounded candidate pairs → exact-cosine τ verification →
+    connected-components keeper selection over the verified semantic
+    pair graph → applied back to the FULL embedding corpus. One row per
+    vector: its canonical representative and whether it survives dedup,
+    so `WHERE kept` is the semantically deduplicated corpus and
+    `GROUP BY canonical_id` the duplicate-cluster manifest — the same
+    output contract as the lexical composite, so a curation pipeline can
+    run either (or both, intersecting kept flags) without downstream
+    changes.
+
+    CC canonicalization (vs dedup_semdedup_clusters' greedy higher-id
+    drop) is what makes the applied flags CLOSED: near-duplication is
+    not transitive, and the greedy rule can drop a vector whose
+    designated keeper was itself dropped; component-minimum canonicals
+    are always kept, so every canonical_id in the output references a
+    surviving row (Lee et al.'s resolution, applied in embedding space).
+
+    Scale composition notes (mirroring the lexical twin): the trained
+    member table is the content-addressed artifact every SemDeDup stage
+    shares (built once per corpus); pair generation stays cell-bounded
+    through the shared bounded_self_pairs guard; CC iterates on the
+    SPARSE verified-pair graph only (≪ corpus); the final application is
+    ONE left join of the corpus against the tiny flags table —
+    broadcastable whenever semantic near-dup incidence is low. No stage
+    widens beyond what dedup_semdedup_clusters already pays, so the
+    composite's cost ≈ that query + CC-on-pairs + one corpus-width
+    join."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+
+    pairs = _semdedup_verified_pairs(spark, sf_dir)
+    verts = (
+        pairs.select(F.col("lo_id").alias("uid"))
+        .unionByName(pairs.select(F.col("hi_id").alias("uid")))
+        .distinct()
+    )
+    g = PropertyGraph(
+        vertices=verts,
+        edges=pairs.select(
+            F.col("lo_id").alias("src_uid"), F.col("hi_id").alias("dst_uid")
+        ),
+    )
+    flags = g.connected_components().select(
+        F.col("uid").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("uid") == F.col("component")).alias("kept"),
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    return e.join(flags, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+        F.coalesce("kept", F.lit(True)).alias("kept"),
     )
 
 

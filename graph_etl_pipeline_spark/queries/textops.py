@@ -1067,3 +1067,122 @@ def text_pack_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (end_seq > F.expr(f"global_offset div {PACK_SEQ_LEN}"))
         ).alias("straddles"),
     )
+
+
+# --- Token-histogram drift monitor (r13, VERDICT r12 #7) ---------------------
+TOKEN_DRIFT_BUCKETS = 64  # fixed-width hashed-vocabulary histogram
+
+
+@register(
+    "text_token_drift",
+    oracle=f"""
+    WITH m AS (
+        SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS mid
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest({SQL_TOKS.format(col="text")}) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT ('0x' || substr(md5('tokdrift:' || tok), 1, 8))::BIGINT
+                   % {TOKEN_DRIFT_BUCKETS} AS bucket,
+               CASE WHEN doc_id < (SELECT mid FROM m) THEN 1 ELSE 0 END AS ia
+        FROM tok
+    ),
+    per AS (
+        SELECT bucket,
+               CAST(SUM(ia) AS BIGINT) AS o_a,
+               CAST(SUM(1 - ia) AS BIGINT) AS o_b
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(o_a) AS na, SUM(o_b) AS nb FROM per)
+    SELECT bucket, o_a, o_b,
+           CAST((CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                * (CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                AS VARCHAR) AS chi2_num,
+           CAST((CAST(o_a AS HUGEINT) + o_b) * na * nb AS VARCHAR) AS chi2_den
+    FROM per, tot
+    """,
+    tags=("text", "profile", "stats", "llm"),
+)
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-HISTOGRAM drift between two corpus snapshots — the TEXT
+    member of the drift-monitor family (VERDICT r12 #7), closing the
+    modality row: scalar shape → agg_ks_drift, categorical mix →
+    agg_chi2_drift, mean shift → agg_welch_t_drift, embedding space →
+    embed_centroid_drift, token distribution → here. "Did the vocabulary
+    mix drift between the first and second half of the corpus?" is the
+    canonical pre-training guard against a crawler/source change
+    silently shifting token statistics mid-ingest.
+
+    The vocabulary is UNBOUNDED, so the histogram is a FIXED-WIDTH
+    hashed projection: every token lands in one of
+    {TOKEN_DRIFT_BUCKETS} buckets via md5 (seeded 'tokdrift:', the
+    sketch-family convention) — the standard sketched vocabulary monitor
+    whose state is B counters per cohort regardless of corpus size, and
+    a drift in any token's mass perturbs exactly one bucket's χ²
+    contribution. Per bucket the two-sample χ² contribution
+    (o_a·n_b − o_b·n_a)² / (n_a·n_b·(o_a+o_b)) is carried as EXACT
+    int128 num/den strings — the agg_chi2_drift contract, so the hash
+    row certifies the statistic, not a float echo.
+
+    Plan at 100 TB: the doc_id midpoint is one broadcastable min/max
+    scalar; the exploded token stream collapses FIRST through a
+    map-combined (bucket → o_a, o_b) partial aggregate — the shuffle
+    carries at most {TOKEN_DRIFT_BUCKETS} rows per map partition — and
+    the cohort totals ride one unpartitioned window over the
+    {TOKEN_DRIFT_BUCKETS}-row table. Incremental maintenance is
+    addition: per-shard bucket counts merge by SUM, so the monitor runs
+    on arriving shards without corpus rescans (the embed_centroid_drift
+    discipline)."""
+    d = table(spark, sf_dir, "documents")
+    bounds = F.broadcast(
+        d.agg(
+            (
+                F.min("doc_id")
+                + F.floor((F.max("doc_id") - F.min("doc_id")) / 2).cast("long")
+            ).alias("mid")
+        )
+    )
+    tok = d.select("doc_id", F.explode(norm_tokens(d.text)).alias("tok")).crossJoin(
+        bounds
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tokdrift:"), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % TOKEN_DRIFT_BUCKETS
+    )
+    per = (
+        tok.select(
+            bucket.alias("bucket"),
+            F.when(F.col("doc_id") < F.col("mid"), 1).otherwise(0).alias("ia"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("ia").alias("o_a"), F.sum(1 - F.col("ia")).alias("o_b"))
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_tot = per.select(
+        "bucket",
+        "o_a",
+        "o_b",
+        F.sum("o_a").over(wall).alias("na"),
+        F.sum("o_b").over(wall).alias("nb"),
+    )
+    d38 = "decimal(38,0)"
+    diff = F.col("o_a").cast(d38) * F.col("nb") - F.col("o_b").cast(d38) * F.col("na")
+    return with_tot.select(
+        "bucket",
+        "o_a",
+        "o_b",
+        (diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)"))
+        .cast(d38)
+        .cast("string")
+        .alias("chi2_num"),
+        ((F.col("o_a").cast(d38) + F.col("o_b")) * F.col("na") * F.col("nb"))
+        .cast("string")
+        .alias("chi2_den"),
+    )

@@ -52,6 +52,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
 CORE_ORDER_THROUGH_ROUND = 12
 CORE_ORDER = [
+    "text_token_drift",
+    "pipeline_semdedup_apply",
     "agg_welch_t_drift",
     "graph_reachability",
     "graph_copurchase_project",
@@ -100,8 +102,6 @@ CORE_ORDER = [
     "win_funnel_conversion",
     "win_gapfill_hourly",
     "win_retention_cohorts",
-    "win_session_batch",
-    "win_sliding_hourly",
 ]
 # --- END GENERATED WINDOW ---
 

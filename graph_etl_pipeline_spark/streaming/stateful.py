@@ -33,6 +33,7 @@ def _update_running_totals(key, pdfs, state: GroupState):
     """Fold this micro-batch's events into the user's persistent
     (n_events, total_cents) state and emit the UPDATED cumulative row —
     one output row per (user, micro-batch) that saw events."""
+    import numpy as np
     import pandas as pd
 
     n, cents = state.get if state.exists else (0, 0)
@@ -40,7 +41,13 @@ def _update_running_totals(key, pdfs, state: GroupState):
         n += len(pdf)
         cents += int((pdf["value"] * 100).round().astype("int64").sum())
     state.update((n, cents))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+    yield pd.DataFrame(
+        {
+            "user_id": np.array([key[0]], dtype=np.int64),
+            "n_events": np.array([n], dtype=np.int64),
+            "total_cents": np.array([cents], dtype=np.int64),
+        }
+    )
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:
@@ -66,6 +73,26 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
+def _sessions_frame(user_id: int, starts_us, ns, cents):
+    """Typed output frame — explicit dtypes keep Spark's Arrow serializer
+    off the pandas dtype-inference path (object-dtype / empty frames make
+    its internal concat fall back to the slow deprecated merge)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(ns)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(k, user_id, dtype=np.int64),
+            "session_start": pd.to_datetime(
+                np.asarray(starts_us, dtype=np.int64), unit="us"
+            ),
+            "n_events": np.asarray(ns, dtype=np.int64),
+            "session_cents": np.asarray(cents, dtype=np.int64),
+        }
+    )
+
+
 def _update_sessions(key, pdfs, state: GroupState):
     """Custom sessionization with EVENT-TIME TIMEOUT — the state-eviction
     mechanism session_window hides, exercised directly: in-batch gaps
@@ -75,52 +102,67 @@ def _update_sessions(key, pdfs, state: GroupState):
     ``state.hasTimedOut`` — the open session is emitted closed and the
     state cleared. Splits use the streaming convention (a gap of exactly
     the threshold starts a new session, matching session_window's
-    interval-overlap semantics)."""
-    import pandas as pd
+    interval-overlap semantics).
+
+    The per-group body is VECTORIZED (r13 — the bench floor for this
+    query is Python-worker compute): segment boundaries come from one
+    diff-against-gap comparison over the sorted event times, per-session
+    counts/sums from ``np.add.reduceat`` over the boundary index — no
+    per-row Python loop, so a group costs O(sort) numpy time plus a
+    constant, identical output to the scalar fold it replaced
+    (tests/test_streaming.py pins batch-split/replay equivalence)."""
+    import numpy as np
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
     if state.hasTimedOut:
         start_us, last_us, n, cents = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "n_events": [n],
-                "session_cents": [cents],
-            }
-        )
+        yield _sessions_frame(key[0], [start_us], [n], [cents])
         return
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows["_us"] = rows["ts"].astype("int64") // 1000
-    rows["_cents"] = (rows["value"] * 100).round().astype("int64")
-    rows = rows.sort_values(["_us", "event_id"], ignore_index=True)
+    us_parts, cent_parts, eid_parts = [], [], []
+    for pdf in pdfs:
+        us_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)
+        cent_parts.append((pdf["value"] * 100).round().astype("int64").to_numpy())
+        eid_parts.append(pdf["event_id"].to_numpy())
+    us = us_parts[0] if len(us_parts) == 1 else np.concatenate(us_parts)
+    cent = cent_parts[0] if len(cent_parts) == 1 else np.concatenate(cent_parts)
+    eid = eid_parts[0] if len(eid_parts) == 1 else np.concatenate(eid_parts)
+    order = np.lexsort((eid, us))
+    us, cent = us[order], cent[order]
 
-    if state.exists:
-        start_us, last_us, n, cents = state.get
-    else:
-        start_us = last_us = None
-        n = cents = 0
+    carried = state.get if state.exists else None
+    # brk[i] = event i STARTS a new session; the first event continues
+    # the carried open session unless the gap since its last event says
+    # otherwise.
+    brk = np.empty(len(us), dtype=bool)
+    brk[0] = carried is None or us[0] - carried[1] >= gap_us
+    np.greater_equal(us[1:] - us[:-1], gap_us, out=brk[1:])
+    bounds = np.flatnonzero(brk)
+    if not brk[0]:
+        bounds = np.concatenate(([0], bounds))  # continuation segment
+    counts = np.diff(np.append(bounds, len(us)))
+    sums = np.add.reduceat(cent, bounds)
+    starts = us[bounds].copy()
+    if carried is not None and not brk[0]:
+        starts[0] = carried[0]
+        counts[0] += carried[2]
+        sums[0] += carried[3]
 
-    out = {"user_id": [], "session_start": [], "n_events": [], "session_cents": []}
-    for us, cent in zip(rows["_us"], rows["_cents"]):
-        if start_us is None:
-            start_us, last_us, n, cents = us, us, 1, int(cent)
-        elif us - last_us >= gap_us:
-            out["user_id"].append(key[0])
-            out["session_start"].append(pd.Timestamp(start_us, unit="us"))
-            out["n_events"].append(n)
-            out["session_cents"].append(cents)
-            start_us, last_us, n, cents = us, us, 1, int(cent)
-        else:
-            last_us, n, cents = us, n + 1, cents + int(cent)
-    state.update((int(start_us), int(last_us), int(n), int(cents)))
+    emit_starts, emit_ns, emit_cents = starts[:-1], counts[:-1], sums[:-1]
+    if carried is not None and brk[0]:
+        # the carried session closed at the batch boundary: emit it first
+        emit_starts = np.concatenate(([carried[0]], emit_starts))
+        emit_ns = np.concatenate(([carried[2]], emit_ns))
+        emit_cents = np.concatenate(([carried[3]], emit_cents))
+
+    last_us = us[-1]
+    state.update((int(starts[-1]), int(last_us), int(counts[-1]), int(sums[-1])))
     # event-time timeout: fire when the watermark passes last event + gap
-    state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-    if out["user_id"]:
-        yield pd.DataFrame(out)
+    state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+    if len(emit_ns):
+        yield _sessions_frame(key[0], emit_starts, emit_ns, emit_cents)
 
 
 def session_totals_with_timeout(stream: DataFrame) -> DataFrame:

@@ -121,6 +121,8 @@ QUERIES = [
     "stream_sketch_register_merge",  # foreachBatch register-MAX state merge, batch-split blind (r12)
     "embed_centroid_drift",       # fixed-point vector sums + int128 rational pieces (r12)
     "agg_hdr_shard_merge",        # bucket digests + dual quantile walks under hostile topology (r12)
+    "pipeline_semdedup_apply",    # τ-verified pairs -> hash-min CC -> corpus join (r13)
+    "text_token_drift",           # hashed-bucket collapse + int128 χ² pieces (r13)
 ]
 
 _SCRIPT = f"""

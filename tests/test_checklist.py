@@ -102,6 +102,10 @@ R10_EMPTY_EXEMPT = frozenset({
     # streaming path (same reason the rest of the stream_ family is
     # exempt: the file-source fixture requires real input files)
     "stream_sketch_register_merge",
+    # trained operator: the shared Lloyd seeding collects the first K
+    # vectors and legitimately requires non-empty input (same reason
+    # dedup_semdedup_clusters and the sim_kmeans family are exempt)
+    "pipeline_semdedup_apply",
 })
 
 # Pre-r10 rows not in the empty-input gate: streaming fixture builders,

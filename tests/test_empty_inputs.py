@@ -75,6 +75,7 @@ EMPTY_SAFE = [
     "graph_effective_diameter",
     "embed_centroid_drift",
     "agg_hdr_shard_merge",
+    "text_token_drift",
 ]
 
 
