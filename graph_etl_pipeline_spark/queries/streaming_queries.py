@@ -16,6 +16,7 @@ from graph_etl_pipeline_spark.queries._sql import osum, sdec
 from graph_etl_pipeline_spark.registry import register
 from graph_etl_pipeline_spark.streaming.jobs import (
     events_stream,
+    fresh_memory_sink_name,
     incremental_upsert,
     run_to_memory,
     session_aggregate,
@@ -438,7 +439,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"stream_wmlate_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_wmlate")
     from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
 
     with stream_shuffle_partitions(spark):
@@ -510,7 +511,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("conv_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("click_id", "conv_id", "user_id", "click_ts", "conv_ts")
-    name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_ivjoin")
     from graph_etl_pipeline_spark.streaming.jobs import (
         STREAM_JOIN_SHUFFLE_PARTITIONS,
         stream_shuffle_partitions,
@@ -651,7 +652,7 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the synthetic advance/evict rows from the visible result: their
     # horizon is past the final watermark so the ENGINE never emits them;
     # the filter is belt-and-braces for the matched-side projection only
-    name = f"stream_lojto_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_lojto")
     from graph_etl_pipeline_spark.streaming.jobs import (
         STREAM_JOIN_SHUFFLE_PARTITIONS,
         stream_shuffle_partitions,
@@ -748,7 +749,7 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
 
-    name = f"stream_sessto_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_sessto")
     with stream_shuffle_partitions(spark):
         q = (
             session_totals_with_timeout(stream)
@@ -832,7 +833,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = f"stream_wmdedup_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_wmdedup")
     with stream_shuffle_partitions(spark):
         q = (
             deduped.writeStream.format("memory")
@@ -982,7 +983,7 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "conv_ts",
     )
-    name = f"stream_fojto_{uuid.uuid4().hex[:8]}"
+    name = fresh_memory_sink_name(spark, "stream_fojto")
     from graph_etl_pipeline_spark.streaming.jobs import (
         STREAM_JOIN_SHUFFLE_PARTITIONS,
         stream_shuffle_partitions,

@@ -231,10 +231,38 @@ def incremental_upsert(
     return spark.read.parquet(os.path.join(target, f"v{_state_versions(target)[-1]}"))
 
 
+def fresh_memory_sink_name(spark, prefix: str) -> str:
+    """A unique memory-sink table name, dropping any PREVIOUS run's view
+    for the same query shape first. Memory sinks pin their collected
+    rows on the driver heap for as long as the temp view references
+    them, so repeat runs (bench min-of-N, long sessions) would otherwise
+    accumulate one full result set per run — unreclaimable by GC because
+    the catalog still holds them. Measured r13: a session running the
+    stateful-stream family degrades 4.6 → 5.9 s/query over ~24 query
+    starts with the views retained. One live result per query shape is
+    the steady-state contract; the caller's own just-returned frame is
+    never dropped (it gets a fresh name)."""
+    import uuid as _uuid
+
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(prefix + "_"):
+            spark.catalog.dropTempView(t.name)
+    return f"{prefix}_{_uuid.uuid4().hex[:8]}"
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming aggregation to completion (availableNow) into an
     in-memory sink; returns the finished batch DataFrame. Runs at the
-    bounded streaming width (see stream_shuffle_partitions)."""
+    bounded streaming width (see stream_shuffle_partitions). The name
+    should come from fresh_memory_sink_name (or at least follow its
+    ``prefix_hex`` shape): stale same-prefix views are dropped here as
+    belt-and-braces for callers that mint names directly."""
+    spark = df.sparkSession
+    if "_" in name:
+        prefix = name.rsplit("_", 1)[0]
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name != name and t.name.startswith(prefix + "_"):
+                spark.catalog.dropTempView(t.name)
     with stream_shuffle_partitions(df.sparkSession):
         q = (
             df.writeStream.format("memory")

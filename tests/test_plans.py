@@ -486,3 +486,40 @@ def test_effective_diameter_is_tiny_rollup(spark, sf_dir):
     min_by over a filter)."""
     plan = _plan(spark, "graph_effective_diameter", sf_dir)
     assert "min_by" in plan or "MinBy" in plan
+
+
+def test_poisson_bootstrap_fanout_collapses_before_exchange(spark, sf_dir):
+    """sample_poisson_bootstrap (VERDICT r12 #2): the replicate fan-out
+    must stay MAP-SIDE — two constant-array explodes collapsing into a
+    partial HashAggregate, then exactly ONE exchange that carries
+    replicate rows (never the fanned per-order rows), and never a
+    sort-based aggregate. The r12 artifact's 2.45x drift was re-measured
+    clean at r13 (2.59-3.03 s quiet-host vs r11's 1.99 on a different
+    host generation, tracking the same-session unchanged-code controls
+    dq_referential_integrity/pipeline_antientropy_repair at 1.2-1.4x
+    their r11 rows) — host band, not plan drift; this pin is what makes
+    that attribution falsifiable."""
+    plan = _plan(spark, "sample_poisson_bootstrap", sf_dir)
+    assert plan.count("Generate explode") == 2  # digest groups, 4 slices
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial (map-side) + final
+    assert "SortAggregate" not in plan
+    # the partial agg must sit BELOW the exchange (map-side collapse):
+    # everything after the one Exchange is the final agg, no Generate
+    post = plan.split("Exchange")[0]
+    assert "Generate" not in post  # fan-out never crosses the shuffle
+
+
+def test_harmonic_centrality_hop_exchanges_bounded(spark, sf_dir):
+    """graph_harmonic_centrality (VERDICT r12 #2): the dense bitset plan
+    is one map-combined bit_or aggregation per hop — 3 exchanges total,
+    partial+final HashAggregate pairs, no pair-set Generate/explode and
+    no sort aggregates. Same host-band attribution protocol as the
+    bootstrap pin above (r13 quiet-host 3.86-3.91 s vs r11's 2.51,
+    in line with the session's unchanged-code controls)."""
+    plan = _plan(spark, "graph_harmonic_centrality", sf_dir)
+    # one shuffle per hop (broadcasts of the tiny vertex index are free)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("HashAggregate") == 6  # partial+final x 3 hops
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
