@@ -118,6 +118,7 @@ EXTRA = [
     "agg_hdr_shard_merge",  # HDR mergeability + error-bracket contract (r12)
     "pipeline_semdedup_apply",  # SemDeDup→CC→corpus-apply composite (r13)
     "text_token_drift",  # hashed-vocabulary χ² drift monitor (r13)
+    "pipeline_crossmodal_dedup",  # unioned pair graphs → one CC closure (r13)
 ]
 
 

@@ -748,3 +748,126 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_dropped", F.col("n_in") - F.col("n_kept")).withColumn(
         "stage", F.col("stage").cast("long")
     )
+
+
+# --- Cross-modal dedup closure (r13) -----------------------------------------
+
+
+def _crossmodal_oracle() -> str:
+    from graph_etl_pipeline_spark.queries.dedup import (
+        _SQL_LSH_PAIRS_BODY,
+        _SQL_SHINGLE_BODY,
+    )
+    from graph_etl_pipeline_spark.queries.similarity import (
+        LLOYD_ROUNDS,
+        SEMDEDUP_TAU_SQ_E4,
+        _sql_idot,
+        _sql_lloyd_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    {_sql_lloyd_ctes()},
+    semm AS (SELECT vec_id, cid, qe FROM a{LLOYD_ROUNDS - 1}),
+    semp AS (
+        SELECT b.vec_id AS lo, a.vec_id AS hi,
+               {_sql_idot("a.qe", "b.qe")} AS d,
+               {_sql_idot("a.qe", "a.qe")} AS na,
+               {_sql_idot("b.qe", "b.qe")} AS nb
+        FROM semm a JOIN semm b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    ),
+    sempairs AS (
+        SELECT lo, hi FROM semp
+        WHERE d > 0
+          AND CAST(d AS HUGEINT) * d * 10000
+              >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
+    ),
+    undirected AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+        UNION ALL SELECT lo AS a, hi AS b FROM sempairs
+        UNION ALL SELECT hi AS a, lo AS b FROM sempairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    flags AS (
+        SELECT node AS doc_id,
+               MIN(anc) AS canonical_id,
+               (node = MIN(anc)) AS kept
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(f.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(f.kept, TRUE) AS kept
+    FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+    """
+
+
+@register(
+    "pipeline_crossmodal_dedup",
+    oracle=_crossmodal_oracle(),
+    tags=("pipeline", "dedup", "llm"),
+)
+def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL DEDUP CLOSURE — the third and strictest member of the
+    composite-dedup family (lexical: pipeline_minhash_verified_dedup,
+    semantic: pipeline_semdedup_apply): a document is a duplicate if it
+    is lexically OR semantically near-duplicate of another, so the two
+    VERIFIED pair graphs are UNIONED and connected components run ONCE
+    over the combined edge set. This is stronger than intersecting the
+    two composites' kept flags: a lexical A↔B edge and a semantic B↔C
+    edge merge {{A,B,C}} into one cluster with one keeper, which
+    flag-intersection cannot see (it would keep A and C). The fixture
+    corpora share one id universe (doc_id ≡ vec_id, the
+    document-to-embedding contract a production pipeline maintains by
+    construction).
+
+    Cost composition at 100 TB: both pair sets are the SAME verified
+    frames their standalone composites build (content-addressed shingle
+    table, trained Lloyd member table — each built once per corpus);
+    the union adds zero new candidate generation; CC runs on the
+    combined SPARSE graph (≤ sum of the two edge sets, ≪ corpus); the
+    final application is the same single corpus⋈flags left join. So the
+    closure costs ≈ max(lexical, semantic) pipeline + one CC over the
+    union — strictly cheaper than running both composites separately
+    and reconciling downstream.
+
+    Oracle: recursive-CTE transitive closure over the union of the
+    lexical pair CTE (exact-Jaccard-verified LSH candidates) and the
+    semantic pair CTE (exact-cosine τ-verified cell pairs)."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+    from graph_etl_pipeline_spark.queries.dedup import _lsh_pairs
+    from graph_etl_pipeline_spark.queries.similarity import _semdedup_verified_pairs
+
+    lex = _lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src_uid"), F.col("doc_b").alias("dst_uid")
+    )
+    sem = _semdedup_verified_pairs(spark, sf_dir).select(
+        F.col("lo_id").alias("src_uid"), F.col("hi_id").alias("dst_uid")
+    )
+    edges = lex.unionByName(sem)
+    verts = (
+        edges.select(F.col("src_uid").alias("uid"))
+        .unionByName(edges.select(F.col("dst_uid").alias("uid")))
+        .distinct()
+    )
+    flags = (
+        PropertyGraph(vertices=verts, edges=edges)
+        .connected_components()
+        .select(
+            F.col("uid").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            (F.col("uid") == F.col("component")).alias("kept"),
+        )
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(flags, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        F.coalesce("kept", F.lit(True)).alias("kept"),
+    )

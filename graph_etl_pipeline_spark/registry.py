@@ -54,14 +54,15 @@ CORE_ORDER_THROUGH_ROUND = 12
 CORE_ORDER = [
     "text_token_drift",
     "pipeline_semdedup_apply",
+    "pipeline_crossmodal_dedup",
     "agg_welch_t_drift",
+    "dedup_embedding_cosine",
+    "dedup_semdedup_clusters",
     "graph_reachability",
     "graph_copurchase_project",
     "graph_jaccard_similarity",
     "graph_hyperanf_sketch",
     "graph_neighborhood_function",
-    "dedup_embedding_cosine",
-    "dedup_semdedup_clusters",
     "stream_interval_join",
     "stream_left_join_timeout",
     "stream_full_join_timeout",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "text_tfidf_topk",
     "win_funnel_conversion",
     "win_gapfill_hourly",
-    "win_retention_cohorts",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -123,6 +123,7 @@ QUERIES = [
     "agg_hdr_shard_merge",        # bucket digests + dual quantile walks under hostile topology (r12)
     "pipeline_semdedup_apply",    # τ-verified pairs -> hash-min CC -> corpus join (r13)
     "text_token_drift",           # hashed-bucket collapse + int128 χ² pieces (r13)
+    "pipeline_crossmodal_dedup",  # unioned pair graphs -> one CC closure (r13)
 ]
 
 _SCRIPT = f"""

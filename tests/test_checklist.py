@@ -106,6 +106,7 @@ R10_EMPTY_EXEMPT = frozenset({
     # vectors and legitimately requires non-empty input (same reason
     # dedup_semdedup_clusters and the sim_kmeans family are exempt)
     "pipeline_semdedup_apply",
+    "pipeline_crossmodal_dedup",
 })
 
 # Pre-r10 rows not in the empty-input gate: streaming fixture builders,

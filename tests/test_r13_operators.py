@@ -102,3 +102,33 @@ def test_token_drift_detects_planted_shift(spark, tmp_path):
     flat = stat(corpus(tmp_path / "flat", False))
     assert flat == 0.0  # identical halves: every bucket's numerator is 0
     assert shifted > 100  # disjoint vocabularies: near the χ² maximum
+
+
+def test_crossmodal_closure_strictly_merges_both_graphs(spark, sf_dir):
+    """The cross-modal closure must (a) cover the corpus one row per
+    document, (b) keep exactly the component minimum per cluster, and
+    (c) be at least as strict as BOTH single-modality composites: every
+    document dropped by the lexical composite or by the semantic
+    composite is also dropped by the closure (unioning edges can only
+    grow components, never split them)."""
+    specs = all_queries()
+    out = specs["pipeline_crossmodal_dedup"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    for canon, members in by_cluster.items():
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1 and kept[0].doc_id == canon == min(
+            m.doc_id for m in members
+        )
+
+    dropped = {r.doc_id for r in out if not r.kept}
+    lex = specs["pipeline_minhash_verified_dedup"].fn(spark, sf_dir).collect()
+    sem = specs["pipeline_semdedup_apply"].fn(spark, sf_dir).collect()
+    lex_dropped = {r.doc_id for r in lex if not r.kept}
+    sem_dropped = {r.vec_id for r in sem if not r.kept}
+    assert lex_dropped <= dropped
+    assert sem_dropped <= dropped
