@@ -60,9 +60,13 @@ def test_hot_probe_memo_is_strategy_only(spark):
     sel = lambda j: j.select(  # noqa: E731
         F.col("a.k").alias("k"), F.col("a.o").alias("oa"), F.col("b.o").alias("ob")
     )
+    # memo key layout: (appId, semanticHash, inputFiles fingerprint, key,
+    # cap) — the fingerprint is empty for this in-memory frame (ADVICE
+    # r12 #2 added it for file-backed frames rewritten in place)
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
+        (),
         "k",
         4,
     )
