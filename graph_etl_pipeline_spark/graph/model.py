@@ -187,6 +187,14 @@ class PropertyGraph:
                 F.col("dst_uid").alias("src_uid"), F.col("src_uid").alias("dst_uid")
             )
         )
+        if checkpoint:
+            # Pin the undirected edge view once: every round's join would
+            # otherwise re-execute the caller's edge DERIVATION (for the
+            # dedup composites that is the whole LSH band-join/verify
+            # pipeline — O(rounds) recomputations of the most expensive
+            # frame in the query). Same discipline as star contraction's
+            # input materialization.
+            und = und.localCheckpoint(eager=True)
         comp = self.vertices.select("uid", F.col("uid").alias("component"))
         converged = False
         for _ in range(max_iter):
@@ -281,6 +289,16 @@ def star_contraction_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if checkpoint:
+        # Materialize the input edge set ONCE before iterating: round 1
+        # otherwise re-executes the caller's whole edge DERIVATION 3-4
+        # times (two undirected unions + two min-joins consume `cur`
+        # before the first per-round checkpoint) — measured at sf0.1 on
+        # pipeline_semdedup_apply's τ-verified pair graph (1168 edges
+        # but an expensive cell-pair pipeline behind them): 16.5 s →
+        # the CC cost of a 1k-edge graph once the input is pinned. For
+        # cheap edge frames this is one extra tiny checkpoint job.
+        pair = pair.localCheckpoint(eager=True)
 
     def _und(e: DataFrame) -> DataFrame:
         return e.unionByName(

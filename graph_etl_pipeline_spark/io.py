@@ -269,15 +269,24 @@ def materialize(df: DataFrame, name: str) -> DataFrame:
 
     spark = df.sparkSession
     _reap_stale_pid_dirs(SCRATCH_DIR)
-    # exprIds (#123) and higher-order-function lambda variables (x_7) are
+    # exprIds (#123) and higher-order-function lambda variables are
     # allocated from global counters per-analysis, so two builds of the
     # SAME query differ textually; canonicalize both before hashing or
     # reuse never hits. Lambda vars renumber by first appearance, which
-    # keeps distinct variables within one plan distinct.
+    # keeps distinct variables within one plan distinct. The var pattern
+    # covers every rendering Spark emits — x_7, y_12, acc_3, and the
+    # TYPE-SUFFIXED forms (x_31L for bigint lambdas): the original
+    # x_-only/no-suffix regex silently missed zip_with's y_ vars and all
+    # suffixed ints, so int-dot-bearing artifacts (semdedup pairs/members)
+    # re-materialized on every call — measured r13 at sf0.1: the 1168-row
+    # verified-pair table rebuilt its 5 s derivation per consumer instead
+    # of once per corpus.
     plan = re.sub(r"#\d+", "", df._jdf.queryExecution().analyzed().toString())
     seen: dict[str, str] = {}
     plan = re.sub(
-        r"\bx_\d+\b", lambda m: seen.setdefault(m.group(0), f"x_{len(seen)}"), plan
+        r"\b[a-z]{1,4}_\d+L?\b",
+        lambda m: seen.setdefault(m.group(0), f"v_{len(seen)}"),
+        plan,
     )
     # the plan string renders a parquet relation WITHOUT its path — the
     # same query over two scale factors would collide; key the inputs in

@@ -850,7 +850,9 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = _semdedup_verified_pairs(spark, sf_dir).select(
         F.col("lo_id").alias("src_uid"), F.col("hi_id").alias("dst_uid")
     )
-    edges = lex.unionByName(sem)
+    # pin the unioned pair frame once (both sides carry expensive
+    # verification lineage; the union is sparse — see the two composites)
+    edges = lex.unionByName(sem).localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src_uid").alias("uid"))
         .unionByName(edges.select(F.col("dst_uid").alias("uid")))
@@ -858,7 +860,10 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flags = (
         PropertyGraph(vertices=verts, edges=edges)
-        .connected_components()
+        # star contraction: the unioned graph inherits the semantic
+        # side's long borderline-τ chains (see pipeline_semdedup_apply),
+        # so the O(log n)-round algorithm is the safe closure choice
+        .connected_components(algorithm="star")
         .select(
             F.col("uid").alias("doc_id"),
             F.col("component").alias("canonical_id"),

@@ -839,9 +839,11 @@ def _semdedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_semdedup_apply (connected-components canonicalization).
     The τ comparison is the exact int128 fixed-point form documented on
     dedup_semdedup_clusters."""
+    from graph_etl_pipeline_spark.io import materialize
+
     m = _semdedup_members(spark, sf_dir)
     scored = _semdedup_cell_pairs(m, CHUNK_CAP)
-    return scored.filter(
+    verified = scored.filter(
         (F.col("d") > 0)
         & (
             F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
@@ -851,6 +853,13 @@ def _semdedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("nb").cast("decimal(19,0)")
         )
     ).select(F.col("b_id").alias("lo_id"), F.col("a_id").alias("hi_id"))
+    # Content-addressed artifact, like the member table it derives from:
+    # the verified pair set is the product of the corpus's dominant
+    # compute (every within-cell exact dot, CodegenFallback-bound
+    # locally) and is consumed by three queries (greedy flags, CC apply,
+    # cross-modal closure) — a production pipeline persists it once per
+    # corpus and every consumer scans the (sparse) result.
+    return materialize(verified, "semdedup_pairs")
 
 
 @register(
@@ -992,6 +1001,9 @@ def pipeline_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     from graph_etl_pipeline_spark.graph.model import PropertyGraph
 
+    # the verified pair set is a content-addressed parquet artifact
+    # (built once per corpus inside _semdedup_verified_pairs), so every
+    # consumer below is a prunable scan of a sparse table
     pairs = _semdedup_verified_pairs(spark, sf_dir)
     verts = (
         pairs.select(F.col("lo_id").alias("uid"))
@@ -1004,7 +1016,13 @@ def pipeline_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo_id").alias("src_uid"), F.col("hi_id").alias("dst_uid")
         ),
     )
-    flags = g.connected_components().select(
+    # star contraction, not hash-min: τ sits where random cross-vector
+    # cosines land, so the verified τ-graph can contain LONG CHAINS of
+    # borderline pairs (measured at sf0.1: diameter > 20) — hash-min's
+    # O(diameter) rounds blow the budget exactly where the lexical
+    # composite's near-dup balls (diameter 2-3) never do; star
+    # contraction is O(log n) rounds regardless of chain length.
+    flags = g.connected_components(algorithm="star").select(
         F.col("uid").alias("vec_id"),
         F.col("component").alias("canonical_id"),
         (F.col("uid") == F.col("component")).alias("kept"),
