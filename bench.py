@@ -119,6 +119,7 @@ EXTRA = [
     "pipeline_semdedup_apply",  # SemDeDup→CC→corpus-apply composite (r13)
     "text_token_drift",  # hashed-vocabulary χ² drift monitor (r13)
     "pipeline_crossmodal_dedup",  # unioned pair graphs → one CC closure (r13)
+    "graph_clustering_coefficient",  # oriented triangles + 3-corner credit (r13)
 ]
 
 

@@ -208,7 +208,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHAIN_HOUR_CAP adaptive bucket width keeps window tasks evenly
     sized at any scale."""
     edges = interaction_edges(spark, sf_dir)
-    # degree-rank orientation: node table is tiny relative to edges
+    tri = _oriented_triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = edges.select(F.explode(F.array("u", "v")).alias("node")).agg(
+        F.count_distinct(F.col("node")).alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    return stats.join(tri)  # two 1-row sides: broadcast scalar combine
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected edge list ``edges(u, v)`` exactly
+    once, as (x, y, z) under the degree-rank orientation — the shared
+    core of graph_triangle_count (global count) and
+    graph_clustering_coefficient (per-vertex credit). See
+    graph_triangle_count's docstring for the O(sqrt(m)) wedge-fanout
+    argument; the node-degree table broadcasts onto the edge fact."""
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -228,14 +242,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("x"), F.col("e2.src").alias("y"), F.col("e2.dst").alias("z")
     )
-    tri = wedges.join(
+    return wedges.join(
         e3, (F.col("e3.src") == F.col("x")) & (F.col("e3.dst") == F.col("z"))
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    stats = edges.select(F.explode(F.array("u", "v")).alias("node")).agg(
-        F.count_distinct(F.col("node")).alias("n_nodes"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-    )
-    return stats.join(tri)  # two 1-row sides: broadcast scalar combine
+    ).select("x", "y", "z")
+
+
 
 
 # PageRank in fixed-point: ranks are int64 micro-units (1e-12), so every
@@ -451,7 +462,6 @@ def bellman_ford(
         dist = nxt
         rounds += 1
     return dist
-
 
 
 @register(
@@ -2123,4 +2133,81 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_diameter_hops",
             "frac_at_diameter_ppm",
         )
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_SQL_CHAIN_EDGES},
+    und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY u),
+    tri AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e0 a JOIN e0 b ON b.u = a.v
+        JOIN e0 c ON c.u = a.u AND c.v = b.v
+    ),
+    pern AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(p.t, 0) AS triangles,
+           CAST(2 * COALESCE(p.t, 0) AS BIGINT) AS c_num,
+           CAST(d.degree * (d.degree - 1) AS BIGINT) AS c_den,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * COALESCE(p.t, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+    """,
+    tags=("graph", "stats"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-VERTEX LOCAL CLUSTERING COEFFICIENT — the standard
+    graph-quality metric the global triangle count cannot answer
+    ("which users sit in tight cliques vs long chains?"):
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) counts triangles
+    through v. Completes the per-vertex structural family (degree →
+    graph_degree_distribution, reach → harmonic/closeness, flow →
+    pagerank/HITS, density → here).
+
+    Triangles are enumerated ONCE each via the shared degree-oriented
+    join (_oriented_triangles — the graph_triangle_count plan, wedge
+    fanout O(sqrt(m)) at any scale), then credit ALL THREE corners via
+    one explode + map-combined count; degrees ride the same node-sized
+    aggregate the orientation already builds. The output carries the
+    EXACT rational pieces (c_num = 2T, c_den = d(d−1)) alongside the
+    headline double, which is ONE IEEE division of two exact int64s —
+    bit-identical in both engines (the embed_sign_hamming_topk
+    convention); degree-1 vertices emit 0.0 by the same CASE both
+    engines evaluate. Oracle enumerates triangles by id-order instead —
+    two different orientations must meet on the hash."""
+    edges = interaction_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    per_node = (
+        _oriented_triangles(edges)
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0).cast("long"))
+    den = F.col("degree") * (F.col("degree") - 1)
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        (t * 2).alias("c_num"),
+        den.cast("long").alias("c_den"),
+        F.when(
+            F.col("degree") >= 2,
+            (t * 2).cast("double") / den.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
     )

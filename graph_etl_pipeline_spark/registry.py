@@ -55,6 +55,7 @@ CORE_ORDER = [
     "text_token_drift",
     "pipeline_semdedup_apply",
     "pipeline_crossmodal_dedup",
+    "graph_clustering_coefficient",
     "agg_welch_t_drift",
     "dedup_embedding_cosine",
     "dedup_semdedup_clusters",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "text_pii_scrub",
     "text_tfidf_topk",
     "win_funnel_conversion",
-    "win_gapfill_hourly",
 ]
 # --- END GENERATED WINDOW ---
 

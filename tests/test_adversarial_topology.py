@@ -124,6 +124,7 @@ QUERIES = [
     "pipeline_semdedup_apply",    # τ-verified pairs -> hash-min CC -> corpus join (r13)
     "text_token_drift",           # hashed-bucket collapse + int128 χ² pieces (r13)
     "pipeline_crossmodal_dedup",  # unioned pair graphs -> one CC closure (r13)
+    "graph_clustering_coefficient",  # two triangle orientations meet on the hash (r13)
 ]
 
 _SCRIPT = f"""

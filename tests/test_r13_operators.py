@@ -132,3 +132,24 @@ def test_crossmodal_closure_strictly_merges_both_graphs(spark, sf_dir):
     sem_dropped = {r.vec_id for r in sem if not r.kept}
     assert lex_dropped <= dropped
     assert sem_dropped <= dropped
+
+
+def test_clustering_coefficient_exact_pieces(spark, sf_dir):
+    """The rational pieces must be recomputable from the emitted
+    degree/triangle counts, the coefficient must be exactly
+    c_num/c_den (one IEEE division) with the degree<2 guard, every
+    coefficient must lie in [0, 1], and the per-vertex triangle credits
+    must sum to exactly 3x the global triangle count."""
+    specs = all_queries()
+    rows = specs["graph_clustering_coefficient"].fn(spark, sf_dir).collect()
+    assert rows
+    total = specs["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert sum(r.triangles for r in rows) == 3 * total.n_triangles
+    for r in rows:
+        assert r.c_num == 2 * r.triangles
+        assert r.c_den == r.degree * (r.degree - 1)
+        if r.degree >= 2:
+            assert r.coeff == r.c_num / r.c_den  # same IEEE division
+            assert 0.0 <= r.coeff <= 1.0
+        else:
+            assert r.coeff == 0.0 and r.triangles == 0
