@@ -120,6 +120,7 @@ EXTRA = [
     "text_token_drift",  # hashed-vocabulary χ² drift monitor (r13)
     "pipeline_crossmodal_dedup",  # unioned pair graphs → one CC closure (r13)
     "graph_clustering_coefficient",  # oriented triangles + 3-corner credit (r13)
+    "dq_profile_drift",  # per-column completeness/cardinality drift (r13)
 ]
 
 

@@ -1027,3 +1027,137 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- Per-column profile drift (r13) ------------------------------------------
+_PROFILE_DRIFT_COLS = ("user_id", "event_type", "cents", "props")
+
+
+@register(
+    "dq_profile_drift",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT)
+               + (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                  - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 2 AS mid
+        FROM events
+    ),
+    b AS (
+        SELECT user_id, event_type, props,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         < (SELECT mid FROM m) THEN 1 ELSE 0 END AS ia
+        FROM events
+    ),
+    prof AS (
+        SELECT
+        {", ".join(
+            f'''CAST(COUNT(*) FILTER (ia = {flag}) AS BIGINT) AS n_{side},
+            CAST(COUNT({col}) FILTER (ia = {flag}) AS BIGINT) AS nn_{col}_{side},
+            CAST(COUNT(DISTINCT CASE WHEN ia = {flag} THEN {col} END) AS BIGINT)
+                AS nd_{col}_{side}'''
+            for col in _PROFILE_DRIFT_COLS
+            for side, flag in (("a", 1), ("b", 0))
+        )}
+        FROM b
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{col}' AS column_name, n_a, nn_{col}_a AS nn_a,
+               nd_{col}_a AS nd_a, n_b, nn_{col}_b AS nn_b, nd_{col}_b AS nd_b,
+               CASE WHEN n_a > 0
+                    THEN (n_a - nn_{col}_a) * 1000000 // n_a ELSE 0 END
+                   AS null_ppm_a,
+               CASE WHEN n_b > 0
+                    THEN (n_b - nn_{col}_b) * 1000000 // n_b ELSE 0 END
+                   AS null_ppm_b
+        FROM prof'''
+        for col in _PROFILE_DRIFT_COLS
+    )}
+    """,
+    tags=("dq", "profile", "stats"),
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN PROFILE DRIFT between the time range's two halves —
+    the COMPLETENESS/CARDINALITY companion to the distribution-drift
+    family (ks = values, chi2 = category mix, token = vocabulary):
+    "did a column's null rate or distinct cardinality move between the
+    window's halves?" is the monitor that catches upstream breakage —
+    a producer silently dropping a field, an id column collapsing to a
+    constant — before any statistical test would. Per profiled column:
+    rows / non-nulls / exact distincts per half, plus exact integer-ppm
+    null rates (the dq_benford_audit rendering — no float echo).
+
+    Plan: ONE scan; the midpoint is a broadcastable min/max scalar; all
+    per-column per-half counts compute in a single aggregate (Spark
+    plans the multiple conditional COUNT(DISTINCT)s via one Expand —
+    the profile_table_stats shape, factor-of-(columns×2) rows into a
+    map-combined agg whose shuffle carries per-column distinct values,
+    bounded by column cardinality, never raw rows); stack() unpivots
+    the 1-row result. Incremental at 100 TB: all pieces are counts —
+    per-shard profiles merge by addition (distincts via the established
+    sketch rows when exactness is relaxed)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = F.broadcast(
+        ev.agg(
+            (
+                F.floor(F.unix_timestamp(F.min("ts"))).cast("long")
+                + F.floor(
+                    (
+                        F.floor(F.unix_timestamp(F.max("ts"))).cast("long")
+                        - F.floor(F.unix_timestamp(F.min("ts"))).cast("long")
+                    )
+                    / 2
+                ).cast("long")
+            ).alias("mid")
+        )
+    )
+    b = ev.select(
+        "user_id",
+        "event_type",
+        "props",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "ts",
+    ).crossJoin(bounds).select(
+        *_PROFILE_DRIFT_COLS,
+        F.when(
+            F.floor(F.unix_timestamp("ts")).cast("long") < F.col("mid"), 1
+        )
+        .otherwise(0)
+        .alias("ia"),
+    )
+    aggs = []
+    for side, flag in (("a", 1), ("b", 0)):
+        aggs.append(F.count(F.when(F.col("ia") == flag, 1)).alias(f"n_{side}"))
+        for col in _PROFILE_DRIFT_COLS:
+            cond = F.when(F.col("ia") == flag, F.col(col))
+            aggs.append(F.count(cond).alias(f"nn_{col}_{side}"))
+            aggs.append(F.count_distinct(cond).alias(f"nd_{col}_{side}"))
+    one = b.agg(*aggs)
+    rows = []
+    for col in _PROFILE_DRIFT_COLS:
+        rows.append(
+            one.select(
+                F.lit(col).alias("column_name"),
+                "n_a",
+                F.col(f"nn_{col}_a").alias("nn_a"),
+                F.col(f"nd_{col}_a").alias("nd_a"),
+                "n_b",
+                F.col(f"nn_{col}_b").alias("nn_b"),
+                F.col(f"nd_{col}_b").alias("nd_b"),
+                # exact integer floor-division (Spark's `div`), matching
+                # DuckDB's `//` — a double division truncated could land
+                # 1 off at exact-ratio boundaries
+                F.expr(
+                    f"CASE WHEN n_a > 0 THEN ((n_a - nn_{col}_a) * 1000000)"
+                    " div n_a ELSE CAST(0 AS BIGINT) END"
+                ).alias("null_ppm_a"),
+                F.expr(
+                    f"CASE WHEN n_b > 0 THEN ((n_b - nn_{col}_b) * 1000000)"
+                    " div n_b ELSE CAST(0 AS BIGINT) END"
+                ).alias("null_ppm_b"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

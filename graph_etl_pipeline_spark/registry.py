@@ -56,6 +56,7 @@ CORE_ORDER = [
     "pipeline_semdedup_apply",
     "pipeline_crossmodal_dedup",
     "graph_clustering_coefficient",
+    "dq_profile_drift",
     "agg_welch_t_drift",
     "dedup_embedding_cosine",
     "dedup_semdedup_clusters",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "text_pack_sequences",
     "text_pii_scrub",
     "text_tfidf_topk",
-    "win_funnel_conversion",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -125,6 +125,7 @@ QUERIES = [
     "text_token_drift",           # hashed-bucket collapse + int128 χ² pieces (r13)
     "pipeline_crossmodal_dedup",  # unioned pair graphs -> one CC closure (r13)
     "graph_clustering_coefficient",  # two triangle orientations meet on the hash (r13)
+    "dq_profile_drift",           # Expand-aggregate conditional distincts + ppm div (r13)
 ]
 
 _SCRIPT = f"""

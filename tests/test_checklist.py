@@ -99,6 +99,8 @@ R10_EMPTY_EXEMPT = frozenset({
     # global aggregate: emits its 1-row statistic (with zero counts) even
     # on empty input - a 0-row result would be the bug
     "agg_welch_t_drift",
+    # same contract: 4 per-column audit rows with zero counts on empty
+    "dq_profile_drift",
     # streaming path (same reason the rest of the stream_ family is
     # exempt: the file-source fixture requires real input files)
     "stream_sketch_register_merge",

@@ -153,3 +153,33 @@ def test_clustering_coefficient_exact_pieces(spark, sf_dir):
             assert 0.0 <= r.coeff <= 1.0
         else:
             assert r.coeff == 0.0 and r.triangles == 0
+
+
+def test_profile_drift_detects_planted_null_spike(spark, tmp_path):
+    """Plant a null-rate spike in the second half (props goes 0% -> 50%
+    null) and require the monitor's exact ppm pieces to move from equal
+    to a 500000-ppm gap, while the untouched columns stay flat."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(400):
+        late = i >= 200
+        props = None if (late and i % 2 == 0) else f"p{i}"
+        rows.append((i, base + datetime.timedelta(minutes=i), i % 7, "click", 1.0, props))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r.column_name: r
+        for r in all_queries()["dq_profile_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    p = out["props"]
+    assert p.null_ppm_a == 0
+    assert p.null_ppm_b == 500000
+    assert p.nn_a == p.n_a and p.nn_b * 2 == p.n_b
+    for c in ("user_id", "event_type", "cents"):
+        assert out[c].null_ppm_a == out[c].null_ppm_b == 0
