@@ -841,10 +841,10 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical pair CTE (exact-Jaccard-verified LSH candidates) and the
     semantic pair CTE (exact-cosine τ-verified cell pairs)."""
     from graph_etl_pipeline_spark.graph.model import PropertyGraph
-    from graph_etl_pipeline_spark.queries.dedup import _lsh_pairs
+    from graph_etl_pipeline_spark.queries.dedup import _lsh_pairs_artifact
     from graph_etl_pipeline_spark.queries.similarity import _semdedup_verified_pairs
 
-    lex = _lsh_pairs(spark, sf_dir).select(
+    lex = _lsh_pairs_artifact(spark, sf_dir).select(
         F.col("doc_a").alias("src_uid"), F.col("doc_b").alias("dst_uid")
     )
     sem = _semdedup_verified_pairs(spark, sf_dir).select(

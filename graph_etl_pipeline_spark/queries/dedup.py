@@ -628,13 +628,29 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_keep_flags(spark, sf_dir)
 
 
+def _lsh_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified LSH pair set as a content-addressed parquet artifact
+    (doc_a, doc_b) — the lexical twin of similarity._semdedup_verified_pairs:
+    the band-join + exact-Jaccard verification is the corpus's dominant
+    lexical compute and THREE queries consume its result (cluster-keep
+    flags, the end-to-end composite, the cross-modal closure), so it is
+    persisted once per corpus and every consumer scans the sparse result.
+    dedup_minhash_lsh itself stays on the live plan — its bench row
+    prices the real candidate generation against the r1 baseline."""
+    from graph_etl_pipeline_spark.io import materialize
+
+    return materialize(
+        _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), "lsh_pairs"
+    )
+
+
 def _cluster_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, canonical_id, keep) for every document that appears in at
     least one verified LSH pair — the shared core of dedup_cluster_keep
     and pipeline_minhash_verified_dedup."""
     from graph_etl_pipeline_spark.graph.model import PropertyGraph
 
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs_artifact(spark, sf_dir)
     verts = (
         pairs.select(F.col("doc_a").alias("uid"))
         .unionByName(pairs.select(F.col("doc_b").alias("uid")))
