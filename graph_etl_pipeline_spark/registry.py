@@ -57,17 +57,27 @@ CORE_ORDER = [
     "pipeline_crossmodal_dedup",
     "graph_clustering_coefficient",
     "dq_profile_drift",
-    "agg_welch_t_drift",
+    "dedup_cluster_keep",
+    "pipeline_minhash_verified_dedup",
     "dedup_embedding_cosine",
     "dedup_semdedup_clusters",
     "graph_reachability",
+    "graph_connected_components",
+    "graph_triangle_count",
     "graph_copurchase_project",
     "graph_jaccard_similarity",
-    "graph_hyperanf_sketch",
-    "graph_neighborhood_function",
+    "graph_connected_components_star",
+    "stream_tumbling_hourly",
+    "stream_stateful_running",
+    "stream_session_window",
+    "stream_sliding_hourly",
+    "stream_watermark_late",
     "stream_interval_join",
     "stream_left_join_timeout",
+    "stream_stateful_session_timeout",
+    "stream_dedup_within_watermark",
     "stream_full_join_timeout",
+    "stream_sketch_register_merge",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -92,16 +102,6 @@ CORE_ORDER = [
     "pipeline_training_dataset",
     "sample_temperature_mix",
     "sample_weighted_tokens",
-    "scd2_history",
-    "set_union",
-    "sim_kmeans_assign",
-    "sim_kmeans_iterate",
-    "sink_partitioned_prune",
-    "src_xlsx_scan",
-    "text_chunk_overlap",
-    "text_pack_sequences",
-    "text_pii_scrub",
-    "text_tfidf_topk",
 ]
 # --- END GENERATED WINDOW ---
 
