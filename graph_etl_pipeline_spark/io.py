@@ -282,12 +282,22 @@ def materialize(df: DataFrame, name: str) -> DataFrame:
     # verified-pair table rebuilt its 5 s derivation per consumer instead
     # of once per corpus.
     plan = re.sub(r"#\d+", "", df._jdf.queryExecution().analyzed().toString())
+    # Only tokens that occur in `lambda <tok>` position are lambda vars
+    # (the analyzed plan renders every declaration AND reference site
+    # with the `lambda ` prefix) — renaming any short tok_N identifier
+    # positionally could alias a real column like `mh_0` across two
+    # distinct plans and silently reuse the wrong artifact (ADVICE r13
+    # #2). Collect the var set from prefixed sites, then renumber those
+    # exact tokens wherever they appear, by first appearance.
     seen: dict[str, str] = {}
-    plan = re.sub(
-        r"\b[a-z]{1,4}_\d+L?\b",
-        lambda m: seen.setdefault(m.group(0), f"v_{len(seen)}"),
-        plan,
-    )
+    for m in re.finditer(r"lambda ([a-z]\w*_\d+L?)\b", plan):
+        seen.setdefault(m.group(1), f"v_{len(seen)}")
+    if seen:
+        plan = re.sub(
+            r"\b(" + "|".join(re.escape(t) for t in seen) + r")\b",
+            lambda m: seen[m.group(0)],
+            plan,
+        )
     # the plan string renders a parquet relation WITHOUT its path — the
     # same query over two scale factors would collide; key the inputs in
     files = "\n".join(sorted(df.inputFiles()))

@@ -1332,9 +1332,8 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(o_a) AS na, SUM(o_b) AS nb FROM per)
     SELECT event_type, o_a, o_b,
-           CAST((CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
-                * (CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
-                AS VARCHAR) AS chi2_num,
+           CAST(ABS(CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                AS VARCHAR) AS chi2_absdiff,
            CAST((CAST(o_a AS HUGEINT) + o_b) * na * nb AS VARCHAR) AS chi2_den
     FROM per, tot
     """,
@@ -1347,11 +1346,15 @@ def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUE distributions): "did the composition of traffic drift between
     the window's halves?" Per category c, the two-sample chi-square
     contribution is (o_a*n_b - o_b*n_a)^2 / (n_a*n_b*(o_a+o_b)); the
-    statistic is the sum of num/den over categories, computable to any
-    precision by the consumer. Numerator and denominator are carried as
-    exact int128 (HUGEINT / decimal(38)) rendered to strings — the
-    engine-stable form 6e10792 established for int128 outputs — so the
-    hash row certifies the test statistic itself, not a float echo.
+    statistic is the sum of absdiff^2/den over categories, computable to
+    any precision by the consumer. ``chi2_absdiff`` carries the UNSQUARED
+    |o_a*n_b - o_b*n_a| (<= n_a*n_b < 8.5e37 — exact in decimal(38,0)
+    and HUGEINT for ALL int64 counts; the square, carried through r13,
+    NULLed silently past |diff| >= 1e19 under non-ANSI decimal narrowing
+    — ADVICE r13 #4) and ``chi2_den`` the exact denominator, both
+    rendered to strings (the engine-stable form 6e10792 established for
+    int128 outputs) so the hash row certifies the test statistic itself,
+    not a float echo.
 
     Plan: the midpoint is one broadcastable min/max scalar (ONE extra
     1-column scan); the heavy input collapses FIRST through a
@@ -1400,10 +1403,7 @@ def agg_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "o_a",
         "o_b",
-        (d.cast("decimal(19,0)") * d.cast("decimal(19,0)"))
-        .cast(d38)
-        .cast("string")
-        .alias("chi2_num"),
+        F.abs(d).cast("string").alias("chi2_absdiff"),
         ((F.col("o_a").cast(d38) + F.col("o_b")) * F.col("na") * F.col("nb"))
         .cast("string")
         .alias("chi2_den"),

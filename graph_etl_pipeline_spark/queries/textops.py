@@ -1098,9 +1098,8 @@ TOKEN_DRIFT_BUCKETS = 64  # fixed-width hashed-vocabulary histogram
     ),
     tot AS (SELECT SUM(o_a) AS na, SUM(o_b) AS nb FROM per)
     SELECT bucket, o_a, o_b,
-           CAST((CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
-                * (CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
-                AS VARCHAR) AS chi2_num,
+           CAST(ABS(CAST(o_a AS HUGEINT) * nb - CAST(o_b AS HUGEINT) * na)
+                AS VARCHAR) AS chi2_absdiff,
            CAST((CAST(o_a AS HUGEINT) + o_b) * na * nb AS VARCHAR) AS chi2_den
     FROM per, tot
     """,
@@ -1123,9 +1122,16 @@ def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose state is B counters per cohort regardless of corpus size, and
     a drift in any token's mass perturbs exactly one bucket's χ²
     contribution. Per bucket the two-sample χ² contribution
-    (o_a·n_b − o_b·n_a)² / (n_a·n_b·(o_a+o_b)) is carried as EXACT
-    int128 num/den strings — the agg_chi2_drift contract, so the hash
-    row certifies the statistic, not a float echo.
+    (o_a·n_b − o_b·n_a)² / (n_a·n_b·(o_a+o_b)) is certified by its
+    EXACT pieces: ``chi2_absdiff`` = |o_a·n_b − o_b·n_a| — the UNSQUARED
+    numerator root, ≤ n_a·n_b < 8.5e37, so it is exact in decimal(38,0)
+    and HUGEINT for ALL int64 counts (carrying the square instead, as
+    r13 did, silently NULLed past |diff| ≥ 1e19 under Spark's non-ANSI
+    decimal narrowing while DuckDB's HUGEINT stayed exact to 1.3e19 —
+    ADVICE r13 #4; the square is the consumer's one multiply) — and
+    ``chi2_den`` = (o_a+o_b)·n_a·n_b, exact while it fits int128
+    (cohorts ≤ ~2.6e12 tokens); past that the consumer recomputes it
+    from the (o_a, o_b) columns, which the output carries in full.
 
     Plan at 100 TB: the doc_id midpoint is one broadcastable min/max
     scalar; the exploded token stream collapses FIRST through a
@@ -1178,10 +1184,7 @@ def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "o_a",
         "o_b",
-        (diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)"))
-        .cast(d38)
-        .cast("string")
-        .alias("chi2_num"),
+        F.abs(diff).cast("string").alias("chi2_absdiff"),
         ((F.col("o_a").cast(d38) + F.col("o_b")) * F.col("na") * F.col("nb"))
         .cast("string")
         .alias("chi2_den"),

@@ -123,9 +123,20 @@ def _update_sessions(key, pdfs, state: GroupState):
 
     us_parts, cent_parts, eid_parts = [], [], []
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         us_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)
         cent_parts.append((pdf["value"] * 100).round().astype("int64").to_numpy())
         eid_parts.append(pdf["event_id"].to_numpy())
+    if not us_parts:
+        # All-empty (non-timeout) invocation: nothing to fold. Keep any
+        # open session alive by re-arming its event-time timeout — the
+        # timeout registration does not survive an invocation, so
+        # skipping this would silently drop the pending close (ADVICE
+        # r13 #1: the vectorized path previously indexed brk[0] here).
+        if state.exists:
+            state.setTimeoutTimestamp((int(state.get[1]) + gap_us) // 1000)
+        return
     us = us_parts[0] if len(us_parts) == 1 else np.concatenate(us_parts)
     cent = cent_parts[0] if len(cent_parts) == 1 else np.concatenate(cent_parts)
     eid = eid_parts[0] if len(eid_parts) == 1 else np.concatenate(eid_parts)

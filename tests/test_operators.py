@@ -161,6 +161,45 @@ def test_materialize_content_addressing(spark, tmp_path):
     assert again == created
 
 
+def test_materialize_canonicalizes_lambdas_not_columns(spark, tmp_path):
+    """Digest canonicalization must renumber HOF lambda variables (so an
+    identical plan built twice — fresh exprIds/lambda ids each analysis —
+    reuses its artifact) while leaving REAL columns whose names merely
+    look like lambda vars (`mh_0`) untouched: two plans differing only in
+    such a column must get DISTINCT digests (ADVICE r13 #2 — the r13
+    positional regex would alias them and serve the wrong artifact)."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, materialize
+
+    p = str(tmp_path / "in")
+    spark.createDataFrame(
+        [([1, 2], [30, 4])], "mh_0 array<long>, mh_1 array<long>"
+    ).write.parquet(p)
+
+    before = {d for d in os.listdir(SCRATCH_DIR)} if os.path.isdir(SCRATCH_DIR) else set()
+
+    def hof(col):
+        return (
+            spark.read.parquet(p)
+            .select(F.transform(F.col(col), lambda x: x + 1).alias("t"))
+            .select(F.aggregate("t", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("s"))
+        )
+
+    # same column, built twice: lambda ids differ per analysis, digest must not
+    a1 = materialize(hof("mh_0"), "lam_test")
+    a2 = materialize(hof("mh_0"), "lam_test")
+    assert [r[0] for r in a1.collect()] == [5] == [r[0] for r in a2.collect()]
+    dirs = {d for d in os.listdir(SCRATCH_DIR) if d.startswith("lam_test")} - before
+    assert len(dirs) == 1  # lambda renumbering makes the digests collide (reuse)
+
+    # different REAL column of lambda-var shape: must NOT collide
+    b = materialize(hof("mh_1"), "lam_test")
+    assert [r[0] for r in b.collect()] == [36]
+    dirs = {d for d in os.listdir(SCRATCH_DIR) if d.startswith("lam_test")} - before
+    assert len(dirs) == 2
+
+
 def test_simhash_hamming_exact_dup_distance_zero(spark, tmp_path):
     """Planted corpus: two byte-identical docs must surface as a
     Hamming-0 pair via the band join; an unrelated doc must not pair
@@ -654,9 +693,9 @@ def test_dp_counts_noise_bounded_and_pinned(spark, sf_dir):
 
 def test_chi2_drift_exact_integers(spark, sf_dir):
     """Every chi-square contribution must reproduce from the emitted
-    integer counts alone: num = (o_a*nb - o_b*na)^2, den = (o_a+o_b)*na*nb
-    in exact Python ints, and the category counts must partition the
-    event table."""
+    integer counts alone: absdiff = |o_a*nb - o_b*na|, den =
+    (o_a+o_b)*na*nb in exact Python ints, and the category counts must
+    partition the event table."""
     from graph_etl_pipeline_spark.registry import all_queries
 
     rows = all_queries()["agg_chi2_drift"].fn(spark, sf_dir).collect()
@@ -665,7 +704,7 @@ def test_chi2_drift_exact_integers(spark, sf_dir):
     assert na + nb == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     for r in rows:
         d = r["o_a"] * nb - r["o_b"] * na
-        assert int(r["chi2_num"]) == d * d
+        assert int(r["chi2_absdiff"]) == abs(d)
         assert int(r["chi2_den"]) == (r["o_a"] + r["o_b"]) * na * nb
 
 

@@ -64,11 +64,12 @@ def test_token_drift_exact_counts_and_statistic(spark, sf_dir):
     nb = sum(r.o_b for r in rows)
     chi2 = Fraction(0)
     for r in rows:
-        num = (r.o_a * nb - r.o_b * na) ** 2
+        absdiff = abs(r.o_a * nb - r.o_b * na)
         den = (r.o_a + r.o_b) * na * nb
-        assert str(num) == r.chi2_num  # exact int128 pieces, no float echo
+        # exact integer pieces, no float echo (unsquared per ADVICE r13 #4)
+        assert str(absdiff) == r.chi2_absdiff
         assert str(den) == r.chi2_den
-        chi2 += Fraction(num, den)
+        chi2 += Fraction(absdiff * absdiff, den)
     assert chi2 >= 0
 
 
@@ -95,7 +96,10 @@ def test_token_drift_detects_planted_shift(spark, tmp_path):
     def stat(sf) -> float:
         rows = all_queries()["text_token_drift"].fn(spark, sf).collect()
         return float(
-            sum(Fraction(int(r.chi2_num), int(r.chi2_den)) for r in rows)
+            sum(
+                Fraction(int(r.chi2_absdiff) ** 2, int(r.chi2_den))
+                for r in rows
+            )
         )
 
     shifted = stat(corpus(tmp_path / "shifted", True))
