@@ -121,6 +121,7 @@ EXTRA = [
     "pipeline_crossmodal_dedup",  # unioned pair graphs → one CC closure (r13)
     "graph_clustering_coefficient",  # oriented triangles + 3-corner credit (r13)
     "dq_profile_drift",  # per-column completeness/cardinality drift (r13)
+    "pipeline_incremental_crossmodal",  # delta pairs + contracted CC update (r14)
 ]
 
 
@@ -163,9 +164,32 @@ def _debug(name: str, warm: float, runs: list[float]) -> None:
         )
 
 
+def _host_sample() -> tuple[float, int, int]:
+    """(1-min load average, cumulative idle+iowait jiffies, cumulative
+    total jiffies) — the raw pieces for machine-checkable host-load
+    attribution in the artifact (VERDICT r13 asked for this after three
+    rounds of after-the-fact "host band, not code" prose)."""
+    try:
+        la = os.getloadavg()[0]
+    except OSError:
+        la = -1.0
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle, total = vals[3] + vals[4], sum(vals)
+    except (OSError, ValueError, IndexError):
+        idle, total = 0, 0
+    return la, idle, total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # Sample the host BEFORE Spark starts: load_start is the purest
+    # signal of pre-existing external load (our own executors aren't
+    # running yet); busy_frac over the whole run is comparable
+    # round-over-round because the bench's own CPU draw is ~constant.
+    load_start, idle0, total0 = _host_sample()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from graph_etl_pipeline_spark.registry import all_queries
@@ -244,6 +268,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_end, idle1, total1 = _host_sample()
+    dt = total1 - total0
+    host = {
+        "load_start": round(load_start, 2),
+        "load_end": round(load_end, 2),
+        # fraction of ALL cpu jiffies spent non-idle across the whole
+        # bench run, bench's own draw included — a drifted round with a
+        # flat busy_frac vs history cannot blame the host.
+        "busy_frac": round(1.0 - (idle1 - idle0) / dt, 3) if dt > 0 else -1.0,
+    }
     # Two lines, BIG one first: the driver archives only the TAIL of
     # stdout, and the single combined line grew past that tail with the
     # EXTRA section, truncating the 14 headline numbers BASELINE.md's
@@ -275,6 +309,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cpus": int(cpus),
+                "host": host,
             }
         )
     )

@@ -876,3 +876,236 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
         F.coalesce("kept", F.lit(True)).alias("kept"),
     )
+
+
+# --- Incremental cross-modal dedup (r14, VERDICT r13 #7) ---------------------
+
+
+def _incremental_crossmodal_oracle() -> str:
+    """Full-recompute oracle for the incremental cross-modal closure:
+    lexical pairs over the whole corpus (the pair set decomposes exactly
+    across the ingest boundary — per-doc signatures, per-pair verify),
+    semantic pairs under the FROZEN quantizer (Lloyd trained on the
+    standing cohort only, all vectors assigned to the final centroids),
+    one transitive closure over the union. The incremental Spark plan
+    must converge to exactly this from yesterday's persisted artifacts
+    plus today's delta work."""
+    from graph_etl_pipeline_spark.queries.dedup import (
+        INCR_NEW_MOD,
+        _SQL_LSH_PAIRS_BODY,
+        _SQL_SHINGLE_BODY,
+    )
+    from graph_etl_pipeline_spark.queries.similarity import (
+        DIM,
+        FIXED_SCALE,
+        K_CLUSTERS,
+        LLOYD_ROUNDS,
+        SEMDEDUP_TAU_SQ_E4,
+        _sql_idot,
+    )
+
+    ctes = [
+        f"""iq AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    )""",
+        f"iqb AS (SELECT vec_id, qe FROM iq WHERE vec_id % {INCR_NEW_MOD} <> 0)",
+        f"""ic0 AS (SELECT vec_id AS cid, qe AS ce FROM iqb
+                    WHERE vec_id < {K_CLUSTERS})""",
+    ]
+    for r in range(LLOYD_ROUNDS - 1):
+        ctes.append(f"""isc{r} AS (
+        SELECT q.vec_id, q.qe, c.cid,
+               {_sql_idot("c.ce", "c.ce")} - 2 * {_sql_idot("q.qe", "c.ce")} AS score
+        FROM iqb q, ic{r} c
+    )""")
+        ctes.append(f"""ia{r} AS (
+        SELECT vec_id, qe, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+            FROM isc{r}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""ic{r + 1} AS (
+        SELECT cid, list(cx ORDER BY i) AS ce FROM (
+            SELECT cid, g.i,
+                   CAST(FLOOR(CAST(SUM(qe[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+            FROM ia{r}, (SELECT unnest(generate_series(1, {DIM})) AS i) g
+            GROUP BY cid, g.i
+        ) GROUP BY cid
+    )""")
+    last = LLOYD_ROUNDS - 1
+    ctes.append(f"""isf AS (
+        SELECT q.vec_id, q.qe, c.cid,
+               {_sql_idot("c.ce", "c.ce")} - 2 * {_sql_idot("q.qe", "c.ce")} AS score
+        FROM iq q, ic{last} c
+    )""")
+    ctes.append("""im AS (
+        SELECT vec_id, qe, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+            FROM isf
+        ) WHERE rn = 1
+    )""")
+    lloyd = ",\n    ".join(ctes)
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    {lloyd},
+    isemp AS (
+        SELECT b.vec_id AS lo, a.vec_id AS hi,
+               {_sql_idot("a.qe", "b.qe")} AS d,
+               {_sql_idot("a.qe", "a.qe")} AS na,
+               {_sql_idot("b.qe", "b.qe")} AS nb
+        FROM im a JOIN im b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    ),
+    isempairs AS (
+        SELECT lo, hi FROM isemp
+        WHERE d > 0
+          AND CAST(d AS HUGEINT) * d * 10000
+              >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
+    ),
+    undirected AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+        UNION ALL SELECT lo AS a, hi AS b FROM isempairs
+        UNION ALL SELECT hi AS a, lo AS b FROM isempairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM undirected),
+    reach AS (
+        SELECT node, node AS anc FROM nodes
+        UNION
+        SELECT u.b AS node, r.anc FROM reach r JOIN undirected u ON u.a = r.node
+    ),
+    flags AS (
+        SELECT node AS doc_id,
+               MIN(anc) AS canonical_id,
+               (node = MIN(anc)) AS kept
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(f.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(f.kept, TRUE) AS kept
+    FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+    """
+
+
+@register(
+    "pipeline_incremental_crossmodal",
+    oracle=_incremental_crossmodal_oracle(),
+    tags=("pipeline", "dedup", "incremental", "llm"),
+)
+def pipeline_incremental_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-modal dedup closure (VERDICT r13 #7) — the
+    daily-refresh shape the three verified composites lacked: they
+    rebuild their pair graphs per corpus; this query takes yesterday's
+    PERSISTED state (base pair artifacts + base component labels, all
+    content-addressed) and folds in a new day's batch
+    (doc_id % INCR_NEW_MOD == 0, the dedup_incremental_lsh cohort)
+    touching only delta-sized work:
+
+      1. delta pair generation, both modalities — the batch's band
+         signatures against the full signature set (lexical) and the
+         batch's frozen-cell members against the full member set
+         (semantic, batch side broadcast); never corpus × corpus;
+      2. CONTRACTED component update: each new edge's endpoints are
+         mapped through yesterday's labels (a base label is its
+         component's min id), then connected components run over the
+         contracted graph — supernodes are base labels, newly-paired
+         singleton base docs, and delta ids, so the CC input is
+         new-edge-sized, not history-sized;
+      3. label routing: base docs route through their (possibly merged)
+         base label; supernodes outside yesterday's label table take
+         their contracted component directly.
+
+    min-label correctness: a base label is the min of its old component,
+    so the contracted min equals the min over the merged vertex set —
+    the closure converges to EXACTLY the full recompute (the oracle),
+    which is the invariant that makes incremental maintenance safe to
+    ship. The semantic model is FROZEN (Lloyd trained on the standing
+    cohort — similarity._lloyd_frozen_base): production retrains on a
+    schedule, not per batch, because retraining invalidates every
+    persisted cell assignment and pair artifact.
+
+    Cost at 100 TB: steady-state runs scan three sparse artifacts and
+    pay delta-bounded joins plus a CC over the contracted graph — the
+    full pair generation and corpus-wide CC never re-run."""
+    from graph_etl_pipeline_spark.graph.model import PropertyGraph
+    from graph_etl_pipeline_spark.io import materialize
+    from graph_etl_pipeline_spark.queries.dedup import _incr_lexical_pairs
+    from graph_etl_pipeline_spark.queries.similarity import _incr_semantic_pairs
+
+    lex_b, lex_d = _incr_lexical_pairs(spark, sf_dir)
+    sem_b, sem_d = _incr_semantic_pairs(spark, sf_dir)
+
+    def as_edges(lex: DataFrame, sem: DataFrame) -> DataFrame:
+        return lex.select(
+            F.col("doc_a").alias("src_uid"), F.col("doc_b").alias("dst_uid")
+        ).unionByName(
+            sem.select(
+                F.col("lo_id").alias("src_uid"), F.col("hi_id").alias("dst_uid")
+            )
+        )
+
+    def verts_of(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("src_uid").alias("uid"))
+            .unionByName(e.select(F.col("dst_uid").alias("uid")))
+            .distinct()
+        )
+
+    # Yesterday's labels: CC over the base pair union, persisted once per
+    # base corpus (content-addressed like the pair artifacts it reads).
+    base_edges = as_edges(lex_b, sem_b)
+    base_labels = materialize(
+        PropertyGraph(vertices=verts_of(base_edges), edges=base_edges)
+        .connected_components(algorithm="star")
+        .select(F.col("uid").alias("doc_id"), F.col("component").alias("base_label")),
+        "incr_base_cc_labels",
+    )
+
+    # Today: contract new-edge endpoints through yesterday's labels. The
+    # delta edge set is pinned once (its lineage carries the band join +
+    # Jaccard verify + τ dots); at scale these joins broadcast the DELTA
+    # side — the label table scales with history, the batch does not.
+    mapped = (
+        as_edges(lex_d, sem_d)
+        .join(
+            base_labels.select(F.col("doc_id").alias("src_uid"), F.col("base_label").alias("sl")),
+            "src_uid",
+            "left",
+        )
+        .join(
+            base_labels.select(F.col("doc_id").alias("dst_uid"), F.col("base_label").alias("dl")),
+            "dst_uid",
+            "left",
+        )
+        .select(
+            F.coalesce("sl", F.col("src_uid")).alias("src_uid"),
+            F.coalesce("dl", F.col("dst_uid")).alias("dst_uid"),
+        )
+        .filter(F.col("src_uid") != F.col("dst_uid"))
+        .localCheckpoint(eager=True)
+    )
+    cc2 = PropertyGraph(vertices=verts_of(mapped), edges=mapped).connected_components(
+        algorithm="star"
+    )
+
+    new_lab = cc2.select(
+        F.col("uid").alias("base_label"), F.col("component").alias("new_label")
+    )
+    base_final = base_labels.join(new_lab, "base_label", "left").select(
+        "doc_id", F.coalesce("new_label", F.col("base_label")).alias("canonical_id")
+    )
+    extra_final = cc2.join(
+        base_labels.select(F.col("doc_id").alias("uid")), "uid", "left_anti"
+    ).select(F.col("uid").alias("doc_id"), F.col("component").alias("canonical_id"))
+    flags = base_final.unionByName(extra_final)
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    canon = F.coalesce("canonical_id", F.col("doc_id"))
+    return d.join(flags, "doc_id", "left").select(
+        "doc_id",
+        canon.alias("canonical_id"),
+        (canon == F.col("doc_id")).alias("kept"),
+    )

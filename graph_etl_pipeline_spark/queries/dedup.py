@@ -252,25 +252,13 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
         "lsh_doc_shingles",
     )
-    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
-    # Map-side from the materialized array table; NOT separately
-    # materialized (VERDICT r2 #6): both band-join sides recompute only a
-    # scan + md5 projection off the shingle parquet — cheaper than a
-    # write-then-read round trip for a table this derivation-light. At
-    # cluster scale the same trade holds: signature recompute is
-    # embarrassingly parallel map work over columnar input.
-    sigs = _signatures_from_arrays(ds)
-    unpivoted = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    # Signatures are map-side from the materialized array table; NOT
+    # separately materialized (VERDICT r2 #6): both band-join sides
+    # recompute only a scan + md5 projection off the shingle parquet —
+    # cheaper than a write-then-read round trip for a table this
+    # derivation-light. At cluster scale the same trade holds: signature
+    # recompute is embarrassingly parallel map work over columnar input.
+    unpivoted = _band_unpivoted(_signatures_from_arrays(ds))
 
     a, b = unpivoted.alias("a"), unpivoted.alias("b")
     candidates = (
@@ -283,7 +271,33 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _jaccard_verify(candidates, ds)
 
+
+def _band_unpivoted(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) long form of the per-doc band signatures —
+    the join key layout every LSH candidate join (full, daily-batch
+    incremental, cross-modal incremental) buckets on."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f"b{b}").alias("band"), F.col(f"band{b}").alias("sig"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _jaccard_verify(candidates: DataFrame, ds: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    the inverted-index join over the materialized shingle-array table —
+    touches candidate pairs only, never n². Shared by the full LSH plan
+    and both incremental plans (identical expressions ⇒ identical
+    subplan text ⇒ the content-addressed artifacts line up)."""
+    ex = ds.select("doc_id", F.explode("shingles").alias("s"))
     # shingles are array_distinct'd, so the array size IS the shingle-set
     # size — a projection off the materialized table, not an aggregation
     sizes = ds.select("doc_id", F.size("shingles").alias("n_sh"))
@@ -1629,3 +1643,65 @@ def dedup_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).alias("n_singletons"),
         F.sum(F.expr("sz * (sz - 1) div 2")).alias("cand_pairs"),
     )
+
+
+def _incr_lexical_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The verified lexical pair set SPLIT at the daily-ingest boundary
+    (doc_id % INCR_NEW_MOD == 0 plays the arriving batch, the
+    dedup_incremental_lsh convention) — the lexical half of
+    pipeline_incremental_crossmodal (queries/composite.py):
+
+      * ``base_pairs``: both sides in the standing corpus — yesterday's
+        state, a content-addressed artifact a production pipeline
+        persisted when the base corpus was ingested, never recomputed on
+        the daily path (steady-state runs scan it);
+      * ``delta_pairs``: at least one side in the new batch — the only
+        pairs a new day can ADD, generated by band-joining the BATCH's
+        band signatures against the full signature set (the shuffle
+        carries the batch's buckets, never corpus × corpus).
+
+    Decomposition is EXACT: MinHash signatures, band keys, and the
+    Jaccard verification are all per-document / per-pair properties
+    (no corpus-level statistic anywhere in the LSH path), so
+    base-base ∪ delta-involved candidate pairs ≡ the full-corpus
+    candidate set, and the union of the two verified halves ≡ the
+    full-recompute pair graph — which is what lets the composite's
+    DuckDB oracle recompute from scratch."""
+    d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
+    ds = materialize(
+        d.select("doc_id", shingles(norm_tokens(d.text)).alias("shingles")),
+        "lsh_doc_shingles",
+    )
+    unpiv = _band_unpivoted(_signatures_from_arrays(ds))
+    is_new = F.col("doc_id") % INCR_NEW_MOD == 0
+    base_u, delta_u = unpiv.filter(~is_new), unpiv.filter(is_new)
+
+    band_eq = (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+    bcand = (
+        base_u.alias("a")
+        .join(base_u.alias("b"), band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    base_pairs = materialize(
+        _jaccard_verify(bcand, ds).select("doc_a", "doc_b"), "incr_lex_base_pairs"
+    )
+
+    # delta-involved candidates, (doc_a < doc_b) orientation preserved:
+    # (any, delta) with a < b covers delta-delta once and base-delta with
+    # the base id lower; (base, delta) with a > b covers the flipped
+    # base-delta orientation. The two branches are disjoint by
+    # construction, so one distinct over the union dedupes band repeats.
+    d1 = (
+        unpiv.alias("a")
+        .join(delta_u.alias("b"), band_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    d2 = (
+        base_u.alias("a")
+        .join(delta_u.alias("b"), band_eq & (F.col("a.doc_id") > F.col("b.doc_id")))
+        .select(F.col("b.doc_id").alias("doc_a"), F.col("a.doc_id").alias("doc_b"))
+    )
+    dcand = d1.unionByName(d2).distinct()
+    delta_pairs = _jaccard_verify(dcand, ds).select("doc_a", "doc_b")
+    return base_pairs, delta_pairs

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graph_etl_pipeline_spark.io import table
+from graph_etl_pipeline_spark.io import materialize, table
 from graph_etl_pipeline_spark.registry import register
 
 DIM = 64
@@ -816,6 +816,24 @@ def _semdedup_cell_pairs(m: DataFrame, cap: int) -> DataFrame:
     return bounded_self_pairs(m, "cid", "vec_id", cap, _sel, plain_impl=_bcast_plain)
 
 
+def _tau_verified(scored: DataFrame) -> DataFrame:
+    """EXACT cos ≥ τ over scored pairs carrying (d, na, nb) int64
+    fixed-point pieces: cos(a,b) ≥ τ ⟺ d²·10⁴ ≥ τ²10⁴·na·nb given d > 0,
+    evaluated in decimal(38) (|d| ≤ 2^54 ⇒ products ≤ ~3·10^36, inside
+    the 38-digit headroom) — the dedup_semdedup_clusters contract,
+    shared by the full and incremental semantic pair generators."""
+    return scored.filter(
+        (F.col("d") > 0)
+        & (
+            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
+            * F.lit(10000)
+            >= F.lit(SEMDEDUP_TAU_SQ_E4)
+            * F.col("na").cast("decimal(19,0)")
+            * F.col("nb").cast("decimal(19,0)")
+        )
+    )
+
+
 def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained (vec_id, cid, qe, nn) member table SemDeDup scores
     pairs over — Lloyd assignment plus per-vector self-norms,
@@ -843,16 +861,9 @@ def _semdedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _semdedup_members(spark, sf_dir)
     scored = _semdedup_cell_pairs(m, CHUNK_CAP)
-    verified = scored.filter(
-        (F.col("d") > 0)
-        & (
-            F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)")
-            * F.lit(10000)
-            >= F.lit(SEMDEDUP_TAU_SQ_E4)
-            * F.col("na").cast("decimal(19,0)")
-            * F.col("nb").cast("decimal(19,0)")
-        )
-    ).select(F.col("b_id").alias("lo_id"), F.col("a_id").alias("hi_id"))
+    verified = _tau_verified(scored).select(
+        F.col("b_id").alias("lo_id"), F.col("a_id").alias("hi_id")
+    )
     # Content-addressed artifact, like the member table it derives from:
     # the verified pair set is the product of the corpus's dominant
     # compute (every within-cell exact dot, CodegenFallback-bound
@@ -860,6 +871,121 @@ def _semdedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-modal closure) — a production pipeline persists it once per
     # corpus and every consumer scans the (sparse) result.
     return materialize(verified, "semdedup_pairs")
+
+
+# Frozen-model memo: sorted corpus files → BASE-cohort-trained centroid
+# rows. Deliberately separate from _TRAINED_CENTROIDS: that memo keys on
+# input files alone, and the base cohort is a FILTER over the same files
+# — sharing the dict would serve full-corpus centroids to the frozen
+# path (or vice versa) whenever both run in one process.
+_FROZEN_BASE_CENTROIDS: dict[tuple, list] = {}
+
+
+def _lloyd_frozen_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLOYD_ROUNDS of Lloyd trained on the STANDING corpus only
+    (vec_id % INCR_NEW_MOD != 0 — the dedup_incremental_lsh cohort
+    convention), returned as the K-row literal centroid table.
+
+    This is the frozen-quantizer production contract the incremental
+    semantic path runs under: the model is trained when the base corpus
+    is ingested and PERSISTED; a new day's vectors are ASSIGNED to the
+    frozen cells (one broadcast pass), never retrained — retraining
+    would reshuffle every historical cell assignment and invalidate all
+    persisted pair artifacts. Seeding is the deterministic first-K rule
+    restricted to base ids, so the DuckDB oracle replays training
+    bit-for-bit."""
+    from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
+
+    e = table(spark, sf_dir, "embeddings")
+    key = tuple(sorted(e.inputFiles()))
+    if key not in _FROZEN_BASE_CENTROIDS:
+        qb = _quantize_fixed(e.filter(F.col("vec_id") % INCR_NEW_MOD != 0))
+        cents = qb.filter(F.col("vec_id") < K_CLUSTERS).select(
+            F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+        )
+        assigned = _assign_cells(qb, cents)
+        for _ in range(LLOYD_ROUNDS - 1):
+            cents = _collect_centroids(_recompute_centroids(assigned))
+            assigned = _assign_cells(qb, cents)
+        _FROZEN_BASE_CENTROIDS[key] = [
+            (r["cid"], list(r["ce"])) for r in cents.collect()
+        ]
+    return spark.createDataFrame(
+        _FROZEN_BASE_CENTROIDS[key], "cid bigint, ce array<bigint>"
+    )
+
+
+def _incr_semantic_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The τ-verified semantic pair set SPLIT at the daily-ingest
+    boundary under the frozen base-trained quantizer — the semantic half
+    of pipeline_incremental_crossmodal (queries/composite.py):
+
+      * ``base_pairs``: within-cell pairs among standing-corpus members —
+        yesterday's content-addressed artifact (built through the shared
+        bounded_self_pairs hot-cell guard, like the full path);
+      * ``delta_pairs``: pairs with at least one new-batch side — the new
+        batch's members are BROADCAST against the full member set (a
+        day's batch is orders smaller than the corpus, and the equi-join
+        key has only K values, so a shuffle join would collapse to K
+        tasks; broadcasting keeps the probe side in scan partitioning —
+        the _semdedup_cell_pairs argument, with the same ≤ corpus-side
+        safety: the broadcast side is the BATCH, bounded by ingest rate).
+
+    Given frozen cells, assignment is per-vector and the τ test is
+    per-pair, so base ∪ delta ≡ the full pair set under the same model —
+    exact decomposition, same as the lexical half."""
+    from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = _lloyd_frozen_base(spark, sf_dir)
+    q = _quantize_fixed(e)
+    is_new = F.col("vec_id") % INCR_NEW_MOD == 0
+
+    def members(sub: DataFrame) -> DataFrame:
+        return _assign_cells(sub, cents).select(
+            "vec_id", "cid", "qe", _int_dot("qe", "qe").alias("nn")
+        )
+
+    mb = materialize(members(q.filter(~is_new)), "incr_sem_base_members")
+    md = members(q.filter(is_new))
+
+    base_pairs = materialize(
+        _tau_verified(_semdedup_cell_pairs(mb, CHUNK_CAP)).select(
+            F.col("b_id").alias("lo_id"), F.col("a_id").alias("hi_id")
+        ),
+        "incr_sem_base_pairs",
+    )
+
+    def scored(left: DataFrame, lower_left: bool) -> DataFrame:
+        cond = (F.col("a.cid") == F.col("b.cid")) & (
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            if lower_left
+            else (F.col("a.vec_id") > F.col("b.vec_id"))
+        )
+        lo, hi = ("a", "b") if lower_left else ("b", "a")
+        return (
+            left.alias("a")
+            .join(F.broadcast(md).alias("b"), cond)
+            .select(
+                F.col(f"{lo}.vec_id").alias("lo_id"),
+                F.col(f"{hi}.vec_id").alias("hi_id"),
+                _int_dot(F.col("a.qe"), F.col("b.qe")).alias("d"),
+                F.col(f"{lo}.nn").alias("na"),
+                F.col(f"{hi}.nn").alias("nb"),
+            )
+        )
+
+    # (any, delta) with lower left id covers delta-delta once plus one
+    # base-delta orientation; (base, delta) with higher left id covers
+    # the flip — disjoint branches, no distinct needed (the cell join
+    # yields each pair exactly once).
+    all_m = mb.unionByName(md)
+    delta_pairs = _tau_verified(
+        scored(all_m, True).unionByName(scored(mb, False))
+    ).select("lo_id", "hi_id")
+    return base_pairs, delta_pairs
 
 
 @register(

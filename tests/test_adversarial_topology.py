@@ -126,6 +126,7 @@ QUERIES = [
     "pipeline_crossmodal_dedup",  # unioned pair graphs -> one CC closure (r13)
     "graph_clustering_coefficient",  # two triangle orientations meet on the hash (r13)
     "dq_profile_drift",           # Expand-aggregate conditional distincts + ppm div (r13)
+    "pipeline_incremental_crossmodal",  # contracted-label CC update == full recompute (r14)
 ]
 
 _SCRIPT = f"""

@@ -109,6 +109,7 @@ R10_EMPTY_EXEMPT = frozenset({
     # dedup_semdedup_clusters and the sim_kmeans family are exempt)
     "pipeline_semdedup_apply",
     "pipeline_crossmodal_dedup",
+    "pipeline_incremental_crossmodal",
     # shares the interaction_edges chain-derivation path with the rest of
     # the graph family (graph_triangle_count et al., exempt pre-r10): the
     # empty-events width probe is exercised by the enrolled family tests

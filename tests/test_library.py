@@ -113,6 +113,69 @@ def test_graph_reachable_hierarchy(spark):
     assert uids == {"08", "08 01", "08 01 11*", "08 01 12"}
 
 
+def test_traversal_cache_deferred_cleanup_contract(spark):
+    """The deferred traversal-cache contract (graph/model.py, VERDICT r13
+    #6): the shallow path retains its persisted frames until the NEXT
+    traversal starts, which keeps the retained-frame slot bounded at one
+    traversal's frames — and a caller that violates the 'consume before
+    the next traversal' convention must still get CORRECT results (the
+    unpersisted frames recompute from lineage), just slower."""
+    from graph_etl_pipeline_spark.graph import model as gmodel
+
+    g = _avv_graph(spark)
+    roots08 = spark.createDataFrame([("08", "08")], "uid string, root string")
+    roots09 = spark.createDataFrame([("09", "09")], "uid string, root string")
+
+    a = g.reachable(roots08, rel_types=("HAS_PARENT",), direction="in", max_depth=3)
+    frames_a = list(gmodel._RETAINED_TRAVERSAL_FRAMES)
+    # bounded retention: edge frame + at most max_depth frontiers
+    assert 1 <= len(frames_a) <= 4
+    assert all(df.storageLevel.useMemory for df in frames_a)
+
+    # start traversal B WITHOUT consuming A (the contract violation)
+    b = g.reachable(roots09, rel_types=("HAS_PARENT",), direction="in", max_depth=3)
+    frames_b = list(gmodel._RETAINED_TRAVERSAL_FRAMES)
+    # the slot holds ONLY B's frames: A's were evicted (unpersist is
+    # async/non-blocking, so the LIST is the contract — its bound is what
+    # keeps a long session's block store from accumulating traversals)
+    assert 1 <= len(frames_b) <= 4
+    assert not set(map(id, frames_a)) & set(map(id, frames_b))
+
+    # late consumption of A recomputes from lineage — correct, not stale
+    assert {r.uid for r in a.collect()} == {"08", "08 01", "08 01 11*", "08 01 12"}
+    assert {r.uid for r in b.collect()} == {"09"}
+
+
+def test_traversal_shallow_path_job_count_pinned(spark):
+    """Pin the shallow traversal's driver-job budget (VERDICT r13 #1):
+    one count() job per explored level and nothing else — no checkpoint
+    block-write job, no separate isEmpty probe. A regression that adds
+    per-level jobs is exactly the graph_reachability drift class the
+    bench artifact cannot attribute on its own."""
+    g = _avv_graph(spark)
+    roots = spark.createDataFrame([("08", "08")], "uid string, root string")
+    sc = spark.sparkContext
+    # AQE splits each frontier count into a variable fan of re-optimize
+    # jobs (22 on this fixture), so the deterministic pin runs with AQE
+    # off: 3 frontier count() jobs + 2 broadcast-relation builds. An
+    # eager per-level checkpoint or isEmpty probe regression adds ≥1 job
+    # per level and breaks the equality.
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("trav_probe", "traversal job-count pin")
+    try:
+        visited = g.reachable(
+            roots, rel_types=("HAS_PARENT",), direction="in", max_depth=3
+        )
+        build_jobs = len(sc.statusTracker().getJobIdsForGroup("trav_probe"))
+        rows = visited.collect()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert build_jobs == 5
+    assert {r.uid for r in rows} == {"08", "08 01", "08 01 11*", "08 01 12"}
+
+
 def test_graph_hop_and_orphans(spark):
     g = _avv_graph(spark)
     frontier = spark.createDataFrame([("08 01 11*", "x")], "uid string, root string")
