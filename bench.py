@@ -122,6 +122,7 @@ EXTRA = [
     "graph_clustering_coefficient",  # oriented triangles + 3-corner credit (r13)
     "dq_profile_drift",  # per-column completeness/cardinality drift (r13)
     "pipeline_incremental_crossmodal",  # delta pairs + contracted CC update (r14)
+    "stream_partitioned_sink_merge",  # foreachBatch merge into pruned partitions (r14)
 ]
 
 

@@ -1191,3 +1191,121 @@ def stream_sketch_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" CAST(33 - (shiftright({col}, {6 * k}) & 63) AS INT))"
             )
     return state.select("user_id", "r0", "r1", d.alias("d"))
+
+
+# --- Streaming merge into a hive-partitioned sink (r14, VERDICT r13 #8) ------
+
+
+def _psm_sources(spark: SparkSession, sf_dir: str) -> str:
+    """3-file split of the events table for the partitioned-sink fixture,
+    staged driver-side with pyarrow off the shared single-file image:
+    non-purchase events split by event_id parity (files a/b — so four
+    partitions receive rows from TWO different micro-batches, exercising
+    the cross-batch merge), all purchase events in file c (so the final
+    batch touches EXACTLY ONE partition, exercising the pruned rewrite —
+    v2 must not rewrite the other four). Pinned mtimes fix the file
+    source's batch order."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import staged_events_single_file
+
+    events_file, _ = staged_events_single_file(spark, sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(SCRATCH_DIR, f"psm_{key}-{os.getpid()}", "src")
+    names = ["a-even.parquet", "b-odd.parquet", "c-purchase.parquet"]
+    if not os.path.exists(os.path.join(src, names[-1])):
+        os.makedirs(src, exist_ok=True)
+        t = pq.read_table(events_file)
+        purch = pc.equal(t["event_type"], "purchase")
+        nonp = pc.invert(purch)
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        pq.write_table(t.filter(pc.and_(nonp, even)), os.path.join(src, names[0]))
+        pq.write_table(
+            t.filter(pc.and_(nonp, pc.invert(even))), os.path.join(src, names[1])
+        )
+        pq.write_table(t.filter(purch), os.path.join(src, names[2]))
+        base = 1_000_000_000
+        for i, fname in enumerate(names):
+            os.utime(os.path.join(src, fname), (base + 10 * i, base + 10 * i))
+    return src
+
+
+def psm_prepare(batch_df: DataFrame) -> DataFrame:
+    """Reduce one micro-batch to per-(partition, user) integer-cent
+    aggregates — the mergeable delta shape."""
+    return batch_df.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+def psm_merge(prev: DataFrame, prepared: DataFrame) -> DataFrame:
+    """Additive MERGE of a batch delta into held partition state —
+    integer counts merge by SUM, so the result is batch-split-invariant
+    (the exactly-once scheme is what makes additivity safe: a replayed
+    batch overwrites its version instead of adding twice)."""
+    return (
+        prev.unionByName(prepared)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+    )
+
+
+@register(
+    "stream_partitioned_sink_merge",
+    oracle="""
+    SELECT event_type, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type, user_id
+    """,
+    tags=("streaming", "sink", "layout", "transaction"),
+)
+def stream_partitioned_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACTLY-ONCE MERGE INTO A PARTITIONED SINK (VERDICT r13
+    #8) — the composition the streaming family lacked:
+    stream_incremental_upsert proves foreachBatch MERGE with versioned
+    exactly-once state; sink_dynamic_partition_overwrite proves
+    partition-granular publish; this runs BOTH at once through
+    streaming.jobs.partitioned_incremental_merge — foreachBatch merges
+    each micro-batch's per-(event_type, user) cent deltas into a
+    hive-partitioned versioned target where a batch rewrites ONLY the
+    partitions it touches (the purchase-only batch 2 leaves the other
+    four partitions' bytes in place — pinned by the restart test in
+    tests/test_streaming.py).
+
+    The final resolved table must equal the batch groupBy oracle under
+    ANY batch split: integer-cent addition is associative and the
+    versioned rewrite makes replays idempotent, so exactly-once +
+    additivity ⇒ split-invariance. Restart recovery (new files, same
+    checkpoint, state resumed from storage) is test-pinned alongside."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.streaming.jobs import partitioned_incremental_merge
+
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    src = _psm_sources(spark, sf_dir)
+    schema = _fixture_schema(spark, src)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_type", "user_id", "value")
+    )
+    ckpt = os.path.join(
+        SCRATCH_DIR, f"psm_ckpt_{uuid.uuid4().hex[:8]}-{os.getpid()}"
+    )
+    final = partitioned_incremental_merge(
+        ev, "event_type", ckpt, psm_prepare, psm_merge
+    )
+    if final is None:
+        return spark.createDataFrame(
+            [], "event_type string, user_id long, n_events long, cents long"
+        )
+    return final.select("event_type", "user_id", "n_events", "cents")

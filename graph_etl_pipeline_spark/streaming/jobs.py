@@ -450,3 +450,116 @@ def stage_three_batch_fixture(
         for i, fname in enumerate(names):
             os.utime(os.path.join(src, fname), (base + 10 * i, base + 10 * i))
     return src
+
+
+def partitioned_incremental_merge(
+    stream: DataFrame,
+    partition_col: str,
+    checkpoint_dir: str,
+    prepare,
+    merge,
+    target_dir: str | None = None,
+) -> DataFrame | None:
+    """Streaming MERGE INTO a hive-partitioned, versioned parquet target
+    with PARTITION-PRUNED rewrite (VERDICT r13 #8) — the composition of
+    ``incremental_upsert``'s versioned exactly-once scheme with
+    ``sink_dynamic_partition_overwrite``'s partition-granular publish.
+
+    Layout: ``{target}/v{batch}/{partition_col}=X/part-*`` — version
+    ``v{b}`` holds ONLY the partitions batch b touched; a partition's
+    current content is its newest complete version. Per micro-batch:
+
+      1. ``prepare(batch_df)`` reduces the batch to mergeable rows
+         carrying ``partition_col``;
+      2. for each TOUCHED partition, the newest committed version BELOW b
+         is read (partition-pruned: untouched partitions are never read,
+         rewritten, or shuffled — their bytes sit in older versions);
+      3. ``merge(prev, prepared)`` combines; the result overwrites
+         ``v{b}`` (dynamic-overwrite semantics by construction: the fresh
+         version dir contains exactly the batch's partitions).
+
+    Exactly-once is the incremental_upsert argument applied per
+    partition: a crash after the ``v{b}`` write but before the checkpoint
+    commit leaves a version the replayed batch deterministically
+    overwrites from the same ``v{<b}`` inputs. Pruning is replay-safe by
+    ORDERING: superseded versions are deleted at the START of a batch,
+    when every version they were superseded BY is checkpoint-committed
+    (foreachBatch b only runs after b-1's commit) — pruning after the
+    write could delete the very inputs a replay of b still needs.
+
+    At 100 TB the same layout is a metadata-tracked table format
+    (Delta/Iceberg partition-level commits); as with incremental_upsert,
+    the driver-local directory bookkeeping swaps for the Hadoop
+    FileSystem API or a MERGE INTO on an object store. Returns the
+    resolved current table (None when no batch ever produced rows)."""
+    import os
+    import shutil
+
+    spark = stream.sparkSession
+    target = target_dir or os.path.join(checkpoint_dir, "ptable")
+
+    def _partition_dirs(vdir: str) -> list[str]:
+        try:
+            return [e for e in os.listdir(vdir) if e.startswith(partition_col + "=")]
+        except OSError:
+            return []
+
+    def _resolve(below: int | None = None) -> dict[str, int]:
+        """partition-dir name → newest complete version (optionally < below)."""
+        out: dict[str, int] = {}
+        for v in sorted(_state_versions(target), reverse=True):
+            if below is not None and v >= below:
+                continue
+            for p in _partition_dirs(os.path.join(target, f"v{v}")):
+                out.setdefault(p, v)
+        return out
+
+    def _read_parts(mapping: dict[str, int], want: set[str] | None = None):
+        by_v: dict[int, list[str]] = {}
+        for p, v in mapping.items():
+            if want is None or p in want:
+                by_v.setdefault(v, []).append(p)
+        frames = []
+        for v, parts in by_v.items():
+            base = os.path.join(target, f"v{v}")
+            frames.append(
+                spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, p) for p in parts]
+                )
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        committed = _resolve(below=batch_id)
+        live = set(committed.values())
+        for v in _state_versions(target):
+            if v < batch_id and v not in live:
+                shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
+        prepared = prepare(batch_df)
+        touched = {
+            f"{partition_col}={r[partition_col]}"
+            for r in prepared.select(partition_col).distinct().collect()
+        }
+        prev = _read_parts(committed, want=touched)
+        merged = merge(prev, prepared) if prev is not None else prepared
+        # one task → one file per touched partition: micro-batch deltas
+        # are sliver-sized; at volume, swap for the _state_write_width
+        # sizing (per partition) or the table format's OPTIMIZE
+        merged.coalesce(1).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(os.path.join(target, f"v{batch_id}"))
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _read_parts(_resolve())

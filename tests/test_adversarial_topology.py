@@ -127,6 +127,7 @@ QUERIES = [
     "graph_clustering_coefficient",  # two triangle orientations meet on the hash (r13)
     "dq_profile_drift",           # Expand-aggregate conditional distincts + ppm div (r13)
     "pipeline_incremental_crossmodal",  # contracted-label CC update == full recompute (r14)
+    "stream_partitioned_sink_merge",  # versioned partition-pruned merge, split-invariant (r14)
 ]
 
 _SCRIPT = f"""

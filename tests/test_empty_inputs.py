@@ -76,6 +76,7 @@ EMPTY_SAFE = [
     "embed_centroid_drift",
     "agg_hdr_shard_merge",
     "text_token_drift",
+    "stream_partitioned_sink_merge",
 ]
 
 

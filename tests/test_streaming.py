@@ -646,3 +646,84 @@ def test_stateful_session_timeout_mechanics(spark, tmp_path):
         (1, 50): (1, 400),   # 8:50 session, timeout-emitted
         (2, 5): (1, 800),    # user 2, timeout-emitted
     }, rows
+
+
+def test_partitioned_merge_restart_and_pruned_rewrite(spark, tmp_path):
+    """The partitioned-sink composition's two contracts (VERDICT r13 #8):
+
+      * EXACTLY-ONCE ACROSS RESTART — a second invocation on the same
+        checkpoint must process only the newly arrived file (no re-merge
+        of run 1's batches) and resume partition state from storage;
+      * PARTITION-PRUNED REWRITE — a batch touching only one partition
+        must write a version containing exactly that partition, and the
+        files currently serving every untouched partition must survive
+        BYTE-IDENTICAL (never read, rewritten, or replaced)."""
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        psm_merge,
+        psm_prepare,
+    )
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        _state_versions,
+        partitioned_incremental_merge,
+    )
+
+    schema = "event_type string, user_id long, value double"
+    src = tmp_path / "psm_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "ckpt" / "ptable")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        out = partitioned_incremental_merge(
+            stream, "event_type", ckpt, psm_prepare, psm_merge
+        )
+        return {(r.event_type, r.user_id): (r.n_events, r.cents) for r in out.collect()}
+
+    def _serving_file(part: str):
+        """(path, size, mtime) of the part-file currently serving `part`."""
+        for v in sorted(_state_versions(target), reverse=True):
+            pdir = os.path.join(target, f"v{v}", f"event_type={part}")
+            if os.path.isdir(pdir):
+                (f,) = [e for e in os.listdir(pdir) if e.startswith("part-")]
+                p = os.path.join(pdir, f)
+                return p, os.path.getsize(p), os.path.getmtime(p)
+        raise AssertionError(f"no version serves {part}")
+
+    spark.createDataFrame(
+        [("click", 1, 1.0), ("view", 2, 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([("click", 1, 0.5)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    got = _run()
+    assert got == {("click", 1): (2, 150), ("view", 2): (1, 200)}
+    view_before = _serving_file("view")
+    click_before = _serving_file("click")
+
+    # restart: a purchase-partition-only file arrives; same checkpoint
+    spark.createDataFrame([("purchase", 3, 1.25)], schema).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    got = _run()
+    # run 1's batches not re-merged (counts unchanged), new partition added
+    assert got == {
+        ("click", 1): (2, 150),
+        ("view", 2): (1, 200),
+        ("purchase", 3): (1, 125),
+    }
+    # the new batch's version holds ONLY the partition it touched
+    head = max(_state_versions(target))
+    head_parts = [
+        e
+        for e in os.listdir(os.path.join(target, f"v{head}"))
+        if e.startswith("event_type=")
+    ]
+    assert head_parts == ["event_type=purchase"]
+    # untouched partitions: same serving files, byte-for-byte untouched
+    assert _serving_file("view") == view_before
+    assert _serving_file("click") == click_before
