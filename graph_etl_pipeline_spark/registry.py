@@ -50,34 +50,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 12
+CORE_ORDER_THROUGH_ROUND = 13
 CORE_ORDER = [
-    "text_token_drift",
-    "pipeline_semdedup_apply",
-    "pipeline_crossmodal_dedup",
-    "graph_clustering_coefficient",
-    "dq_profile_drift",
+    "pipeline_incremental_crossmodal",
+    "stream_partitioned_sink_merge",
+    "agg_chi2_drift",
+    "pipeline_entity_resolution",
+    "dedup_minhash_lsh",
     "dedup_cluster_keep",
     "pipeline_minhash_verified_dedup",
-    "dedup_embedding_cosine",
+    "dedup_incremental_lsh",
+    "text_token_drift",
     "dedup_semdedup_clusters",
-    "graph_reachability",
-    "graph_connected_components",
-    "graph_triangle_count",
-    "graph_copurchase_project",
-    "graph_jaccard_similarity",
-    "graph_connected_components_star",
-    "stream_tumbling_hourly",
-    "stream_stateful_running",
-    "stream_session_window",
-    "stream_sliding_hourly",
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
+    "pipeline_semdedup_apply",
+    "pipeline_crossmodal_dedup",
     "stream_stateful_session_timeout",
-    "stream_dedup_within_watermark",
-    "stream_full_join_timeout",
-    "stream_sketch_register_merge",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -89,19 +76,32 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_rule_extract",
-    "dq_expectations",
-    "embed_quantize_error_contract",
-    "embed_quantize_int8",
-    "graph_pagerank",
-    "join_asof_nearest",
-    "mm_audio_frame_rms",
-    "pipeline_corpus_curation",
-    "pipeline_training_dataset",
-    "sample_temperature_mix",
-    "sample_weighted_tokens",
+    "scd2_history",
+    "set_union",
+    "sim_kmeans_assign",
+    "sim_kmeans_iterate",
+    "sink_partitioned_prune",
+    "src_xlsx_scan",
+    "text_chunk_overlap",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_tfidf_topk",
+    "win_funnel_conversion",
+    "win_gapfill_hourly",
+    "win_retention_cohorts",
+    "win_session_batch",
+    "win_sliding_hourly",
+    "win_tumbling_hourly",
+    "agg_exact_median",
+    "agg_group_mode",
+    "agg_hll_mergeable",
+    "agg_kmv_distinct_intersection",
+    "cdc_apply_changefeed",
+    "dedup_ngram_spans",
+    "dedup_prefix_containment",
+    "embed_pca_power",
+    "explode_split_targets",
+    "graph_kcore_bounded",
 ]
 # --- END GENERATED WINDOW ---
 

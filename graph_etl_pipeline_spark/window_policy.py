@@ -57,44 +57,33 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r13: the
-# stateful sessionizer was vectorized and all memory-sink stream
-# queries gained per-shape view dropping (fresh_memory_sink_name);
-# ehll_register_merge went full-outer (ADVICE r12 #4); the LSH verified
-# pair set became a content-addressed artifact for its CC consumers
-# (dedup_cluster_keep, pipeline_minhash_verified_dedup); the semantic
-# pair set likewise (dedup_semdedup_clusters — also refactored onto the
-# shared _semdedup_verified_pairs); graph_reachability moved to
-# deferred cache cleanup (ADVICE r12 #1); both CC algorithms pin their
-# input edge frame before iterating; graph_triangle_count's triangle
-# enumeration was extracted into the shared _oriented_triangles helper;
-# the bounded_self_pairs probe memo key gained the inputFiles
-# fingerprint (ADVICE r12 #2 — plan-build path of its callers changed).
-# Infra-only edits NOT listed per query: io.materialize's digest
-# canonicalization (artifact reuse, results identical by construction,
-# covered by the listed artifact consumers + local parity every round).
+# row — they must re-earn one (tier 2). Reset each round. r14: the two
+# chi-square drift monitors changed their OUTPUT CONTRACT (chi2_num →
+# unsquared chi2_absdiff, ADVICE r13 #4); the stateful sessionizer
+# gained the all-empty-batch guard (ADVICE r13 #1); the LSH pair plan
+# was refactored onto the shared _band_unpivoted/_jaccard_verify
+# helpers and the semantic τ test onto _tau_verified (plan-identical
+# extractions, but the bodies changed — re-earn on principle), which
+# touches every consumer of either pair artifact;
+# pipeline_entity_resolution re-earns its r13 path change that was
+# missing from the r13 set (ADVICE r13 #3: connected_components now
+# eagerly localCheckpoints the undirected edge view).
+# Infra-only edits NOT listed per query: io.materialize's lambda-var
+# canonicalization scoping (ADVICE r13 #2 — digest-key hygiene; results
+# identical by construction, covered by the listed artifact consumers +
+# local parity every round) and bench.py's host-load line.
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
+    "text_token_drift",
+    "agg_chi2_drift",
     "stream_stateful_session_timeout",
-    "stream_stateful_running",
-    "stream_sketch_register_merge",
-    "stream_watermark_late",
-    "stream_interval_join",
-    "stream_left_join_timeout",
-    "stream_full_join_timeout",
-    "stream_dedup_within_watermark",
-    "stream_tumbling_hourly",
-    "stream_sliding_hourly",
-    "stream_session_window",
+    "dedup_minhash_lsh",
     "dedup_cluster_keep",
     "pipeline_minhash_verified_dedup",
+    "dedup_incremental_lsh",
     "dedup_semdedup_clusters",
-    "dedup_embedding_cosine",
-    "graph_copurchase_project",
-    "graph_jaccard_similarity",
-    "graph_reachability",
-    "graph_connected_components",
-    "graph_connected_components_star",
-    "graph_triangle_count",
+    "pipeline_semdedup_apply",
+    "pipeline_crossmodal_dedup",
+    "pipeline_entity_resolution",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every
