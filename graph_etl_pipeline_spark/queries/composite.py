@@ -880,6 +880,10 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Incremental cross-modal dedup (r14, VERDICT r13 #7) ---------------------
 
+# Yesterday's-labels memo: pair-artifact file set → the materialized base
+# CC label frame (a parquet scan). See pipeline_incremental_crossmodal.
+_INCR_BASE_LABELS: dict[tuple, DataFrame] = {}
+
 
 def _incremental_crossmodal_oracle() -> str:
     """Full-recompute oracle for the incremental cross-modal closure:
@@ -1055,14 +1059,26 @@ def pipeline_incremental_crossmodal(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     # Yesterday's labels: CC over the base pair union, persisted once per
-    # base corpus (content-addressed like the pair artifacts it reads).
-    base_edges = as_edges(lex_b, sem_b)
-    base_labels = materialize(
-        PropertyGraph(vertices=verts_of(base_edges), edges=base_edges)
-        .connected_components(algorithm="star")
-        .select(F.col("uid").alias("doc_id"), F.col("component").alias("base_label")),
-        "incr_base_cc_labels",
-    )
+    # base corpus. The star rounds execute EAGERLY while the CC output
+    # plan is being BUILT (each round localCheckpoints), so even a
+    # content-addressed materialize would re-pay the rounds per call
+    # just to compute the digest — the path memo below is what actually
+    # makes "read yesterday's labels from storage" true: keyed on the
+    # two pair artifacts' files (themselves content-addressed per
+    # corpus), it hands back the parquet-scan frame directly.
+    memo_key = tuple(sorted(lex_b.inputFiles() + sem_b.inputFiles()))
+    base_labels = _INCR_BASE_LABELS.get(memo_key)
+    if base_labels is None:
+        base_edges = as_edges(lex_b, sem_b)
+        base_labels = materialize(
+            PropertyGraph(vertices=verts_of(base_edges), edges=base_edges)
+            .connected_components(algorithm="star")
+            .select(
+                F.col("uid").alias("doc_id"), F.col("component").alias("base_label")
+            ),
+            "incr_base_cc_labels",
+        )
+        _INCR_BASE_LABELS[memo_key] = base_labels
 
     # Today: contract new-edge endpoints through yesterday's labels. The
     # delta edge set is pinned once (its lineage carries the band join +

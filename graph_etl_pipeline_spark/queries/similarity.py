@@ -915,6 +915,12 @@ def _lloyd_frozen_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-corpus memo for the incremental semantic pair frames — same
+# rationale as dedup._INCR_LEX_MEMO: the artifacts dedupe writes, the
+# memo dedupes the per-call Catalyst re-analysis of their derivations.
+_INCR_SEM_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def _incr_semantic_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -939,6 +945,9 @@ def _incr_semantic_pairs(
     from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
 
     e = table(spark, sf_dir, "embeddings")
+    memo_key = tuple(sorted(e.inputFiles()))
+    if memo_key in _INCR_SEM_MEMO:
+        return _INCR_SEM_MEMO[memo_key]
     cents = _lloyd_frozen_base(spark, sf_dir)
     q = _quantize_fixed(e)
     is_new = F.col("vec_id") % INCR_NEW_MOD == 0
@@ -982,9 +991,16 @@ def _incr_semantic_pairs(
     # the flip — disjoint branches, no distinct needed (the cell join
     # yields each pair exactly once).
     all_m = mb.unionByName(md)
-    delta_pairs = _tau_verified(
-        scored(all_m, True).unionByName(scored(mb, False))
-    ).select("lo_id", "hi_id")
+    # per-(corpus, batch) artifact like the lexical twin: the batch's
+    # within-cell exact dots are today's dominant semantic compute,
+    # built once per ingest and scanned by the closure
+    delta_pairs = materialize(
+        _tau_verified(scored(all_m, True).unionByName(scored(mb, False))).select(
+            "lo_id", "hi_id"
+        ),
+        "incr_sem_delta_pairs",
+    )
+    _INCR_SEM_MEMO[memo_key] = (base_pairs, delta_pairs)
     return base_pairs, delta_pairs
 
 
