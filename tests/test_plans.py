@@ -523,3 +523,37 @@ def test_harmonic_centrality_hop_exchanges_bounded(spark, sf_dir):
     assert plan.count("HashAggregate") == 6  # partial+final x 3 hops
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_crossmodal_state_served_from_storage(spark, sf_dir):
+    """pipeline_incremental_crossmodal's steady-state contract: after the
+    first call builds the per-corpus artifacts, a SECOND call must serve
+    yesterday's state (both pair-frame sets + the base CC labels) as
+    parquet scans — no shingle/band/verify re-derivation, no star rounds
+    at plan-build time. The memos are what make this true (the star
+    rounds execute eagerly while the CC output plan is BUILT, so even a
+    content-addressed materialize would re-pay them per call); this pins
+    that the memoized frames really are storage scans."""
+    from graph_etl_pipeline_spark.queries import composite, dedup, similarity
+
+    # first call populates artifacts + memos
+    all_queries()["pipeline_incremental_crossmodal"].fn(spark, sf_dir).collect()
+
+    def assert_is_scan(df, label):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan, f"{label} not a parquet scan"
+        for op in ("Join", "HashAggregate", "Generate"):
+            assert op not in plan, f"{label} re-derives ({op} in plan)"
+
+    lex_b, lex_d = dedup._incr_lexical_pairs(spark, sf_dir)
+    sem_b, sem_d = similarity._incr_semantic_pairs(spark, sf_dir)
+    assert_is_scan(lex_b, "lexical base pairs")
+    assert_is_scan(lex_d, "lexical delta pairs")
+    assert_is_scan(sem_b, "semantic base pairs")
+    assert_is_scan(sem_d, "semantic delta pairs")
+    ((_, base_labels),) = [
+        (k, v)
+        for k, v in composite._INCR_BASE_LABELS.items()
+        if set(lex_b.inputFiles()) <= set(k)
+    ]
+    assert_is_scan(base_labels, "base CC labels")
