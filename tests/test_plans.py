@@ -4,6 +4,10 @@ pruning into the scan, no cartesian products, whole-stage codegen)."""
 
 from __future__ import annotations
 
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 from graph_etl_pipeline_spark.registry import all_queries
 
 
@@ -557,3 +561,32 @@ def test_incremental_crossmodal_state_served_from_storage(spark, sf_dir):
         if set(lex_b.inputFiles()) <= set(k)
     ]
     assert_is_scan(base_labels, "base CC labels")
+
+
+def test_incremental_crossmodal_single_corpus_scan(spark, sf_dir):
+    """The incremental composite's final apply must touch the documents
+    corpus EXACTLY ONCE (one left join of flags onto one scan) — the
+    pipeline_minhash_verified_dedup discipline: however many artifacts
+    and CC rounds feed the flags, the corpus-sized table is never
+    rescanned per stage."""
+    plan = _plan(spark, "pipeline_incremental_crossmodal", sf_dir)
+    assert plan.count("documents.parquet") == 1
+
+
+def test_bench_host_sample_shape():
+    """bench.py's host-load evidence (VERDICT r13 #5) must keep its
+    machine-checkable shape: a loadavg float and monotone jiffy counters
+    a second sample can difference into a busy fraction."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    la0, idle0, total0 = bench._host_sample()
+    la1, idle1, total1 = bench._host_sample()
+    assert isinstance(la0, float)
+    assert total0 > idle0 > 0  # jiffies exist and idle < total
+    assert idle1 >= idle0 and total1 >= total0  # monotone counters
