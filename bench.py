@@ -255,8 +255,13 @@ def main() -> None:
         # scheduling noise — measured r11 at 2-4x swings between
         # identical fresh-session runs hours apart. Give them the same
         # min-of-3 protection the headline list gets; one extra run of
-        # the whole family costs ~30 s of untimed wall.
-        n_runs = 3 if name.startswith("stream_") else 2
+        # the whole family costs ~30 s of untimed wall. r14 extends the
+        # third run to every EXPENSIVE row (warm > 2.5 s): those are the
+        # band-pinned composites whose artifact minima the session band
+        # (BASELINE.md r14 round-end) perturbs most — min-of-3 only
+        # tightens minima, so it is conservative against every recorded
+        # band and baseline.
+        n_runs = 3 if (name.startswith("stream_") or warm > 2.5) else 2
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
