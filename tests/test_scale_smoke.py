@@ -78,3 +78,48 @@ def test_flagship_shape_survives_amplification(spark):
         # the exact decimal amplified sum at double precision
         assert got[k] is not None
         assert float(got[k]) == pytest.approx(base[k] * AMP, rel=1e-12)
+
+
+def test_incremental_crossmodal_components_invariant_under_amplification(
+    spark, tmp_path
+):
+    """Clone-amplify the corpus AMP_CM× (shifted doc_ids ≡ same residue
+    mod the ingest split, identical texts/embeddings) and require the
+    incremental cross-modal closure to keep EXACTLY as many documents as
+    the base run. Why that is the scale invariant: pair generation
+    depends only on CONTENT (band signatures, frozen cells — seeds and
+    Lloyd means are multiplicity-uniform, so the trained cells match),
+    so the amplified pair graph is the base graph with every vertex
+    expanded into an all-pairs clone clique — every base component
+    (and every base singleton) becomes ONE amplified component. A kept
+    count that moved would mean some stage (LSH candidates, τ verify,
+    label contraction, CC) silently depends on ids or partitioning
+    rather than content — exactly the class of bug that only shows at
+    scale-up."""
+    from graph_etl_pipeline_spark.queries.composite import (
+        pipeline_incremental_crossmodal,
+    )
+
+    AMP_CM = 3  # shift stride 10_000_000 ≡ 0 (mod 5): cohort preserved
+    base_sf = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        t = table(spark, base_sf, name)
+        copies = [
+            t.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
+            for i in range(AMP_CM)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{sf}/{name}.parquet")
+
+    base = pipeline_incremental_crossmodal(spark, base_sf)
+    amp = pipeline_incremental_crossmodal(spark, sf)
+    base_rows = base.count()
+    base_kept = base.filter("kept").count()
+    amp_rows = amp.count()
+    amp_kept = amp.filter("kept").count()
+    assert amp_rows == AMP_CM * base_rows
+    assert amp_kept == base_kept  # components invariant under cloning
+    assert base_kept < base_rows  # non-vacuous: dup clusters exist at sf0.001
