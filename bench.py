@@ -183,6 +183,62 @@ def _host_sample() -> tuple[float, int, int]:
     return la, idle, total
 
 
+def _busy_frac(idle0: int, total0: int, idle1: int, total1: int) -> float:
+    """Fraction of cpu jiffies spent non-idle BETWEEN the two samples.
+    Either sample failing (total == 0) or a non-positive delta means the
+    run's delta is unmeasurable — emit the -1.0 sentinel rather than
+    silently degrading to the host's LIFETIME busy fraction (ADVICE r14
+    #3: a failed first read previously made 1 - idle1/total1 masquerade
+    as the run's attribution signal)."""
+    if total0 <= 0 or total1 <= 0 or total1 <= total0:
+        return -1.0
+    return round(1.0 - (idle1 - idle0) / (total1 - total0), 3)
+
+
+def _adjudicate_bands(
+    total: float, all_timings: dict[str, float], sf_val
+) -> dict:
+    """Per-row pass/fail against bands.json (the single machine-readable
+    band source — VERDICT r14 #4). A row passes if its timing is within
+    band * session_factor, where session_factor = max(1, total/denom)
+    normalizes whole-session drift (BASELINE.md r14 semantics). Rows not
+    timed this run (or absent from bands.json) simply don't appear."""
+    if sf_val != 0.1:
+        # The bands are pinned at sf0.1 (the driver's per-round shape);
+        # adjudicating another scale against them would only produce
+        # spurious verdicts.
+        return {
+            "metric": "bands_adjudication",
+            "skipped": f"bands pinned at sf0.1, this run is sf={sf_val}",
+        }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bands.json")) as f:
+            spec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {"metric": "bands_adjudication", "error": "bands.json unreadable"}
+    denom = float(spec.get("session_factor_denominator_sec", 12.0))
+    factor = max(1.0, total / denom) if denom > 0 else 1.0
+    rows = {}
+    for name, band in spec.get("bands_sec", {}).items():
+        if name not in all_timings:
+            continue
+        t = all_timings[name]
+        eff = round(band * factor, 3)
+        rows[name] = {
+            "sec": t,
+            "band": band,
+            "effective": eff,
+            "pass": t <= eff,
+        }
+    return {
+        "metric": "bands_adjudication",
+        "session_factor": round(factor, 3),
+        "rows": rows,
+        "all_pass": all(r["pass"] for r in rows.values()),
+        "sf": sf_val,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -275,26 +331,23 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     load_end, idle1, total1 = _host_sample()
-    dt = total1 - total0
     host = {
         "load_start": round(load_start, 2),
         "load_end": round(load_end, 2),
         # fraction of ALL cpu jiffies spent non-idle across the whole
         # bench run, bench's own draw included — a drifted round with a
         # flat busy_frac vs history cannot blame the host.
-        "busy_frac": round(1.0 - (idle1 - idle0) / dt, 3) if dt > 0 else -1.0,
+        "busy_frac": _busy_frac(idle0, total0, idle1, total1),
     }
-    # Two lines, BIG one first: the driver archives only the TAIL of
-    # stdout, and the single combined line grew past that tail with the
-    # EXTRA section, truncating the 14 headline numbers BASELINE.md's
-    # 2x-gate grades against out of BENCH_r9/r10 (VERDICT r10 #3 /
-    # "what's missing" #1). The LAST line is now a compact
-    # headline-only record (~600 bytes) that always survives whole.
-    # EXTRA prints ASCENDING by time so the expensive rows — the ones a
-    # cross-round regression audit needs — land nearest the archived
-    # stdout tail (VERDICT r12 "what's missing" #1: each round's new
-    # rows pushed the old expensive rows off the tail; r12's audit
-    # caught sample_poisson_bootstrap only by luck of position).
+    # Print order is TRUNCATION-AWARE: the driver archives only the TAIL
+    # of stdout, so lines print in ASCENDING importance — big EXTRA line
+    # first (sorted ascending so expensive rows sit nearest the tail),
+    # then the compact stream line, then the capped extra-top line, then
+    # the bands adjudication, and the HEADLINE record LAST (VERDICT r14
+    # "what's missing" #1: r14's 36-row extra_top line printed after the
+    # headline and pushed the round's total + host line out of the
+    # captured tail; the headline is the one line that must always
+    # survive whole).
     extra_sorted = dict(sorted(extra_timings.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
@@ -306,25 +359,9 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "cpus": int(cpus),
-                "host": host,
-            }
-        )
-    )
-    # Third compact line (~250 bytes) so the streaming family is
+    # Compact stream line (~250 bytes) so the streaming family is
     # auditable in the archived artifact even when the big EXTRA line
-    # scrolls out of the driver's stdout tail (VERDICT r11 #2): the r10
-    # recovery targets (interval ≤2.6 s, left ≤3.4, session ≤4.1) were
-    # only checkable via BASELINE.md prose in r11 because 5 of the 6
-    # stream rows truncated. Duplicates EXTRA's numbers, tiny and last.
+    # scrolls out of the driver's stdout tail (VERDICT r11 #2).
     print(
         json.dumps(
             {
@@ -338,12 +375,9 @@ def main() -> None:
             }
         )
     )
-    # Fourth compact line: every EXTRA row that cost >= 1 s, sorted
-    # DESCENDING (most expensive first), as a guaranteed-to-survive
-    # duplicate of the big EXTRA line's hot tail. Together with the
-    # ascending sort above this makes the full set of audit-relevant
-    # EXTRA timings visible in the archived artifact even if the big
-    # line truncates entirely (VERDICT r12 "what's missing" #1).
+    # Most expensive EXTRA rows, CAPPED at 20 (VERDICT r14 #3: uncapped,
+    # this line alone outgrew the tail budget) — a guaranteed-to-survive
+    # duplicate of the big EXTRA line's hot tail.
     print(
         json.dumps(
             {
@@ -352,9 +386,28 @@ def main() -> None:
                     sorted(
                         ((n, t) for n, t in extra_timings.items() if t >= 1.0),
                         key=lambda kv: -kv[1],
-                    )
+                    )[:20]
                 ),
                 "sf": sf_val,
+            }
+        )
+    )
+    # Bands adjudication (VERDICT r14 #4): bands.json is the single
+    # source of truth for the pinned per-row bands; the artifact itself
+    # now records pass/fail under the declared session-factor semantics
+    # (effective band = band * max(1, headline_total / denominator)), so
+    # the audit never depends on which prose copy of a band it found.
+    print(json.dumps(_adjudicate_bands(total, {**timings, **extra_timings}, sf_val)))
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": int(cpus),
+                "host": host,
             }
         )
     )

@@ -76,7 +76,15 @@ _SESSION_STATE_SCHEMA = (
 def _sessions_frame(user_id: int, starts_us, ns, cents):
     """Typed output frame — explicit dtypes keep Spark's Arrow serializer
     off the pandas dtype-inference path (object-dtype / empty frames make
-    its internal concat fall back to the slow deprecated merge)."""
+    its internal concat fall back to the slow deprecated merge).
+
+    The timestamp column is built by REINTERPRETING the int64 microsecond
+    array as datetime64[us] (zero-copy view) instead of pd.to_datetime:
+    this function runs once per (group, micro-batch) — ~3,000 times per
+    bench run at sf0.1, mostly 1-row frames on the timeout-flush path —
+    and the view construction measures 4x cheaper (0.17 ms vs 0.67 ms per
+    1-row frame). Arrow serializes M8[us] directly; the output schema is
+    microsecond-precision Spark TimestampType either way."""
     import numpy as np
     import pandas as pd
 
@@ -84,12 +92,11 @@ def _sessions_frame(user_id: int, starts_us, ns, cents):
     return pd.DataFrame(
         {
             "user_id": np.full(k, user_id, dtype=np.int64),
-            "session_start": pd.to_datetime(
-                np.asarray(starts_us, dtype=np.int64), unit="us"
-            ),
+            "session_start": np.asarray(starts_us, dtype=np.int64).view("M8[us]"),
             "n_events": np.asarray(ns, dtype=np.int64),
             "session_cents": np.asarray(cents, dtype=np.int64),
-        }
+        },
+        copy=False,
     )
 
 

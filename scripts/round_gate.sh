@@ -48,6 +48,23 @@ assert len(BASELINE) >= 14, f'parsed only {len(BASELINE)} baselines from BASELIN
 weak = {q: (t, BASELINE[q]) for q, t in j['queries'].items()
         if q in BASELINE and t > 2 * BASELINE[q]}
 assert not weak, f'queries over 2x baseline: {weak}'
+# Bands adjudication (VERDICT r14 #4): bench.py computes effective band
+# = band * max(1, total/12) from bands.json and emits per-row pass/fail;
+# the gate surfaces breaches loudly. Breaches WARN rather than fail —
+# the bands carry session-factor semantics and adjudicate regressions
+# across rounds (BASELINE.md r14); the hard per-round gate stays the 2x
+# baseline check above.
+(bands,) = [d for d in lines if d.get('metric') == 'bands_adjudication']
+if bands.get('skipped'):
+    print(f'bands: {bands[\"skipped\"]}')
+else:
+    assert 'rows' in bands, f'bands adjudication missing/broken: {bands}'
+    for name, row in bands['rows'].items():
+        if not row['pass']:
+            print(f'BAND BREACH: {name} {row[\"sec\"]}s > effective {row[\"effective\"]}s'
+                  f' (band {row[\"band\"]}, session factor {bands[\"session_factor\"]})')
+    print(f'bands: {sum(r[\"pass\"] for r in bands[\"rows\"].values())}/{len(bands[\"rows\"])} pass'
+          f' (factor {bands[\"session_factor\"]})')
 print(f'bench OK: total {j[\"value\"]}s over {len(j[\"queries\"])} queries at sf={j[\"sf\"]}')
 "
 echo "GATE PASSED"
