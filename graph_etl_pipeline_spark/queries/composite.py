@@ -753,11 +753,10 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Cross-modal dedup closure (r13) -----------------------------------------
 
 
-def _crossmodal_oracle() -> str:
-    from graph_etl_pipeline_spark.queries.dedup import (
-        _SQL_LSH_PAIRS_BODY,
-        _SQL_SHINGLE_BODY,
-    )
+def _sql_retrained_sempairs_ctes() -> str:
+    """CTE chain for τ-verified semantic pairs under the FULL-corpus
+    (retrained) Lloyd model, ending in CTE ``sempairs`` — shared by
+    _crossmodal_oracle and _retrain_reconciliation_oracle."""
     from graph_etl_pipeline_spark.queries.similarity import (
         LLOYD_ROUNDS,
         SEMDEDUP_TAU_SQ_E4,
@@ -765,10 +764,7 @@ def _crossmodal_oracle() -> str:
         _sql_lloyd_ctes,
     )
 
-    return f"""
-    WITH RECURSIVE {_SQL_SHINGLE_BODY},
-    {_SQL_LSH_PAIRS_BODY},
-    {_sql_lloyd_ctes()},
+    return f"""{_sql_lloyd_ctes()},
     semm AS (SELECT vec_id, cid, qe FROM a{LLOYD_ROUNDS - 1}),
     semp AS (
         SELECT b.vec_id AS lo, a.vec_id AS hi,
@@ -782,7 +778,19 @@ def _crossmodal_oracle() -> str:
         WHERE d > 0
           AND CAST(d AS HUGEINT) * d * 10000
               >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
-    ),
+    )"""
+
+
+def _crossmodal_oracle() -> str:
+    from graph_etl_pipeline_spark.queries.dedup import (
+        _SQL_LSH_PAIRS_BODY,
+        _SQL_SHINGLE_BODY,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    {_sql_retrained_sempairs_ctes()},
     undirected AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -885,20 +893,13 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_BASE_LABELS: dict[tuple, DataFrame] = {}
 
 
-def _incremental_crossmodal_oracle() -> str:
-    """Full-recompute oracle for the incremental cross-modal closure:
-    lexical pairs over the whole corpus (the pair set decomposes exactly
-    across the ingest boundary — per-doc signatures, per-pair verify),
-    semantic pairs under the FROZEN quantizer (Lloyd trained on the
-    standing cohort only, all vectors assigned to the final centroids),
-    one transitive closure over the union. The incremental Spark plan
-    must converge to exactly this from yesterday's persisted artifacts
-    plus today's delta work."""
-    from graph_etl_pipeline_spark.queries.dedup import (
-        INCR_NEW_MOD,
-        _SQL_LSH_PAIRS_BODY,
-        _SQL_SHINGLE_BODY,
-    )
+def _sql_frozen_sempairs_ctes() -> str:
+    """CTE chain for τ-verified semantic pairs under the FROZEN
+    base-cohort quantizer (``i``-prefixed names: Lloyd trained on
+    vec_id % INCR_NEW_MOD != 0 only, ALL vectors assigned to the final
+    centroids), ending in CTE ``isempairs`` — shared by
+    _incremental_crossmodal_oracle and _retrain_reconciliation_oracle."""
+    from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
     from graph_etl_pipeline_spark.queries.similarity import (
         DIM,
         FIXED_SCALE,
@@ -952,10 +953,7 @@ def _incremental_crossmodal_oracle() -> str:
         ) WHERE rn = 1
     )""")
     lloyd = ",\n    ".join(ctes)
-    return f"""
-    WITH RECURSIVE {_SQL_SHINGLE_BODY},
-    {_SQL_LSH_PAIRS_BODY},
-    {lloyd},
+    return f"""{lloyd},
     isemp AS (
         SELECT b.vec_id AS lo, a.vec_id AS hi,
                {_sql_idot("a.qe", "b.qe")} AS d,
@@ -968,7 +966,27 @@ def _incremental_crossmodal_oracle() -> str:
         WHERE d > 0
           AND CAST(d AS HUGEINT) * d * 10000
               >= {SEMDEDUP_TAU_SQ_E4} * CAST(na AS HUGEINT) * nb
-    ),
+    )"""
+
+
+def _incremental_crossmodal_oracle() -> str:
+    """Full-recompute oracle for the incremental cross-modal closure:
+    lexical pairs over the whole corpus (the pair set decomposes exactly
+    across the ingest boundary — per-doc signatures, per-pair verify),
+    semantic pairs under the FROZEN quantizer (Lloyd trained on the
+    standing cohort only, all vectors assigned to the final centroids),
+    one transitive closure over the union. The incremental Spark plan
+    must converge to exactly this from yesterday's persisted artifacts
+    plus today's delta work."""
+    from graph_etl_pipeline_spark.queries.dedup import (
+        _SQL_LSH_PAIRS_BODY,
+        _SQL_SHINGLE_BODY,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    {_sql_frozen_sempairs_ctes()},
     undirected AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -1066,7 +1084,11 @@ def pipeline_incremental_crossmodal(spark: SparkSession, sf_dir: str) -> DataFra
     # makes "read yesterday's labels from storage" true: keyed on the
     # two pair artifacts' files (themselves content-addressed per
     # corpus), it hands back the parquet-scan frame directly.
-    memo_key = tuple(sorted(lex_b.inputFiles() + sem_b.inputFiles()))
+    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        *sorted(lex_b.inputFiles() + sem_b.inputFiles()),
+    )
     base_labels = _INCR_BASE_LABELS.get(memo_key)
     if base_labels is None:
         base_edges = as_edges(lex_b, sem_b)
@@ -1124,4 +1146,123 @@ def pipeline_incremental_crossmodal(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id",
         canon.alias("canonical_id"),
         (canon == F.col("doc_id")).alias("kept"),
+    )
+
+
+# --- Retrain boundary of the incremental family (r15, VERDICT r14 #7) --------
+
+
+def _retrain_reconciliation_oracle() -> str:
+    """Both closures, full-recompute, side by side: the FROZEN one
+    (base-cohort-trained quantizer — pipeline_incremental_crossmodal's
+    model) and the RETRAINED one (full-corpus-trained — the crossmodal
+    composite's model), reconciled per document. The lexical pair CTEs
+    are shared verbatim: shingles and Jaccard verification do not depend
+    on the quantizer, which is exactly why the lexical artifacts survive
+    a retrain while every semantic cell/pair artifact is invalidated."""
+    from graph_etl_pipeline_spark.queries.dedup import (
+        _SQL_LSH_PAIRS_BODY,
+        _SQL_SHINGLE_BODY,
+    )
+
+    def closure(sfx: str, sem_pairs: str) -> str:
+        return f"""undirected{sfx} AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+        UNION ALL SELECT lo AS a, hi AS b FROM {sem_pairs}
+        UNION ALL SELECT hi AS a, lo AS b FROM {sem_pairs}
+    ),
+    nodes{sfx} AS (SELECT DISTINCT a AS node FROM undirected{sfx}),
+    reach{sfx} AS (
+        SELECT node, node AS anc FROM nodes{sfx}
+        UNION
+        SELECT u.b AS node, r.anc
+        FROM reach{sfx} r JOIN undirected{sfx} u ON u.a = r.node
+    ),
+    flags{sfx} AS (
+        SELECT node AS doc_id,
+               MIN(anc) AS canonical_id,
+               (node = MIN(anc)) AS kept
+        FROM reach{sfx} GROUP BY node
+    )"""
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLE_BODY},
+    {_SQL_LSH_PAIRS_BODY},
+    {_sql_frozen_sempairs_ctes()},
+    {_sql_retrained_sempairs_ctes()},
+    {closure("_f", "isempairs")},
+    {closure("_r", "sempairs")}
+    SELECT d.doc_id,
+           COALESCE(ff.kept, TRUE) AS kept_frozen,
+           COALESCE(fr.kept, TRUE) AS kept_retrained,
+           COALESCE(ff.canonical_id, d.doc_id) AS canonical_frozen,
+           COALESCE(fr.canonical_id, d.doc_id) AS canonical_retrained,
+           (COALESCE(ff.kept, TRUE) <> COALESCE(fr.kept, TRUE)
+            OR COALESCE(ff.canonical_id, d.doc_id)
+               <> COALESCE(fr.canonical_id, d.doc_id)) AS changed
+    FROM documents d
+    LEFT JOIN flags_f ff ON ff.doc_id = d.doc_id
+    LEFT JOIN flags_r fr ON fr.doc_id = d.doc_id
+    """
+
+
+@register(
+    "pipeline_crossmodal_retrain",
+    oracle=_retrain_reconciliation_oracle(),
+    tags=("pipeline", "dedup", "incremental", "llm"),
+)
+def pipeline_crossmodal_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN-BOUNDARY RECONCILIATION (VERDICT r14 #7) — the scheduled
+    edge pipeline_incremental_crossmodal's frozen-quantizer contract
+    defers to: production retrains Lloyd on base+batch on a schedule,
+    and at that boundary every semantic cell/pair artifact is
+    INVALIDATED while the lexical artifacts survive (shingles and
+    Jaccard verification never see the quantizer). This operator runs
+    the boundary itself and emits the per-document audit a retrain
+    ships with: keep/canonical under yesterday's frozen model vs under
+    the retrained model, plus the changed flag reviewers diff.
+
+    Mechanics — invalidation is STRUCTURAL, not bookkeeping: artifacts
+    are content-addressed (io.materialize digests the producing plan),
+    so the retrained model's member/pair tables land at NEW addresses
+    the moment the centroid literals change, and yesterday's frozen
+    artifacts remain on disk untouched for the frozen closure to scan.
+    The lexical pair artifacts (full set for the retrained closure,
+    base/delta split for the frozen one) never see the quantizer, so
+    their addresses are IDENTICAL across the boundary — nothing lexical
+    rebuilds (tests/test_r15_operators.py pins disjoint semantic
+    artifact file sets between the two models and unchanged lexical
+    artifact addresses after the retrained model is built).
+
+    Cost at 100 TB: the frozen side is the incremental family's
+    storage-served state (no recompute); the retrained side pays one
+    full semantic rebuild — exactly the once-per-schedule price the
+    docstring contract declares — and REUSES the corpus's lexical pair
+    artifact byte-for-byte; the reconciliation itself is two sparse CC
+    closures plus one corpus-wide join on doc_id.
+
+    Oracle: both full-recompute closure stacks (frozen i-CTEs, the
+    incremental oracle's twin; retrained CTEs, the crossmodal oracle's)
+    over the SHARED lexical pair CTE, reconciled per document."""
+    frozen = pipeline_incremental_crossmodal(spark, sf_dir).select(
+        "doc_id",
+        F.col("kept").alias("kept_frozen"),
+        F.col("canonical_id").alias("canonical_frozen"),
+    )
+    retrained = pipeline_crossmodal_dedup(spark, sf_dir).select(
+        "doc_id",
+        F.col("kept").alias("kept_retrained"),
+        F.col("canonical_id").alias("canonical_retrained"),
+    )
+    return frozen.join(retrained, "doc_id").select(
+        "doc_id",
+        "kept_frozen",
+        "kept_retrained",
+        "canonical_frozen",
+        "canonical_retrained",
+        (
+            (F.col("kept_frozen") != F.col("kept_retrained"))
+            | (F.col("canonical_frozen") != F.col("canonical_retrained"))
+        ).alias("changed"),
     )

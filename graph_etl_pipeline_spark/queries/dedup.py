@@ -1676,7 +1676,10 @@ def _incr_lexical_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     full-recompute pair graph — which is what lets the composite's
     DuckDB oracle recompute from scratch."""
     d = table(spark, sf_dir, "documents", rows_per_task=MINHASH_ROWS_PER_TASK)
-    memo_key = tuple(sorted(d.inputFiles()))
+    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2):
+    # the memoized values are DataFrames bound to a live session — a
+    # stopped-and-recreated SparkSession must miss, not serve dead frames.
+    memo_key = (spark.sparkContext.applicationId, *sorted(d.inputFiles()))
     if memo_key in _INCR_LEX_MEMO:
         return _INCR_LEX_MEMO[memo_key]
     ds = materialize(

@@ -945,7 +945,8 @@ def _incr_semantic_pairs(
     from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
 
     e = table(spark, sf_dir, "embeddings")
-    memo_key = tuple(sorted(e.inputFiles()))
+    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2)
+    memo_key = (spark.sparkContext.applicationId, *sorted(e.inputFiles()))
     if memo_key in _INCR_SEM_MEMO:
         return _INCR_SEM_MEMO[memo_key]
     cents = _lloyd_frozen_base(spark, sf_dir)

@@ -671,9 +671,9 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register(
-    "stream_stateful_session_timeout",
-    oracle=f"""
+# Shared by the per-user and bucketed stateful sessionizers: both must
+# equal the batch gaps-and-islands sessionization exactly.
+_SESSION_TOTALS_ORACLE = f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CAST(round(value * 100) AS BIGINT) AS cents,
@@ -693,7 +693,12 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, MIN(ts) AS session_start,
            COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS session_cents
     FROM sess GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "stream_stateful_session_timeout",
+    oracle=_SESSION_TOTALS_ORACLE,
     tags=("streaming", "stateful", "watermark"),
 )
 def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,6 +768,80 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
         q.awaitTermination()
     # the synthetic advance users' sessions can never be emitted (their
     # deadlines sit past the final watermark); filter is belt-and-braces
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_session_bucketed_state",
+    oracle=_SESSION_TOTALS_ORACLE,
+    tags=("streaming", "stateful", "watermark", "scale"),
+)
+def stream_session_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED-STATE sessionization (r15) — the scale path for the
+    per-user operator above. stream_stateful_session_timeout pays the
+    engine's per-GROUP fixed cost (state Arrow round trip, GroupState
+    construction, one output frame) once per user per micro-batch —
+    ~1.9 ms × 3,002 invocations at sf0.1 (the r15 attribution), and at
+    100 TB/day (100M+ users) hundreds of millions of per-batch state
+    round trips. Here the state key is pmod(user_id, SESSION_BUCKETS):
+    one group per BUCKET holds every open session in packed int64
+    arrays, the fold is one vectorized pass over the bucket's
+    (user, ts)-sorted events, and eviction is a watermark SWEEP over the
+    packed arrays (the bucket's event-time timeout re-arms at the MIN
+    open deadline). Output is identical to the per-user operator —
+    same >= gap splits, same integer cents, same timeout-driven closes —
+    with ~users/B fewer group invocations per batch; B is the
+    state-volume sizing knob (streaming/stateful.py).
+
+    Same 3-batch determinism fixture and the SAME gaps-and-islands
+    oracle as the per-user row; tests additionally pin operator-level
+    output equality between the two plans."""
+    import datetime
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        stage_three_batch_fixture,
+        stream_shuffle_partitions,
+    )
+    from graph_etl_pipeline_spark.streaming.stateful import session_totals_bucketed
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"sessbk_{key}-{os.getpid()}")
+
+    def marker(uid):
+        return [
+            lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
+        ]
+
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+    )
+    schema = _fixture_schema(spark, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    name = fresh_memory_sink_name(spark, "stream_sessbk")
+    with stream_shuffle_partitions(spark):
+        q = (
+            session_totals_bucketed(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the synthetic advance users (-1/-2) park with deadlines past the
+    # final watermark and are never emitted; belt-and-braces filter
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 

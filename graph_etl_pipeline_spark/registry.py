@@ -50,21 +50,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 13
+CORE_ORDER_THROUGH_ROUND = 14
 CORE_ORDER = [
-    "pipeline_incremental_crossmodal",
-    "stream_partitioned_sink_merge",
-    "agg_chi2_drift",
-    "pipeline_entity_resolution",
-    "dedup_minhash_lsh",
-    "dedup_cluster_keep",
-    "pipeline_minhash_verified_dedup",
-    "dedup_incremental_lsh",
-    "text_token_drift",
-    "dedup_semdedup_clusters",
-    "pipeline_semdedup_apply",
+    "pipeline_crossmodal_retrain",
+    "stream_session_bucketed_state",
     "pipeline_crossmodal_dedup",
+    "pipeline_incremental_crossmodal",
     "stream_stateful_session_timeout",
+    "stream_partitioned_sink_merge",
     "join_four_hop_chain",
     "src_csv_scan",
     "sink_upsert_node",
@@ -76,32 +69,39 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "scd2_history",
-    "set_union",
-    "sim_kmeans_assign",
-    "sim_kmeans_iterate",
-    "sink_partitioned_prune",
-    "src_xlsx_scan",
-    "text_chunk_overlap",
-    "text_pack_sequences",
-    "text_pii_scrub",
-    "text_tfidf_topk",
-    "win_funnel_conversion",
-    "win_gapfill_hourly",
-    "win_retention_cohorts",
-    "win_session_batch",
-    "win_sliding_hourly",
-    "win_tumbling_hourly",
-    "agg_exact_median",
-    "agg_group_mode",
-    "agg_hll_mergeable",
-    "agg_kmv_distinct_intersection",
-    "cdc_apply_changefeed",
-    "dedup_ngram_spans",
-    "dedup_prefix_containment",
-    "embed_pca_power",
-    "explode_split_targets",
-    "graph_kcore_bounded",
+    "graph_label_propagation",
+    "graph_sssp_bounded",
+    "join_bloom_prefilter",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_salted_skew",
+    "mm_image_resize",
+    "mm_video_scene_cut",
+    "pipeline_multimodal_curation",
+    "sim_ann_ivf_trained",
+    "sink_zorder_write",
+    "src_docx_scan",
+    "src_orc_scan",
+    "text_bigram_lm_score",
+    "text_line_dedup",
+    "text_ngram_novelty",
+    "win_ewma_by_user",
+    "win_ohlc_resample",
+    "win_running_distinct",
+    "agg_bitmap_exact_distinct",
+    "agg_countmin_contract",
+    "agg_gini_concentration",
+    "agg_linear_trend",
+    "agg_markov_transitions",
+    "dedup_lsh_recall_contract",
+    "dedup_shingle_containment",
+    "embed_jl_projection",
+    "embed_pq_codes",
+    "embed_sign_hamming_topk",
+    "graph_assortativity",
+    "graph_hits",
+    "graph_modularity",
+    "graph_random_walks",
 ]
 # --- END GENERATED WINDOW ---
 

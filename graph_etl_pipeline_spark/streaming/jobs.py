@@ -452,6 +452,39 @@ def stage_three_batch_fixture(
     return src
 
 
+# Spark writes NULL (and empty-string) partition values under this
+# directory name — see Spark's ExternalCatalogUtils.DEFAULT_PARTITION_NAME.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# Characters Spark escapes in partition DIRECTORY names (port of the
+# public ExternalCatalogUtils.charToEscape set: ASCII control chars
+# 0x01-0x1F, 0x7F, and the listed specials). A raw f"{col}={value}"
+# lookup silently misses the on-disk dir for any such value — prev state
+# resolves to None and the partition's accumulated state would reset to
+# the current batch (ADVICE r14 #1, silent data loss).
+_PART_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^')
+
+
+def escape_partition_value(value) -> str:
+    """Directory-name rendering of one partition VALUE, matching what
+    ``DataFrameWriter.partitionBy`` writes: NULL and '' become
+    ``__HIVE_DEFAULT_PARTITION__``; escapable characters become %XX
+    (uppercase hex), everything else passes through.
+
+    Scope: exact for string values and for integral values (whose str()
+    matches Spark's rendering). Types whose string form differs between
+    Python and Spark (bool, float, date/timestamp) must be cast to
+    string in ``prepare`` — ``partitioned_incremental_merge`` asserts
+    this on the prepared schema."""
+    if value is None or value == "":
+        return HIVE_DEFAULT_PARTITION
+    return "".join(
+        "%%%02X" % o if ((o := ord(ch)) <= 0x1F and o >= 0x01) or o == 0x7F
+        or ch in _PART_ESCAPE_CHARS else ch
+        for ch in str(value)
+    )
+
+
 def partitioned_incremental_merge(
     stream: DataFrame,
     partition_col: str,
@@ -540,9 +573,19 @@ def partitioned_incremental_merge(
         for v in _state_versions(target):
             if v < batch_id and v not in live:
                 shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
-        prepared = prepare(batch_df)
+        # localCheckpoint: `prepared` is consumed twice (touched-partition
+        # metadata below + the merge write) — eager checkpointing runs
+        # the batch transformation once instead of twice per micro-batch
+        # (VERDICT r14 #8).
+        prepared = prepare(batch_df).localCheckpoint(eager=True)
+        ptype = dict(prepared.dtypes)[partition_col]
+        assert ptype in ("string", "int", "bigint", "smallint", "tinyint"), (
+            f"partition column {partition_col} has type {ptype}; cast it to "
+            "string in prepare() — escape_partition_value only matches "
+            "Spark's directory rendering for string/integral values"
+        )
         touched = {
-            f"{partition_col}={r[partition_col]}"
+            f"{partition_col}={escape_partition_value(r[partition_col])}"
             for r in prepared.select(partition_col).distinct().collect()
         }
         prev = _read_parts(committed, want=touched)

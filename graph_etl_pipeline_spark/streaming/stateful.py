@@ -199,3 +199,203 @@ def session_totals_with_timeout(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- Bucketed-state sessionizer (r15) ----------------------------------------
+#
+# The SCALE path for applyInPandasWithState sessionization. The per-user
+# operator above pays the engine's per-GROUP fixed cost (state Arrow
+# round trip, GroupState construction, one output frame) for every user
+# every micro-batch — measured r15 at ~1.9 ms/invocation × 3,002
+# invocations at sf0.1, i.e. the dominant Python-side cost, and at 100 TB
+# (100M+ users/day) the difference between thousands and hundreds of
+# millions of per-batch state round trips. Bucketing the STATE KEY to
+# pmod(user_id, B) amortizes that fixed cost across ~(users/B) users per
+# group while keeping per-user session semantics exactly: the per-bucket
+# state packs each open session into parallel int64 arrays, the fold is
+# one vectorized pass over the bucket's (user, ts)-sorted events, and
+# eviction sweeps the packed arrays against the event-time watermark.
+# B is the state-volume knob production sizes (keys × bytes ÷ target
+# store size) — the same rule stream_shuffle_partitions documents.
+
+SESSION_BUCKETS = 64
+_BUCKET_STATE_SCHEMA = (
+    "users array<bigint>, starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>, cents array<bigint>"
+)
+
+
+def _update_bucket_sessions(key, pdfs, state: GroupState):
+    """Vectorized multi-user sessionization for one user bucket.
+
+    Differences from the per-user operator, both forced by bucketing:
+
+      * EVICTION IS A SWEEP, not whole-state removal: the bucket's
+        registered event-time timeout is min(open deadlines); on ANY
+        invocation (timeout or data) every user whose deadline passed
+        the current watermark is closed and dropped, because a bucket
+        that received data gets no separate timeout invocation for its
+        other users that batch;
+      * the timeout re-arms at the MIN remaining deadline, so the engine
+        wakes the bucket exactly when its earliest open session expires.
+
+    Session semantics (>= gap splits, integer cents, carried open
+    sessions merge with a continuing first segment) are identical to
+    ``_update_sessions`` — tests pin output equality between the two
+    operators and against the batch gaps-and-islands oracle."""
+    import numpy as np
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        su, ss, sl, sn, sc = (np.asarray(v, dtype=np.int64) for v in state.get)
+    else:
+        su = ss = sl = sn = sc = np.empty(0, dtype=np.int64)
+
+    emit_u: list = []
+    emit_s: list = []
+    emit_n: list = []
+    emit_c: list = []
+
+    if not state.hasTimedOut:
+        us_parts, cent_parts, uid_parts, eid_parts = [], [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)
+            cent_parts.append(
+                (pdf["value"] * 100).round().astype("int64").to_numpy()
+            )
+            uid_parts.append(pdf["user_id"].to_numpy().astype(np.int64))
+            eid_parts.append(pdf["event_id"].to_numpy())
+        if us_parts:
+            us = np.concatenate(us_parts)
+            cent = np.concatenate(cent_parts)
+            uid = np.concatenate(uid_parts)
+            eid = np.concatenate(eid_parts)
+            order = np.lexsort((eid, us, uid))
+            uid, us, cent = uid[order], us[order], cent[order]
+
+            first = np.empty(len(uid), dtype=bool)
+            first[0] = True
+            np.not_equal(uid[1:], uid[:-1], out=first[1:])
+            brk = np.empty(len(uid), dtype=bool)
+            brk[0] = True
+            np.greater_equal(us[1:] - us[:-1], gap_us, out=brk[1:])
+
+            idxf = np.flatnonzero(first)
+            batch_users = uid[idxf]
+            if len(su):
+                pos = np.searchsorted(su, batch_users)
+                pos_c = np.minimum(pos, len(su) - 1)
+                has_carry = su[pos_c] == batch_users
+                cont = has_carry & (us[idxf] - sl[pos_c] < gap_us)
+            else:
+                pos_c = np.zeros(len(idxf), dtype=np.int64)
+                has_carry = np.zeros(len(idxf), dtype=bool)
+                cont = has_carry
+            closed_carry = has_carry & ~cont
+            if closed_carry.any():
+                ci = pos_c[closed_carry]
+                emit_u.append(su[ci])
+                emit_s.append(ss[ci])
+                emit_n.append(sn[ci])
+                emit_c.append(sc[ci])
+
+            seg = brk.copy()
+            seg[idxf] = True  # every user's first row starts a segment
+            bounds = np.flatnonzero(seg)
+            counts = np.diff(np.append(bounds, len(uid)))
+            sums = np.add.reduceat(cent, bounds)
+            starts = us[bounds].copy()
+            seg_uid = uid[bounds]
+            seg_last = us[np.append(bounds[1:], len(uid)) - 1]
+
+            # merge carried open sessions into continuing first segments
+            if cont.any():
+                m = np.searchsorted(bounds, idxf[cont])  # exact positions
+                ci = pos_c[cont]
+                starts[m] = ss[ci]
+                counts[m] += sn[ci]
+                sums[m] += sc[ci]
+
+            # all but each user's LAST segment close in-batch
+            seg_is_last = np.empty(len(seg_uid), dtype=bool)
+            seg_is_last[-1] = True
+            np.not_equal(seg_uid[:-1], seg_uid[1:], out=seg_is_last[:-1])
+            closed = ~seg_is_last
+            if closed.any():
+                emit_u.append(seg_uid[closed])
+                emit_s.append(starts[closed])
+                emit_n.append(counts[closed])
+                emit_c.append(sums[closed])
+
+            # new open set: untouched carried users + per-user trailing
+            # segments, re-sorted by user for the next searchsorted
+            keep = (
+                ~np.isin(su, batch_users)
+                if len(su)
+                else np.zeros(0, dtype=bool)
+            )
+            su = np.concatenate([su[keep], seg_uid[seg_is_last]])
+            ss = np.concatenate([ss[keep], starts[seg_is_last]])
+            sl = np.concatenate([sl[keep], seg_last[seg_is_last]])
+            sn = np.concatenate([sn[keep], counts[seg_is_last]])
+            sc = np.concatenate([sc[keep], sums[seg_is_last]])
+            o = np.argsort(su, kind="stable")
+            su, ss, sl, sn, sc = su[o], ss[o], sl[o], sn[o], sc[o]
+
+    # watermark sweep — strict <, mirroring the engine's own event-time
+    # timeout condition (fires when timeoutTimestamp < watermark); on
+    # batch 0 the watermark is 0 and nothing sweeps
+    if len(su):
+        expired = (sl + gap_us) < wm_us
+        if expired.any():
+            emit_u.append(su[expired])
+            emit_s.append(ss[expired])
+            emit_n.append(sn[expired])
+            emit_c.append(sc[expired])
+            live = ~expired
+            su, ss, sl, sn, sc = su[live], ss[live], sl[live], sn[live], sc[live]
+
+    if len(su):
+        state.update(
+            (su.tolist(), ss.tolist(), sl.tolist(), sn.tolist(), sc.tolist())
+        )
+        state.setTimeoutTimestamp(int((sl + gap_us).min()) // 1000)
+    elif state.exists:
+        state.remove()
+
+    if emit_u:
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": np.concatenate(emit_u),
+                "session_start": np.concatenate(emit_s).view("M8[us]"),
+                "n_events": np.concatenate(emit_n),
+                "session_cents": np.concatenate(emit_c),
+            },
+            copy=False,
+        )
+
+
+def session_totals_bucketed(stream: DataFrame, buckets: int = SESSION_BUCKETS) -> DataFrame:
+    """Per-user sessions with BUCKETED state keys — identical output to
+    ``session_totals_with_timeout``, per-group overhead amortized across
+    ~(users/buckets) users. Requires a watermark on ``ts``."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(buckets)))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _update_bucket_sessions,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

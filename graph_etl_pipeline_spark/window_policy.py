@@ -57,33 +57,24 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r14: the two
-# chi-square drift monitors changed their OUTPUT CONTRACT (chi2_num →
-# unsquared chi2_absdiff, ADVICE r13 #4); the stateful sessionizer
-# gained the all-empty-batch guard (ADVICE r13 #1); the LSH pair plan
-# was refactored onto the shared _band_unpivoted/_jaccard_verify
-# helpers and the semantic τ test onto _tau_verified (plan-identical
-# extractions, but the bodies changed — re-earn on principle), which
-# touches every consumer of either pair artifact;
-# pipeline_entity_resolution re-earns its r13 path change that was
-# missing from the r13 set (ADVICE r13 #3: connected_components now
-# eagerly localCheckpoints the undirected edge view).
-# Infra-only edits NOT listed per query: io.materialize's lambda-var
-# canonicalization scoping (ADVICE r13 #2 — digest-key hygiene; results
-# identical by construction, covered by the listed artifact consumers +
-# local parity every round) and bench.py's host-load line.
+# row — they must re-earn one (tier 2). Reset each round. r15:
+# the stateful sessionizer's output-frame constructor switched to the
+# zero-copy int64→M8[us] view (stateful.py — hash-identical results,
+# re-earn on principle); partitioned_incremental_merge gained Spark-
+# parity partition-name escaping + null handling and an eager
+# localCheckpoint of the prepared batch (ADVICE r14 #1, VERDICT r14
+# #8); the three incremental memos now key on applicationId (ADVICE
+# r14 #2 — pipeline_incremental_crossmodal is the consumer of all
+# three); pipeline_crossmodal_dedup's oracle BUILDER was restructured
+# onto the shared _sql_retrained_sempairs_ctes helper (output string
+# byte-identical, asserted at refactor time — re-earn on principle).
+# Infra-only edits NOT listed per query: bench.py print order /
+# bands.json adjudication / host-sample sentinel (no query results).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
-    "text_token_drift",
-    "agg_chi2_drift",
     "stream_stateful_session_timeout",
-    "dedup_minhash_lsh",
-    "dedup_cluster_keep",
-    "pipeline_minhash_verified_dedup",
-    "dedup_incremental_lsh",
-    "dedup_semdedup_clusters",
-    "pipeline_semdedup_apply",
+    "stream_partitioned_sink_merge",
+    "pipeline_incremental_crossmodal",
     "pipeline_crossmodal_dedup",
-    "pipeline_entity_resolution",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every

@@ -128,6 +128,8 @@ QUERIES = [
     "dq_profile_drift",           # Expand-aggregate conditional distincts + ppm div (r13)
     "pipeline_incremental_crossmodal",  # contracted-label CC update == full recompute (r14)
     "stream_partitioned_sink_merge",  # versioned partition-pruned merge, split-invariant (r14)
+    "pipeline_crossmodal_retrain",  # frozen vs retrained closures reconciled per doc (r15)
+    "stream_session_bucketed_state",  # packed-array bucket state vs gaps-and-islands oracle (r15)
 ]
 
 _SCRIPT = f"""

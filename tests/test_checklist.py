@@ -110,6 +110,7 @@ R10_EMPTY_EXEMPT = frozenset({
     "pipeline_semdedup_apply",
     "pipeline_crossmodal_dedup",
     "pipeline_incremental_crossmodal",
+    "pipeline_crossmodal_retrain",
     # shares the interaction_edges chain-derivation path with the rest of
     # the graph family (graph_triangle_count et al., exempt pre-r10): the
     # empty-events width probe is exercised by the enrolled family tests
@@ -161,6 +162,7 @@ EMPTY_EXEMPT = R10_EMPTY_EXEMPT | frozenset({
     "src_orc_scan", "src_pdf_scan", "src_xlsx_scan", "stream_dedup_keys",
     "stream_dedup_within_watermark", "stream_full_join_timeout", "stream_incremental_upsert",
     "stream_interval_join", "stream_left_join_timeout", "stream_session_window",
+    "stream_session_bucketed_state",
     "stream_sliding_hourly", "stream_stateful_running", "stream_stateful_session_timeout",
     "stream_tumbling_hourly", "stream_watermark_late", "text_bigram_lm_score",
     "text_chunk_overlap", "text_decontaminate", "text_dedup_span_rewrite",
@@ -198,7 +200,8 @@ BENCH_EXEMPT = frozenset({
     "join_broadcast_inner", "join_consistency_antijoin", "join_interval_overlap",
     "join_left_anti", "join_left_semi", "join_time_range", "mm_audio_vad_segments",
     "mm_frame_sample", "mm_image_ahash_dedup", "mm_image_decode", "mm_metadata_struct",
-    "mm_video_scene_cut", "pipeline_corpus_curation", "pipeline_incremental_ingest",
+    "mm_video_scene_cut", "pipeline_corpus_curation", "pipeline_crossmodal_retrain",
+    "pipeline_incremental_ingest",
     "pipeline_training_dataset", "privacy_dp_counts", "privacy_kanonymity_audit",
     "privacy_l_diversity_audit", "profile_table_stats", "proj_select_alias",
     "sample_domain_mix", "sample_inbatch_negatives", "sample_reservoir_bottomk",
