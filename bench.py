@@ -228,8 +228,11 @@ def _adjudicate_bands(
     denom = float(spec.get("session_factor_denominator_sec", 12.0))
     factor = max(1.0, total / denom) if denom > 0 else 1.0
     rows = {}
+    unmatched = []  # band names absent from this run's timings: a typo'd
+    # or renamed band must surface loudly, not vanish from adjudication
     for name, band in spec.get("bands_sec", {}).items():
         if name not in all_timings:
+            unmatched.append(name)
             continue
         t = all_timings[name]
         eff = round(band * factor, 3)
@@ -243,7 +246,9 @@ def _adjudicate_bands(
         "metric": "bands_adjudication",
         "session_factor": round(factor, 3),
         "rows": rows,
-        "all_pass": all(r["pass"] for r in rows.values()),
+        "unmatched": unmatched,
+        "all_pass": bool(rows) and not unmatched
+        and all(r["pass"] for r in rows.values()),
         "sf": sf_val,
     }
 

@@ -1084,11 +1084,13 @@ def pipeline_incremental_crossmodal(spark: SparkSession, sf_dir: str) -> DataFra
     # makes "read yesterday's labels from storage" true: keyed on the
     # two pair artifacts' files (themselves content-addressed per
     # corpus), it hands back the parquet-scan frame directly.
-    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2)
-    memo_key = (
-        spark.sparkContext.applicationId,
-        *sorted(lex_b.inputFiles() + sem_b.inputFiles()),
-    )
+    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2);
+    # dead-session entries evicted on sight (they pin full DataFrame
+    # lineage, unlike _HOT_PROBE's bools)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _INCR_BASE_LABELS if k[0] != app]:
+        del _INCR_BASE_LABELS[stale]
+    memo_key = (app, *sorted(lex_b.inputFiles() + sem_b.inputFiles()))
     base_labels = _INCR_BASE_LABELS.get(memo_key)
     if base_labels is None:
         base_edges = as_edges(lex_b, sem_b)

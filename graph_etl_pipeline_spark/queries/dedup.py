@@ -1679,7 +1679,13 @@ def _incr_lexical_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2):
     # the memoized values are DataFrames bound to a live session — a
     # stopped-and-recreated SparkSession must miss, not serve dead frames.
-    memo_key = (spark.sparkContext.applicationId, *sorted(d.inputFiles()))
+    # Entries from OTHER applicationIds are evicted on sight: they are
+    # dead-session DataFrames pinning full lineage, and unlike
+    # _HOT_PROBE's plain bools they must not accumulate.
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _INCR_LEX_MEMO if k[0] != app]:
+        del _INCR_LEX_MEMO[stale]
+    memo_key = (app, *sorted(d.inputFiles()))
     if memo_key in _INCR_LEX_MEMO:
         return _INCR_LEX_MEMO[memo_key]
     ds = materialize(

@@ -945,8 +945,13 @@ def _incr_semantic_pairs(
     from graph_etl_pipeline_spark.queries.dedup import INCR_NEW_MOD
 
     e = table(spark, sf_dir, "embeddings")
-    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2)
-    memo_key = (spark.sparkContext.applicationId, *sorted(e.inputFiles()))
+    # applicationId in the key (the _HOT_PROBE precedent, ADVICE r14 #2);
+    # dead-session entries evicted on sight (they pin full DataFrame
+    # lineage, unlike _HOT_PROBE's bools)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _INCR_SEM_MEMO if k[0] != app]:
+        del _INCR_SEM_MEMO[stale]
+    memo_key = (app, *sorted(e.inputFiles()))
     if memo_key in _INCR_SEM_MEMO:
         return _INCR_SEM_MEMO[memo_key]
     cents = _lloyd_frozen_base(spark, sf_dir)

@@ -671,6 +671,63 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _run_session_fixture(spark, sf_dir, root_prefix, sink_prefix, operator):
+    """Shared 3-batch determinism fixture for the stateful sessionizers
+    (per-user and bucketed): the whole events table, then one advance
+    row per following batch at tmax + 2h (their own sessions park with
+    deadlines past the final watermark, never emitted), pushing the
+    final watermark to tmax + 1h — past every real session's deadline,
+    so EVERY session is emitted and the output must equal the batch
+    gaps-and-islands sessionization. One copy so the two operators'
+    pinned output-equality contract cannot drift on fixture details."""
+    import datetime
+    import hashlib
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+    from graph_etl_pipeline_spark.streaming.jobs import (
+        stage_three_batch_fixture,
+        stream_shuffle_partitions,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(SCRATCH_DIR, f"{root_prefix}_{key}-{os.getpid()}")
+
+    def marker(uid):
+        return [
+            lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
+        ]
+
+    src = stage_three_batch_fixture(
+        spark,
+        sf_dir,
+        root,
+        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+    )
+    schema = _fixture_schema(spark, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    name = fresh_memory_sink_name(spark, sink_prefix)
+    with stream_shuffle_partitions(spark):
+        q = (
+            operator(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the synthetic advance users' sessions can never be emitted (their
+    # deadlines sit past the final watermark); filter is belt-and-braces
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 # Shared by the per-user and bucketed stateful sessionizers: both must
 # equal the batch gaps-and-islands sessionization exactly.
 _SESSION_TOTALS_ORACLE = f"""
@@ -721,54 +778,13 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     and the output must equal the full batch sessionization (streaming
     >= gap split semantics, integer-cents sums). Oracle: the
     gaps-and-islands twin."""
-    import datetime
-    import hashlib
-    import os
-
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR
-    from graph_etl_pipeline_spark.streaming.jobs import stage_three_batch_fixture
     from graph_etl_pipeline_spark.streaming.stateful import (
         session_totals_with_timeout,
     )
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(SCRATCH_DIR, f"sessto_{key}-{os.getpid()}")
-
-    def marker(uid):
-        return [
-            lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
-        ]
-
-    src = stage_three_batch_fixture(
-        spark,
-        sf_dir,
-        root,
-        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+    return _run_session_fixture(
+        spark, sf_dir, "sessto", "stream_sessto", session_totals_with_timeout
     )
-    schema = _fixture_schema(spark, src)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select("event_id", "user_id", "ts", "value")
-    )
-    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
-
-    name = fresh_memory_sink_name(spark, "stream_sessto")
-    with stream_shuffle_partitions(spark):
-        q = (
-            session_totals_with_timeout(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # the synthetic advance users' sessions can never be emitted (their
-    # deadlines sit past the final watermark); filter is belt-and-braces
-    return spark.table(name).filter(F.col("user_id") >= 0)
 
 
 @register(
@@ -794,55 +810,14 @@ def stream_session_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame
     state-volume sizing knob (streaming/stateful.py).
 
     Same 3-batch determinism fixture and the SAME gaps-and-islands
-    oracle as the per-user row; tests additionally pin operator-level
-    output equality between the two plans."""
-    import datetime
-    import hashlib
-    import os
-
-    from graph_etl_pipeline_spark.io import SCRATCH_DIR
-    from graph_etl_pipeline_spark.streaming.jobs import (
-        stage_three_batch_fixture,
-        stream_shuffle_partitions,
-    )
+    oracle as the per-user row (one shared staging/run helper, so the
+    fixture cannot drift between the two); tests additionally pin
+    operator-level output equality between the two plans."""
     from graph_etl_pipeline_spark.streaming.stateful import session_totals_bucketed
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(SCRATCH_DIR, f"sessbk_{key}-{os.getpid()}")
-
-    def marker(uid):
-        return [
-            lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
-        ]
-
-    src = stage_three_batch_fixture(
-        spark,
-        sf_dir,
-        root,
-        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+    return _run_session_fixture(
+        spark, sf_dir, "sessbk", "stream_sessbk", session_totals_bucketed
     )
-    schema = _fixture_schema(spark, src)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select("event_id", "user_id", "ts", "value")
-    )
-    name = fresh_memory_sink_name(spark, "stream_sessbk")
-    with stream_shuffle_partitions(spark):
-        q = (
-            session_totals_bucketed(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # the synthetic advance users (-1/-2) park with deadlines past the
-    # final watermark and are never emitted; belt-and-braces filter
-    return spark.table(name).filter(F.col("user_id") >= 0)
 
 
 @register(

@@ -578,12 +578,18 @@ def partitioned_incremental_merge(
         # the batch transformation once instead of twice per micro-batch
         # (VERDICT r14 #8).
         prepared = prepare(batch_df).localCheckpoint(eager=True)
+        # hard error, not assert: python -O must not strip the guard that
+        # keeps escape_partition_value's rendering contract sound — a
+        # bool/float/date column whose str() differs from Spark's
+        # rendering would silently reopen the prev-state-miss data loss
         ptype = dict(prepared.dtypes)[partition_col]
-        assert ptype in ("string", "int", "bigint", "smallint", "tinyint"), (
-            f"partition column {partition_col} has type {ptype}; cast it to "
-            "string in prepare() — escape_partition_value only matches "
-            "Spark's directory rendering for string/integral values"
-        )
+        if ptype not in ("string", "int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"partition column {partition_col} has type {ptype}; cast it "
+                "to string in prepare() — escape_partition_value only "
+                "matches Spark's directory rendering for string/integral "
+                "values"
+            )
         touched = {
             f"{partition_col}={escape_partition_value(r[partition_col])}"
             for r in prepared.select(partition_col).distinct().collect()

@@ -117,7 +117,17 @@ def _update_sessions(key, pdfs, state: GroupState):
     counts/sums from ``np.add.reduceat`` over the boundary index — no
     per-row Python loop, so a group costs O(sort) numpy time plus a
     constant, identical output to the scalar fold it replaced
-    (tests/test_streaming.py pins batch-split/replay equivalence)."""
+    (tests/test_streaming.py pins batch-split/replay equivalence).
+
+    ORDERING CONTRACT (r15): disorder WITHIN a batch is handled exactly
+    (the fold sorts). Across batches, a late event that still merges
+    into the carried open session folds aggregate-wise (min start / max
+    last); but a session already emitted — the operator emits an
+    in-batch-gap-proved session immediately, trading session_window's
+    watermark-delayed emission for latency — cannot be re-opened or
+    bridged by later-arriving data. Ingest that cannot bound cross-batch
+    disorder per user should use the watermark-delayed variant
+    (stream_session_window / win_session_batch semantics) instead."""
     import numpy as np
 
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
@@ -164,7 +174,10 @@ def _update_sessions(key, pdfs, state: GroupState):
     sums = np.add.reduceat(cent, bounds)
     starts = us[bounds].copy()
     if carried is not None and not brk[0]:
-        starts[0] = carried[0]
+        # min/max folds (not overwrites) so a cross-batch late event
+        # cannot regress the session's start or its stored last-event
+        # time (the ordering contract above) — no-ops on ordered input
+        starts[0] = min(int(carried[0]), int(starts[0]))
         counts[0] += carried[2]
         sums[0] += carried[3]
 
@@ -175,8 +188,13 @@ def _update_sessions(key, pdfs, state: GroupState):
         emit_ns = np.concatenate(([carried[2]], emit_ns))
         emit_cents = np.concatenate(([carried[3]], emit_cents))
 
-    last_us = us[-1]
-    state.update((int(starts[-1]), int(last_us), int(counts[-1]), int(sums[-1])))
+    last_us = int(us[-1])
+    if carried is not None and not brk[0] and len(bounds) == 1:
+        # the trailing open segment IS the continuation: keep the max
+        # last-event time so a late batch cannot pull the gap horizon
+        # backwards (ordering contract)
+        last_us = max(last_us, int(carried[1]))
+    state.update((int(starts[-1]), last_us, int(counts[-1]), int(sums[-1])))
     # event-time timeout: fire when the watermark passes last event + gap
     state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
     if len(emit_ns):
@@ -313,10 +331,16 @@ def _update_bucket_sessions(key, pdfs, state: GroupState):
             seg_last = us[np.append(bounds[1:], len(uid)) - 1]
 
             # merge carried open sessions into continuing first segments
+            # — min start / max last folds, not overwrites, so a
+            # cross-batch late event cannot regress the session start or
+            # pull the gap horizon backwards (the ordering contract in
+            # _update_sessions' docstring applies here identically;
+            # no-ops on ordered input)
             if cont.any():
                 m = np.searchsorted(bounds, idxf[cont])  # exact positions
                 ci = pos_c[cont]
-                starts[m] = ss[ci]
+                starts[m] = np.minimum(ss[ci], starts[m])
+                seg_last[m] = np.maximum(seg_last[m], sl[ci])
                 counts[m] += sn[ci]
                 sums[m] += sc[ci]
 

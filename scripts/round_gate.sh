@@ -59,6 +59,9 @@ if bands.get('skipped'):
     print(f'bands: {bands[\"skipped\"]}')
 else:
     assert 'rows' in bands, f'bands adjudication missing/broken: {bands}'
+    assert bands['rows'], 'bands adjudication matched zero timed rows'
+    assert not bands.get('unmatched'), (
+        f'bands.json names not timed this run (typo/rename?): {bands[\"unmatched\"]}')
     for name, row in bands['rows'].items():
         if not row['pass']:
             print(f'BAND BREACH: {name} {row[\"sec\"]}s > effective {row[\"effective\"]}s'

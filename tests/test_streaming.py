@@ -996,3 +996,78 @@ def test_bucketed_sessionizer_sweeps_expired_users_on_data_invocation(
     # user 65's t0 session closes in-batch at batch 1 (3h gap proof).
     got = sorted((r.user_id, r.session_start, r.n_events, r.session_cents) for r in rows)
     assert got == [(1, t0, 1, 100), (65, t0, 1, 200)]
+
+
+class _FakeGroupState:
+    """Duck-typed GroupState for driving the sessionizer functions
+    directly — the engine-independent way to exercise paths the pinned
+    fixtures (sorted batch 0) can never reach."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self._timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_sessionizers_tolerate_cross_batch_late_merge():
+    """ORDERING CONTRACT (r15): an in-watermark event arriving one batch
+    AFTER a same-session successor must fold aggregate-wise — min start,
+    max stored last-event time — not overwrite them. Before the fix a
+    late merge kept the carried start and regressed the stored last to
+    the (earlier) batch tail, so a following event at last+gap-ε would
+    spuriously split the session. Both operators, driven directly."""
+    import pandas as pd
+
+    from graph_etl_pipeline_spark.streaming.stateful import (
+        _update_bucket_sessions,
+        _update_sessions,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+
+    def pdf(rows):  # (event_id, ts_offset_min, value)
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [1] * len(rows),
+                "ts": [t0 + pd.Timedelta(minutes=r[1]) for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    t0_us = t0.value // 1000
+    t10_us = (t0 + pd.Timedelta(minutes=10)).value // 1000
+
+    st = _FakeGroupState()
+    assert list(_update_sessions((1,), [pdf([(1, 10, 1.0)])], st)) == []
+    assert list(_update_sessions((1,), [pdf([(2, 0, 2.0)])], st)) == []
+    start_us, last_us, n, cents = st.get
+    assert (start_us, last_us, n, cents) == (t0_us, t10_us, 2, 300)
+
+    st = _FakeGroupState()
+    assert list(_update_bucket_sessions((1,), [pdf([(1, 10, 1.0)])], st)) == []
+    assert list(_update_bucket_sessions((1,), [pdf([(2, 0, 2.0)])], st)) == []
+    su, ss, sl, sn, sc = st.get
+    assert (list(su), list(ss), list(sl), list(sn), list(sc)) == (
+        [1], [t0_us], [t10_us], [2], [300]
+    )
