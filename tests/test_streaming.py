@@ -1071,3 +1071,33 @@ def test_sessionizers_tolerate_cross_batch_late_merge():
     assert (list(su), list(ss), list(sl), list(sn), list(sc)) == (
         [1], [t0_us], [t10_us], [2], [300]
     )
+
+
+def test_bucketed_sessionizer_bucket_count_invariance(spark, sf_dir):
+    """B is a pure state-volume sizing knob (the docstring's claim, now
+    pinned): changing the bucket count must not change a single output
+    row — sessions are per-user facts; buckets only decide which group
+    folds them. B=3 forces heavy user-co-residency (hundreds of users
+    per bucket at sf0.001) and exercises the packed-array paths far
+    harder than B=64."""
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        _run_session_fixture,
+    )
+    from graph_etl_pipeline_spark.streaming.stateful import (
+        session_totals_bucketed,
+    )
+
+    def run(b, tag):
+        return sorted(
+            tuple(r)
+            for r in _run_session_fixture(
+                spark,
+                sf_dir,
+                f"sessbk{b}",
+                f"bk_inv_{tag}",
+                lambda s: session_totals_bucketed(s, buckets=b),
+            ).collect()
+        )
+
+    a, b = run(3, "b3"), run(64, "b64")
+    assert a and a == b
