@@ -827,3 +827,102 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("class_quota"))
         .select("doc_id", "lang", "rnk", F.col("class_quota").cast("long").alias("class_quota"))
     )
+
+
+# --- Preference-pair construction (RLHF/DPO data shape, r15) ------------------
+
+PREF_PAIRS_K = 3  # pairs per group: rank-i best with rank-i worst
+
+
+@register(
+    "sample_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents DESC, event_id) AS rtop,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents ASC, event_id) AS rbot,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    tops AS (
+        SELECT user_id, rtop AS rank, event_id AS chosen_id, cents AS c
+        FROM scored WHERE rtop <= {PREF_PAIRS_K} AND n >= {2 * PREF_PAIRS_K}
+    ),
+    bots AS (
+        SELECT user_id, rbot AS rank, event_id AS rejected_id, cents AS r
+        FROM scored WHERE rbot <= {PREF_PAIRS_K} AND n >= {2 * PREF_PAIRS_K}
+    )
+    SELECT t.user_id, t.rank, chosen_id, rejected_id,
+           CAST(c - r AS BIGINT) AS margin_cents
+    FROM tops t JOIN bots b ON t.user_id = b.user_id AND t.rank = b.rank
+    WHERE c > r
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR construction — the RLHF/DPO training-data shape:
+    within each group (user as the prompt-group stand-in, integer-cent
+    value as the reward), pair the rank-i BEST response with the rank-i
+    WORST ({PREF_PAIRS_K} pairs per group), keep only positive-margin
+    pairs, and emit (chosen, rejected, margin). Best-vs-worst pairing
+    maximizes the reward gap the preference loss trains on; groups with
+    fewer than 2K events are skipped so the two rank windows cannot
+    overlap and a response never appears on both sides of one pair.
+
+    Plan shape at 100 TB: all three window functions (two row_numbers +
+    the group count) share ONE hash exchange on user_id — the sorts
+    differ but the partitioning is identical, so the corpus shuffles
+    once; the rank-aligned self-join then carries only 2·K rows per
+    eligible group (never the corpus), joined on (user_id, rank).
+    Determinism: rewards are exact integer cents and every ordering tie
+    breaks on event_id, so both engines rank identically; the
+    positive-margin filter drops all-equal-reward degenerate groups.
+
+    Reference scope: beyond the 1,067-line Neo4j client (no sampling
+    surface); this is part of the LLM-training-data extension the brief
+    names first-class."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    scored = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "rtop",
+            F.row_number().over(w.orderBy(F.col("cents").desc(), "event_id")),
+        )
+        .withColumn(
+            "rbot",
+            F.row_number().over(w.orderBy(F.col("cents").asc(), "event_id")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") >= 2 * PREF_PAIRS_K)
+    )
+    tops = scored.filter(F.col("rtop") <= PREF_PAIRS_K).select(
+        "user_id",
+        F.col("rtop").alias("rank"),
+        F.col("event_id").alias("chosen_id"),
+        F.col("cents").alias("c"),
+    )
+    bots = scored.filter(F.col("rbot") <= PREF_PAIRS_K).select(
+        "user_id",
+        F.col("rbot").alias("rank"),
+        F.col("event_id").alias("rejected_id"),
+        F.col("cents").alias("r"),
+    )
+    return (
+        tops.join(bots, ["user_id", "rank"])
+        .filter(F.col("c") > F.col("r"))
+        .select(
+            "user_id",
+            "rank",
+            "chosen_id",
+            "rejected_id",
+            (F.col("c") - F.col("r")).alias("margin_cents"),
+        )
+    )

@@ -52,6 +52,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
 CORE_ORDER_THROUGH_ROUND = 14
 CORE_ORDER = [
+    "sample_preference_pairs",
     "pipeline_crossmodal_retrain",
     "stream_session_bucketed_state",
     "pipeline_crossmodal_dedup",
@@ -101,7 +102,6 @@ CORE_ORDER = [
     "graph_assortativity",
     "graph_hits",
     "graph_modularity",
-    "graph_random_walks",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -51,6 +51,7 @@ EMPTY_SAFE = [
     "sample_poisson_bootstrap",
     "sink_manifest_atomic_swap",
     "dq_merkle_checksum",
+    "sample_preference_pairs",
     "sample_weighted_priority",
     "geo_grid_nn_join",
     "dq_benford_audit",
