@@ -576,32 +576,47 @@ def partitioned_incremental_merge(
         # localCheckpoint: `prepared` is consumed twice (touched-partition
         # metadata below + the merge write) — eager checkpointing runs
         # the batch transformation once instead of twice per micro-batch
-        # (VERDICT r14 #8).
+        # (VERDICT r14 #8). The checkpointed blocks are explicitly
+        # unpersisted in the finally below: without that, a long-running
+        # stream accumulates one batch's blocks per micro-batch on the
+        # executors until driver GC lets ContextCleaner reap them
+        # (ADVICE r15 #1). localCheckpoint data does not survive executor
+        # loss — a failure mid-batch fails the batch, which replays
+        # whole; exactly-once holds because the v{batch_id} write is the
+        # only commit point.
         prepared = prepare(batch_df).localCheckpoint(eager=True)
-        # hard error, not assert: python -O must not strip the guard that
-        # keeps escape_partition_value's rendering contract sound — a
-        # bool/float/date column whose str() differs from Spark's
-        # rendering would silently reopen the prev-state-miss data loss
-        ptype = dict(prepared.dtypes)[partition_col]
-        if ptype not in ("string", "int", "bigint", "smallint", "tinyint"):
-            raise ValueError(
-                f"partition column {partition_col} has type {ptype}; cast it "
-                "to string in prepare() — escape_partition_value only "
-                "matches Spark's directory rendering for string/integral "
-                "values"
-            )
-        touched = {
-            f"{partition_col}={escape_partition_value(r[partition_col])}"
-            for r in prepared.select(partition_col).distinct().collect()
-        }
-        prev = _read_parts(committed, want=touched)
-        merged = merge(prev, prepared) if prev is not None else prepared
-        # one task → one file per touched partition: micro-batch deltas
-        # are sliver-sized; at volume, swap for the _state_write_width
-        # sizing (per partition) or the table format's OPTIMIZE
-        merged.coalesce(1).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(os.path.join(target, f"v{batch_id}"))
+        try:
+            # hard error, not assert: python -O must not strip the guard
+            # that keeps escape_partition_value's rendering contract
+            # sound — a bool/float/date column whose str() differs from
+            # Spark's rendering would silently reopen the
+            # prev-state-miss data loss
+            ptype = dict(prepared.dtypes)[partition_col]
+            if ptype not in ("string", "int", "bigint", "smallint", "tinyint"):
+                raise ValueError(
+                    f"partition column {partition_col} has type {ptype}; "
+                    "cast it to string in prepare() — "
+                    "escape_partition_value only matches Spark's directory "
+                    "rendering for string/integral values"
+                )
+            touched = {
+                f"{partition_col}={escape_partition_value(r[partition_col])}"
+                for r in prepared.select(partition_col).distinct().collect()
+            }
+            prev = _read_parts(committed, want=touched)
+            merged = merge(prev, prepared) if prev is not None else prepared
+            # one task → one file per touched partition: micro-batch
+            # deltas are sliver-sized; at volume, swap for the
+            # _state_write_width sizing (per partition) or the table
+            # format's OPTIMIZE
+            merged.coalesce(1).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(os.path.join(target, f"v{batch_id}"))
+        finally:
+            # bound checkpoint-block accumulation deterministically: the
+            # v{batch_id} write is done with `prepared`, so the blocks
+            # must not wait for a driver GC cycle to be reclaimed
+            prepared.unpersist()
 
     with stream_shuffle_partitions(spark):
         q = (

@@ -235,7 +235,55 @@ def session_totals_with_timeout(stream: DataFrame) -> DataFrame:
 # eviction sweeps the packed arrays against the event-time watermark.
 # B is the state-volume knob production sizes (keys × bytes ÷ target
 # store size) — the same rule stream_shuffle_partitions documents.
+#
+# WHICH SESSIONIZER TO PICK (r16, VERDICT r15 #6 — the two operators are
+# output-identical, so the choice is purely a cost model):
+#
+#   * users/batch ≲ 2× TARGET_USERS_PER_BUCKET (~100): use the PER-USER
+#     operator. Bucketing degenerates to ~1 user per bucket — you pay
+#     the pmod column, the array-packed state encode/decode, and the
+#     sweep bookkeeping while amortizing nothing.
+#   * otherwise: use the BUCKETED operator sized by session_buckets_for.
+#     Per-group engine fixed cost (~1.9 ms measured r15) times users is
+#     the dominant term; bucketing divides it by users/B. At 100M
+#     users/day this is hundreds of millions fewer state round trips
+#     per batch.
+#
+# session_buckets_for targets ~TARGET_USERS_PER_BUCKET open sessions per
+# bucket: large enough to amortize the fixed cost ~50×, small enough
+# that one bucket's packed arrays (5 × int64 × users/B ≈ 2 KB at the
+# target) stay far below the state store's per-key value comfort zone
+# and the per-invocation numpy fold stays cache-resident. The cap keeps
+# B below the shuffle-partition count — more buckets than state-store
+# shards buys no extra parallelism, only per-group overhead back.
 
+TARGET_USERS_PER_BUCKET = 50
+_MAX_SESSION_BUCKETS = 4096
+
+
+def session_buckets_for(expected_users: int) -> int:
+    """Bucket count for ``session_totals_bucketed`` given the expected
+    concurrent (open-session) user count — the sizing policy documented
+    above. Returns at least 1; callers with users/batch below
+    ~2×TARGET_USERS_PER_BUCKET should prefer the per-user operator."""
+    if expected_users <= 0:
+        return 1
+    return max(
+        1,
+        min(
+            _MAX_SESSION_BUCKETS,
+            -(-expected_users // TARGET_USERS_PER_BUCKET),  # ceil div
+        ),
+    )
+
+
+# Default for the bench/driver fixture scale: sf0.1's events table holds
+# ~3,000 distinct users, so the policy yields ceil(3000/50) = 60 — kept
+# at the nearest power of two (64) from the r15 A/B, which measured
+# within noise of 60 and keeps pmod-friendly alignment. The checklist
+# test pins SESSION_BUCKETS to within 2× of the policy value so the
+# default cannot drift away from the documented rule.
+FIXTURE_EXPECTED_USERS = 3_000
 SESSION_BUCKETS = 64
 _BUCKET_STATE_SCHEMA = (
     "users array<bigint>, starts array<bigint>, lasts array<bigint>, "
@@ -256,6 +304,15 @@ def _update_bucket_sessions(key, pdfs, state: GroupState):
         other users that batch;
       * the timeout re-arms at the MIN remaining deadline, so the engine
         wakes the bucket exactly when its earliest open session expires.
+
+    EMISSION-TIMING NOTE (content is pinned equal; timing is not): the
+    sweep closes watermark-expired co-bucketed sessions inside DATA
+    invocations too, so a session can land in an earlier micro-batch
+    than it would under the per-user operator (which waits for the
+    engine's timeout invocation). Final availableNow output is
+    test-pinned identical to the per-user twin and to the
+    gaps-and-islands batch oracle; consumers sensitive to WHICH
+    micro-batch a session closes in would observe the divergence.
 
     Session semantics (>= gap splits, integer cents, carried open
     sessions merge with a continuing first segment) are identical to
@@ -387,7 +444,14 @@ def _update_bucket_sessions(key, pdfs, state: GroupState):
         state.update(
             (su.tolist(), ss.tolist(), sl.tolist(), sn.tolist(), sc.tolist())
         )
-        state.setTimeoutTimestamp(int((sl + gap_us).min()) // 1000)
+        # re-arm at the MIN remaining deadline, rounded UP to the next
+        # millisecond (ADVICE r15 #2): flooring would let a deadline
+        # inside the watermark's millisecond re-arm exactly AT the
+        # watermark — PySpark's validation allows it (strict <) but the
+        # engine's strict-< fire condition then wakes the bucket one
+        # batch before the sweep can evict anything (a harmless but
+        # wasted no-op invocation)
+        state.setTimeoutTimestamp((int((sl + gap_us).min()) + 999) // 1000)
     elif state.exists:
         state.remove()
 
@@ -405,11 +469,22 @@ def _update_bucket_sessions(key, pdfs, state: GroupState):
         )
 
 
-def session_totals_bucketed(stream: DataFrame, buckets: int = SESSION_BUCKETS) -> DataFrame:
+def session_totals_bucketed(stream: DataFrame, buckets: int | None = None) -> DataFrame:
     """Per-user sessions with BUCKETED state keys — identical output to
     ``session_totals_with_timeout``, per-group overhead amortized across
-    ~(users/buckets) users. Requires a watermark on ``ts``."""
+    ~(users/buckets) users. Requires a watermark on ``ts``.
+
+    This is the DEFAULT sessionizer at scale (see the module-level
+    sizing policy): ``buckets=None`` applies ``SESSION_BUCKETS``, which
+    the checklist test pins to the ``session_buckets_for`` policy at the
+    fixture's user count. Production callers pass
+    ``session_buckets_for(expected_concurrent_users)``; tiny-user
+    streams (≲2×TARGET_USERS_PER_BUCKET users/batch) should use
+    ``session_totals_with_timeout`` instead."""
     from pyspark.sql import functions as F
+
+    if buckets is None:
+        buckets = SESSION_BUCKETS
 
     return (
         stream.withWatermark("ts", "1 hour")

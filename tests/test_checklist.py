@@ -262,3 +262,42 @@ def test_empty_input_gate_enrollment():
 def test_bench_enrollment():
     gate = _names_in("bench.py", "HEADLINE") | _names_in("bench.py", "EXTRA")
     _check_gate(gate, BENCH_EXEMPT, "bench")
+
+
+def test_readme_registry_count_pinned():
+    """The registry count cited in README.md must equal the live registry
+    (VERDICT r15 #7: the prose drifted once before — commit 9ca77e8 fixed
+    a stale 245 — so the claim is now mechanically pinned)."""
+    with open(os.path.join(REPO, "README.md")) as f:
+        m = re.search(r"(\d+) contract queries", f.read())
+    assert m, "README.md no longer cites an 'N contract queries' count"
+    assert int(m.group(1)) == len(all_queries()), (
+        f"README.md cites {m.group(1)} contract queries but the registry "
+        f"holds {len(all_queries())} — update README.md (and COVERAGE.md "
+        "if it repeats the number)"
+    )
+
+
+def test_session_buckets_default_applies_sizing_policy():
+    """The bucketed sessionizer's default bucket count must track the
+    documented state-volume policy (VERDICT r15 #6): SESSION_BUCKETS is
+    the power-of-two rounding of session_buckets_for at the fixture's
+    user count, so a future edit to either side that breaks the
+    documented rule fails here instead of drifting silently."""
+    from graph_etl_pipeline_spark.streaming import stateful
+
+    policy = stateful.session_buckets_for(stateful.FIXTURE_EXPECTED_USERS)
+    assert policy <= stateful.SESSION_BUCKETS <= 2 * policy, (
+        f"SESSION_BUCKETS={stateful.SESSION_BUCKETS} is not the "
+        f"power-of-two rounding of the policy value {policy} — re-derive "
+        "or update the documented sizing rule in streaming/stateful.py"
+    )
+    # the policy itself: ceil-division with floor/cap clamps
+    assert stateful.session_buckets_for(0) == 1
+    assert stateful.session_buckets_for(1) == 1
+    assert stateful.session_buckets_for(
+        stateful.TARGET_USERS_PER_BUCKET * 10
+    ) == 10
+    assert (
+        stateful.session_buckets_for(10**9) == stateful._MAX_SESSION_BUCKETS
+    )

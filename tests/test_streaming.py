@@ -998,6 +998,27 @@ def test_bucketed_sessionizer_sweeps_expired_users_on_data_invocation(
     assert got == [(1, t0, 1, 100), (65, t0, 1, 200)]
 
 
+def test_bucketed_sessionizer_default_applies_sizing_policy(spark, tmp_path):
+    """The default constructor (buckets=None) must resolve the bucket
+    count through the documented sizing policy's pinned value
+    (SESSION_BUCKETS, itself checklist-pinned to session_buckets_for at
+    the fixture scale) — asserted against the analyzed plan's pmod
+    literal so a signature change that bypasses the policy fails here
+    (VERDICT r15 #6)."""
+    from graph_etl_pipeline_spark.streaming.stateful import (
+        SESSION_BUCKETS,
+        session_totals_bucketed,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    plan = session_totals_bucketed(stream)._jdf.queryExecution().analyzed().toString()
+    assert (
+        "pmod(user_id" in plan
+        and f"cast({SESSION_BUCKETS} as bigint)" in plan
+    ), plan
+
+
 class _FakeGroupState:
     """Duck-typed GroupState for driving the sessionizer functions
     directly — the engine-independent way to exercise paths the pinned
