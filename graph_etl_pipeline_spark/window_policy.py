@@ -57,24 +57,18 @@ ANCHORS = (
 )
 
 # Implementations edited this round AFTER having earned a green driver
-# row — they must re-earn one (tier 2). Reset each round. r15:
-# the stateful sessionizer's output-frame constructor switched to the
-# zero-copy int64→M8[us] view (stateful.py — hash-identical results,
-# re-earn on principle); partitioned_incremental_merge gained Spark-
-# parity partition-name escaping + null handling and an eager
-# localCheckpoint of the prepared batch (ADVICE r14 #1, VERDICT r14
-# #8); the three incremental memos now key on applicationId (ADVICE
-# r14 #2 — pipeline_incremental_crossmodal is the consumer of all
-# three); pipeline_crossmodal_dedup's oracle BUILDER was restructured
-# onto the shared _sql_retrained_sempairs_ctes helper (output string
-# byte-identical, asserted at refactor time — re-earn on principle).
-# Infra-only edits NOT listed per query: bench.py print order /
-# bands.json adjudication / host-sample sentinel (no query results).
+# row — they must re-earn one (tier 2). Reset each round. r16:
+# the bucketed sessionizer's timeout re-arm now rounds UP to the next
+# millisecond and its default constructor resolves buckets=None through
+# the sizing policy (stateful.py — ADVICE r15 #2 / VERDICT r15 #6;
+# output-identical by construction, re-earn on principle);
+# partitioned_incremental_merge unpersists the localCheckpointed batch
+# after the v{batch_id} write (jobs.py — ADVICE r15 #1).
+# Infra-only edits NOT listed per query: bench.py load gate +
+# band-breach retry (no query results).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
-    "stream_stateful_session_timeout",
+    "stream_session_bucketed_state",
     "stream_partitioned_sink_merge",
-    "pipeline_incremental_crossmodal",
-    "pipeline_crossmodal_dedup",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every

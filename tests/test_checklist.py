@@ -67,7 +67,8 @@ ADVERSARIAL_EXEMPT = frozenset({
     "mm_metadata_struct", "mm_video_scene_cut", "pipeline_corpus_curation",
     "pipeline_multimodal_curation", "pipeline_training_dataset", "privacy_kanonymity_audit",
     "profile_table_stats", "proj_select_alias", "sample_domain_mix", "sample_inbatch_negatives",
-    "sample_preference_pairs", "sample_stratified_exact", "sample_weighted_tokens", "scd2_history",
+    "sample_preference_pairs", "sample_preference_pairs_decontaminated",
+    "sample_stratified_exact", "sample_weighted_tokens", "scd2_history",
     "set_intersect_except", "set_union", "sim_ann_ivf_trained", "sim_ann_recall_contract",
     "sink_compact_small_files", "sink_merge_prefer_nonempty", "sink_partitioned_prune",
     "sink_time_travel_read", "sink_upsert_edge", "sink_upsert_node", "sink_vacuum_retention",
@@ -205,7 +206,8 @@ BENCH_EXEMPT = frozenset({
     "pipeline_training_dataset", "privacy_dp_counts", "privacy_kanonymity_audit",
     "privacy_l_diversity_audit", "profile_table_stats", "proj_select_alias",
     "sample_domain_mix", "sample_inbatch_negatives", "sample_reservoir_bottomk",
-    "sample_preference_pairs", "sample_stratified_exact", "sample_upsample_epochs",
+    "sample_preference_pairs", "sample_preference_pairs_decontaminated",
+    "sample_stratified_exact", "sample_upsample_epochs",
     "sample_weighted_tokens",
     "scd2_history", "set_intersect_except", "set_union", "sim_ann_ivf_trained",
     "sim_ann_pq_adc", "sim_ann_recall_contract", "sim_kmeans_assign", "sink_compact_small_files",

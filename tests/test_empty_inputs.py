@@ -78,6 +78,7 @@ EMPTY_SAFE = [
     "agg_hdr_shard_merge",
     "text_token_drift",
     "stream_partitioned_sink_merge",
+    "sample_preference_pairs_decontaminated",
 ]
 
 
