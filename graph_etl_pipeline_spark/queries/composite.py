@@ -1268,3 +1268,66 @@ def pipeline_crossmodal_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("canonical_frozen") != F.col("canonical_retrained"))
         ).alias("changed"),
     )
+
+
+def _dpo_dataset_sql() -> str:
+    from graph_etl_pipeline_spark.queries.curation import (
+        SPLIT_THRESHOLD, _pref_pairs_decontam_sql, _sql_hex_bucket,
+    )
+
+    return f"""
+    WITH base AS ({_pref_pairs_decontam_sql()}),
+    bucketed AS (
+        SELECT *, {_sql_hex_bucket("dpo", "user_id")} AS b FROM base
+    )
+    SELECT CASE WHEN b < '{SPLIT_THRESHOLD}' THEN 'train' ELSE 'holdout' END
+               AS split,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_prompts,
+           CAST(SUM(margin_cents) AS BIGINT) AS total_margin_cents,
+           CAST(MIN(margin_cents) AS BIGINT) AS min_margin_cents
+    FROM bucketed
+    GROUP BY 1
+    """
+
+
+@register(
+    "pipeline_dpo_dataset",
+    oracle=_dpo_dataset_sql(),
+    tags=("llm", "pipeline", "curation"),
+)
+def pipeline_dpo_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DPO dataset construction — the preference-data twin of
+    pipeline_training_dataset's decontam-first flow: decontaminated
+    preference pairs (sample_preference_pairs_decontaminated: rank-
+    aligned best/worst pairing, positive margin, prompt-document 8-gram
+    benchmark check) → deterministic PROMPT-LEVEL hash split (seeded on
+    user_id, NOT the pair, so a prompt's pairs can never straddle
+    train/holdout — pair-level splitting leaks the prompt across the
+    boundary) → per-split audit: pair and prompt counts, total and
+    minimum reward margin (a non-positive minimum would mean the
+    positive-margin filter regressed; the margin totals are exact
+    integer cents, so both engines hash identically).
+
+    Scale shape: everything after the pair constructor is map-side (the
+    split is a pure per-row hash) plus ONE 2-row aggregation with
+    map-combined partials; the constructor itself keeps its
+    single-exchange window plan and broadcast decontamination. A 100 TB
+    preference corpus flows through in one pass after the pair build."""
+    from graph_etl_pipeline_spark.queries.curation import (
+        SPLIT_THRESHOLD, _hex_bucket,
+        sample_preference_pairs_decontaminated,
+    )
+
+    pairs = sample_preference_pairs_decontaminated(spark, sf_dir)
+    bucketed = pairs.withColumn("b", _hex_bucket("dpo", "user_id"))
+    return bucketed.groupBy(
+        F.when(F.col("b") < SPLIT_THRESHOLD, "train")
+        .otherwise("holdout")
+        .alias("split")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_prompts"),
+        F.sum("margin_cents").cast("long").alias("total_margin_cents"),
+        F.min("margin_cents").cast("long").alias("min_margin_cents"),
+    )

@@ -1161,3 +1161,108 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _eval_overlap_sql() -> str:
+    from graph_etl_pipeline_spark.functions.text import SQL_TOKS, sql_shingles
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K,
+    )
+
+    return f"""
+    WITH ds AS (
+        SELECT doc_id, {sql_shingles("t", k=DECONTAM_K)} AS shingles
+        FROM (SELECT doc_id, {SQL_TOKS.format(col="text")} AS t FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM ds
+        WHERE doc_id < {DECONTAM_BENCH_DOCS}
+    ),
+    hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ds) e
+        JOIN bench USING (s)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS contaminated_chars,
+           (1000 * CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)) // COUNT(*) AS contamination_permille
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register(
+    "dq_eval_overlap_audit",
+    oracle=_eval_overlap_sql(),
+    tags=("quality", "llm", "text"),
+)
+def dq_eval_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE benchmark-contamination AUDIT — the report a pipeline
+    publishes BEFORE text_decontaminate drops anything: for every
+    ingest source, how many documents (and how much text) share an
+    8-gram with the held-out eval set, as exact counts plus an integer
+    contamination rate in permille. Production triages sources on this
+    (a 300‰ source is a crawl-config bug, not a drop list); the 100 TB
+    run gates ingest on the audit row the same way dq_expectations
+    gates on violations.
+
+    Plan shape: the benchmark shingle set broadcasts (benchmarks are
+    small by construction); contaminated doc_ids come from the same
+    broadcast semi-join text_decontaminate uses; the audit is one
+    map-combined groupBy(source) over the corpus with the hit flag
+    joined in — two exchanges total (the hit distinct, the source agg),
+    neither carrying document text. The permille is computed by integer
+    division (1000·n_c DIV n_docs) so both engines hash identically —
+    no float division anywhere.
+
+    Reference scope: beyond the Neo4j client; part of the text-analysis
+    family the brief names first-class (SURVEY §2.12)."""
+    from graph_etl_pipeline_spark.functions.text import norm_tokens, shingles
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ds = d.select(
+        "doc_id", shingles(norm_tokens(d.text), k=DECONTAM_K).alias("sh")
+    )
+    bench = (
+        ds.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = (
+        ds.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = d.select("doc_id", "source", "n_chars").join(
+        hits, "doc_id", "left"
+    )
+    hit1 = F.when(F.col("hit"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit1).cast("long").alias("n_contaminated"),
+            F.sum(F.when(F.col("hit"), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("contaminated_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            "contaminated_chars",
+            F.expr("(1000 * n_contaminated) div n_docs").alias(
+                "contamination_permille"
+            ),
+        )
+    )

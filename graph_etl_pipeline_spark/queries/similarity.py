@@ -2086,3 +2086,122 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+K_CENTERS = 8  # coreset size: bounded greedy rounds, closed-form oracle
+
+
+def _kcenter_sql() -> str:
+    """Unrolled K_CENTERS-step greedy k-center CTE chain (the
+    graph_pagerank fixed-round pattern): s{r} picks the unselected
+    vector maximizing its exact min-distance² to s1..s{r-1}; m{r} folds
+    the new center into the running min via LEAST."""
+    ctes = [
+        f"""q AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT)
+                for x in embedding] AS qe
+        FROM embeddings
+    )""",
+        f"""qn AS MATERIALIZED (SELECT vec_id, qe, {_sql_idot("qe", "qe")} AS nn FROM q)""",
+        """s1 AS MATERIALIZED (
+        SELECT vec_id, qe, nn, CAST(0 AS BIGINT) AS mind FROM qn
+        WHERE vec_id = (SELECT MIN(vec_id) FROM qn)
+    )""",
+        f"""m1 AS MATERIALIZED (
+        SELECT v.vec_id, v.qe, v.nn,
+               v.nn + s.nn - 2 * {_sql_idot("v.qe", "s.qe")} AS mind
+        FROM qn v, s1 s
+    )""",
+    ]
+    for r in range(2, K_CENTERS + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+        SELECT vec_id, qe, nn, mind FROM m{r - 1}
+        WHERE vec_id NOT IN ({prior})
+        ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        if r < K_CENTERS:
+            ctes.append(
+                f"""m{r} AS MATERIALIZED (
+        SELECT m.vec_id, m.qe, m.nn,
+               LEAST(m.mind, m.nn + s.nn - 2 * {_sql_idot("m.qe", "s.qe")})
+                   AS mind
+        FROM m{r - 1} m, s{r} s
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, mind AS d2 FROM s{r}"
+        for r in range(1, K_CENTERS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_sql(),
+    tags=("sampling", "similarity", "llm"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER CORESET over the embedding corpus — diversity-
+    maximizing data selection (the 2-approximation farthest-point
+    heuristic): seed with the lowest vec_id, then K-1 rounds of "pick
+    the vector farthest (exact int64 L2²) from everything selected so
+    far", ties to the lowest vec_id. The selected set is the coreset a
+    curation pipeline trains on (or anchors stratified sampling around)
+    when it wants coverage, not frequency — the complement of
+    SemDeDup's redundancy removal. Output: (rank, vec_id, d2) where d2
+    is the selection-time min-distance² — monotonically non-increasing
+    by construction, so the consumer reads coverage radius per budget
+    directly off the result.
+
+    Determinism: distances are exact int64 over the shared 2^24
+    fixed-point quantization (d2 = nn_a + nn_b − 2·a·b ≤ 2^56, inside
+    int64), and every argmax tie breaks on vec_id — both engines select
+    identically, no float anywhere.
+
+    Scale shape: K-bounded driver loop (the Lloyd-training precedent) —
+    each round is one map-side LEAST fold against a broadcast 1-row
+    center plus a TakeOrdered(1) argmax; nothing ever shuffles the
+    corpus, and the loop collects exactly K single rows. At 100 TB the
+    rounds stay K scans of columnar input; production variants that cut
+    the scan count (k-center++ sampling, coreset trees) trade the exact
+    argmax for approximation — this operator is the exact anchor they
+    are validated against."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _quantize_fixed(e).select(
+        "vec_id", "qe", _int_dot("qe", "qe").alias("nn")
+    )
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+
+    def fold_center(frame: DataFrame, c_qe, c_nn) -> DataFrame:
+        ce = F.array(*[F.lit(int(x)).cast("long") for x in c_qe])
+        d2 = (
+            F.col("nn")
+            + F.lit(int(c_nn)).cast("long")
+            - F.lit(2).cast("long") * _int_dot(F.col("qe"), ce)
+        )
+        if "mind" not in frame.columns:
+            return frame.withColumn("mind", d2)
+        return frame.withColumn("mind", F.least(F.col("mind"), d2))
+
+    selected = [(1, int(seed["vec_id"]), 0)]
+    chosen_ids = [int(seed["vec_id"])]
+    cur = fold_center(q, seed["qe"], seed["nn"])
+    for r in range(2, K_CENTERS + 1):
+        best = (
+            cur.filter(~F.col("vec_id").isin(chosen_ids))
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((r, int(best["vec_id"]), int(best["mind"])))
+        chosen_ids.append(int(best["vec_id"]))
+        cur = fold_center(cur, best["qe"], best["nn"])
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, d2 bigint"
+    )

@@ -1363,3 +1363,134 @@ def stream_partitioned_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame
             [], "event_type string, user_id long, n_events long, cents long"
         )
     return final.select("event_type", "user_id", "n_events", "cents")
+
+
+def _staged_documents_three_files(spark: SparkSession, sf_dir: str) -> str:
+    """Documents split into three parquet files by doc_id % 3 with pinned
+    mtimes — the document twin of stage_three_batch_fixture (driver-side
+    pyarrow I/O, staged once per (corpus, process))."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(SCRATCH_DIR, f"docstream_{key}-{os.getpid()}", "src")
+    done = os.path.join(src, "c-docs2.parquet")
+    if not os.path.exists(done):
+        os.makedirs(src, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        # pyarrow has no mod kernel in this build: a - 3*floor_div(a, 3)
+        # (doc_id >= 0, so truncating and flooring division agree)
+        residue = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 3), 3)
+        )
+        base = 1_000_000_000
+        for i, name in enumerate(("a-docs0", "b-docs1", "c-docs2")):
+            path = os.path.join(src, f"{name}.parquet")
+            pq.write_table(t.filter(pc.equal(residue, i)), path)
+            os.utime(path, (base + 10 * i, base + 10 * i))
+    return src
+
+
+from graph_etl_pipeline_spark.functions.text import SQL_TOKS as _SQL_TOKS_D, sql_shingles as _sql_shingles_d
+from graph_etl_pipeline_spark.queries.textops import DECONTAM_BENCH_DOCS as _DBD, DECONTAM_K as _DK
+
+
+@register(
+    "stream_ingest_decontaminate",
+    oracle=f"""
+    WITH ds AS (
+        SELECT doc_id, {_sql_shingles_d('t', k=_DK)} AS shingles
+        FROM (SELECT doc_id, {_SQL_TOKS_D.format(col='text')} AS t FROM documents)
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM ds
+        WHERE doc_id < {_DBD}
+    ),
+    hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ds) e
+        JOIN bench USING (s)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    tags=("streaming", "text", "llm"),
+)
+def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME contamination firewall — benchmark decontamination as
+    a STREAMING filter: documents arrive in micro-batches (3 staged
+    files) and every batch is screened against the held-out eval set's
+    8-gram shingles ENTIRELY MAP-SIDE — the benchmark shingle set is
+    small by construction, so it collects once to a literal array and
+    the per-document check is one arrays_overlap against the doc's own
+    shingles. Zero streaming state, zero shuffles, zero stream-static
+    joins: the exact shape an ingest firewall needs at 100 TB/day —
+    every core screens its own Arrow batch and the filter's throughput
+    IS scan throughput. (The batch twin, text_decontaminate, uses the
+    broadcast semi-join form that also reports WHICH docs were dropped;
+    the firewall only forwards survivors.)
+
+    null/short-doc contract: a document shorter than one 8-gram shingles
+    to its whole text (the shared shingles() short-doc rule, so an exact
+    copy of a short eval doc is still caught); arrays_overlap's NULL
+    (null text) is coalesced to false so such rows pass rather than
+    vanish — both match the oracle's NOT IN semantics."""
+    from graph_etl_pipeline_spark.functions.text import norm_tokens, shingles
+    from graph_etl_pipeline_spark.queries.textops import (
+        DECONTAM_BENCH_DOCS, DECONTAM_K,
+    )
+
+    src = _staged_documents_three_files(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    bench_rows = (
+        d.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
+        .select(
+            F.explode(
+                shingles(norm_tokens(F.col("text")), k=DECONTAM_K)
+            ).alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    bench_lit = F.array(*[F.lit(r["s"]) for r in bench_rows])
+
+    schema = _fixture_schema(spark, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    clean = stream.filter(
+        ~F.coalesce(
+            F.arrays_overlap(
+                shingles(norm_tokens(F.col("text")), k=DECONTAM_K), bench_lit
+            ),
+            F.lit(False),
+        )
+    ).select("doc_id", "source", "n_chars")
+
+    import os
+
+    name = fresh_memory_sink_name(spark, "stream_decontam")
+    from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            clean.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(os.path.dirname(src), f"ckpt_{name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -53,6 +53,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CORE_ORDER_THROUGH_ROUND = 15
 CORE_ORDER = [
     "sample_preference_pairs_decontaminated",
+    "sample_kcenter_coreset",
+    "pipeline_dpo_dataset",
+    "dq_eval_overlap_audit",
+    "stream_ingest_decontaminate",
     "stream_session_bucketed_state",
     "stream_partitioned_sink_merge",
     "join_four_hop_chain",
@@ -98,10 +102,6 @@ CORE_ORDER = [
     "geo_grid_nn_join",
     "graph_degree_distribution",
     "graph_orphan_antijoin",
-    "graph_pattern_match",
-    "join_asof_tolerance",
-    "pipeline_antientropy_repair",
-    "pipeline_ivf_pq_search",
 ]
 # --- END GENERATED WINDOW ---
 

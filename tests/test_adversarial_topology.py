@@ -130,6 +130,7 @@ QUERIES = [
     "stream_partitioned_sink_merge",  # versioned partition-pruned merge, split-invariant (r14)
     "pipeline_crossmodal_retrain",  # frozen vs retrained closures reconciled per doc (r15)
     "stream_session_bucketed_state",  # packed-array bucket state vs gaps-and-islands oracle (r15)
+    "sample_kcenter_coreset",   # driver-loop greedy argmax: exact int64 d2 + TakeOrdered tie-break per round (r16)
 ]
 
 _SCRIPT = f"""

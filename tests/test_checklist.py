@@ -52,7 +52,7 @@ ADVERSARIAL_EXEMPT = frozenset({
     "cdc_apply_changefeed", "cdc_snapshot_diff", "dedup_cluster_keep", "dedup_docs_exact",
     "dedup_embedding_cosine", "dedup_exact", "dedup_fuzzy_names", "dedup_merge_most_complete",
     "dedup_minhash_lsh", "dedup_minhash_signatures", "dedup_prefix_containment",
-    "dedup_simhash", "doc_rule_extract", "dq_expectations", "embed_jl_projection",
+    "dedup_simhash", "doc_rule_extract", "dq_eval_overlap_audit", "dq_expectations", "embed_jl_projection",
     "embed_quantize_error_contract", "embed_quantize_int8", "explode_split_targets",
     "flt_blocklist_predicate", "flt_compound_predicate", "fn_case_classify",
     "fn_code_parse", "fn_dict_normalize", "fn_hash_uid", "fn_regexp_extract_all",
@@ -64,7 +64,7 @@ ADVERSARIAL_EXEMPT = frozenset({
     "join_four_hop_chain", "join_interval_overlap", "join_left_anti", "join_left_semi",
     "join_salted_skew", "join_time_range", "join_two_hop", "mm_binary_features",
     "mm_frame_sample", "mm_image_ahash_dedup", "mm_image_decode", "mm_image_resize",
-    "mm_metadata_struct", "mm_video_scene_cut", "pipeline_corpus_curation",
+    "mm_metadata_struct", "mm_video_scene_cut", "pipeline_corpus_curation", "pipeline_dpo_dataset",
     "pipeline_multimodal_curation", "pipeline_training_dataset", "privacy_kanonymity_audit",
     "profile_table_stats", "proj_select_alias", "sample_domain_mix", "sample_inbatch_negatives",
     "sample_preference_pairs", "sample_preference_pairs_decontaminated",
@@ -75,7 +75,8 @@ ADVERSARIAL_EXEMPT = frozenset({
     "sink_zorder_write", "sort_limit", "split_train_holdout", "src_csv_scan",
     "src_docx_scan", "src_format_sniff", "src_json_flatten", "src_jsonl_scan",
     "src_orc_scan", "src_pdf_scan", "src_xlsx_scan", "stream_dedup_keys",
-    "stream_full_join_timeout", "stream_incremental_upsert", "stream_interval_join",
+    "stream_full_join_timeout", "stream_incremental_upsert",
+    "stream_ingest_decontaminate", "stream_interval_join",
     "stream_left_join_timeout", "stream_sliding_hourly", "stream_stateful_running",
     "stream_tumbling_hourly", "text_chunk_overlap", "text_decontaminate",
     "text_gopher_rules", "text_html_strip", "text_lang_id", "text_pii_scrub",
@@ -105,10 +106,12 @@ R10_EMPTY_EXEMPT = frozenset({
     # streaming path (same reason the rest of the stream_ family is
     # exempt: the file-source fixture requires real input files)
     "stream_sketch_register_merge",
+    "stream_ingest_decontaminate",
     # trained operator: the shared Lloyd seeding collects the first K
     # vectors and legitimately requires non-empty input (same reason
     # dedup_semdedup_clusters and the sim_kmeans family are exempt)
     "pipeline_semdedup_apply",
+    "sample_kcenter_coreset",
     "pipeline_crossmodal_dedup",
     "pipeline_incremental_crossmodal",
     "pipeline_crossmodal_retrain",
@@ -202,6 +205,7 @@ BENCH_EXEMPT = frozenset({
     "join_left_anti", "join_left_semi", "join_time_range", "mm_audio_vad_segments",
     "mm_frame_sample", "mm_image_ahash_dedup", "mm_image_decode", "mm_metadata_struct",
     "mm_video_scene_cut", "pipeline_corpus_curation", "pipeline_crossmodal_retrain",
+    "pipeline_dpo_dataset", "dq_eval_overlap_audit",
     "pipeline_incremental_ingest",
     "pipeline_training_dataset", "privacy_dp_counts", "privacy_kanonymity_audit",
     "privacy_l_diversity_audit", "profile_table_stats", "proj_select_alias",

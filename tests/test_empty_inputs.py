@@ -79,6 +79,8 @@ EMPTY_SAFE = [
     "text_token_drift",
     "stream_partitioned_sink_merge",
     "sample_preference_pairs_decontaminated",
+    "pipeline_dpo_dataset",
+    "dq_eval_overlap_audit",
 ]
 
 
