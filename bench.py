@@ -399,27 +399,46 @@ def main() -> None:
     # visible as such. Runs on every host (a transient co-scheduled
     # process can spike one row even when load_start was flat).
     band_retries: dict[str, dict] = {}
-    verdict = _adjudicate_bands(total, {**timings, **extra_timings}, sf_val)
-    for name, row in verdict.get("rows", {}).items():
-        if row["pass"]:
-            continue
-        spec = specs[name]
-        before = row["sec"]
-        _gc(spark)
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        after = round(min(before, min(runs)), 3)
-        band_retries[name] = {"before": before, "after": after}
-        _debug(f"{name} (band retry)", before, runs)
-        if name in timings:
-            timings[name] = after
-        else:
-            extra_timings[name] = after
-        _gc(spark)
-    if band_retries:
+    # Re-adjudicate after each retry pass: a retried HEADLINE row shrinks
+    # the total and with it the session factor, which can newly fail a
+    # row that passed the first adjudication only via the factor — each
+    # row is retried at most once, so the loop is bounded by the band
+    # count and the final printed adjudication matches the artifact's
+    # timings exactly.
+    while True:
+        verdict = _adjudicate_bands(
+            total, {**timings, **extra_timings}, sf_val
+        )
+        failing = [
+            name
+            for name, row in verdict.get("rows", {}).items()
+            if not row["pass"] and name not in band_retries
+        ]
+        if not failing:
+            break
+        for name in failing:
+            spec = specs[name]
+            before = (
+                timings.get(name)
+                if name in timings
+                else extra_timings.get(name)
+            )
+            _gc(spark)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            after = round(min(before, min(runs)), 3)
+            band_retries[name] = {"before": before, "after": after}
+            _debug(f"{name} (band retry)", before, runs)
+            if name in timings:
+                timings[name] = after
+            else:
+                extra_timings[name] = after
+            _gc(spark)
         total = round(sum(timings.values()), 3)
 
     load_end, idle1, total1 = _host_sample()

@@ -2193,12 +2193,17 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen_ids = [int(seed["vec_id"])]
     cur = fold_center(q, seed["qe"], seed["nn"])
     for r in range(2, K_CENTERS + 1):
-        best = (
+        rows = (
             cur.filter(~F.col("vec_id").isin(chosen_ids))
             .orderBy(F.desc("mind"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # corpus smaller than K: emit what exists — the unrolled
+            # oracle's s{r} CTEs go empty past the corpus size too
+            break
+        best = rows[0]
         selected.append((r, int(best["vec_id"]), int(best["mind"])))
         chosen_ids.append(int(best["vec_id"]))
         cur = fold_center(cur, best["qe"], best["nn"])

@@ -56,6 +56,25 @@ def test_kcenter_planted_geometry(spark, tmp_path):
     assert got == want, got
 
 
+def test_kcenter_corpus_smaller_than_k(spark, tmp_path):
+    """A corpus with fewer than K vectors must yield exactly the corpus
+    (in greedy order), matching the oracle's empty trailing s{r} CTEs —
+    not crash on an exhausted candidate set."""
+    from graph_etl_pipeline_spark.queries.similarity import (
+        sample_kcenter_coreset,
+    )
+
+    _write_line_embeddings(spark, str(tmp_path), [0, 5, 9])
+    got = [
+        (r["rank"], r["vec_id"], r["d2"])
+        for r in sample_kcenter_coreset(spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    S = 1 << 48
+    assert got == [(1, 0, 0), (2, 2, 81 * S), (3, 1, 16 * S)]
+
+
 def test_kcenter_output_contract(spark, sf_dir):
     """On the real corpus: K distinct selections, d2 monotonically
     non-increasing from rank 2 on (the greedy invariant a consumer reads
