@@ -126,6 +126,7 @@ EXTRA = [
     "stream_session_bucketed_state",  # bucketed-state sessionizer, per-group cost amortized (r15)
     "sample_kcenter_coreset",  # K-round greedy farthest-point driver loop (r16)
     "stream_ingest_decontaminate",  # map-side streaming contamination firewall (r16)
+    "stream_countmin_topk",  # foreachBatch additive CMS cell state (r16)
 ]
 # pipeline_crossmodal_retrain (r15) is deliberately NOT timed here: it is
 # the once-per-retrain-SCHEDULE maintenance edge whose compute is exactly

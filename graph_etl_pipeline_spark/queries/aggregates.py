@@ -683,9 +683,12 @@ def _cms_pos(key: F.Column, m: int) -> F.Column:
     )
 
 
-@register(
-    "agg_countmin_contract",
-    oracle=f"""
+def _cms_contract_sql() -> str:
+    """The CMS estimate-vs-truth contract oracle — shared verbatim by
+    agg_countmin_contract and stream_countmin_topk (the streamed
+    additive-merge state must reproduce the batch sketch exactly, so
+    both queries grade against the SAME closed form)."""
+    return f"""
     WITH f AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
     cells AS (
         {" UNION ALL ".join(
@@ -710,7 +713,12 @@ def _cms_pos(key: F.Column, m: int) -> F.Column:
            MIN(c.c) >= pp.n AS overcount_ok
     FROM pp JOIN cells c ON c.i = pp.i AND c.pos = pp.pos
     GROUP BY pp.user_id, pp.n
-    """,
+    """
+
+
+@register(
+    "agg_countmin_contract",
+    oracle=_cms_contract_sql(),
     tags=("agg", "sketch", "approx"),
 )
 def agg_countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:

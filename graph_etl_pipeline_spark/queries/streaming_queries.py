@@ -1494,3 +1494,150 @@ def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def cms_batch_cells(batch_df: DataFrame) -> DataFrame:
+    """Reduce one micro-batch to its count-min cell counts — d (row,
+    position) pairs per event map-side, then a map-combinable count per
+    cell (the shuffle carries ≤ d·w rows post-combine regardless of
+    batch size)."""
+    from graph_etl_pipeline_spark.queries.aggregates import CMS_MULTS, _cms_pos
+
+    return (
+        batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_pos(F.col("user_id"), m).alias("pos"),
+                        )
+                        for i, m in enumerate(CMS_MULTS)
+                    ]
+                )
+            ).alias("ip")
+        )
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_cell_add_merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Cross-batch ADDITIVE merge for count-min cell state: full outer on
+    (i, pos) with both sides coalesced to the merge-neutral 0. Addition
+    is associative and commutative but — unlike the HLL register MAX —
+    NOT idempotent: a replayed batch would double-count, so this merge
+    is only correct under incremental_upsert's effectively-exactly-once
+    versioned-rewrite discipline (checkpoint + deterministic v{batch_id}
+    overwrite). That is the interesting half of the contract this query
+    pins: idempotent-merge sketches tolerate at-least-once delivery;
+    additive sketches require the stronger sink."""
+    e, i = current.alias("e"), incoming.alias("i")
+    j = e.join(
+        i,
+        (F.col("e.i") == F.col("i.i")) & (F.col("e.pos") == F.col("i.pos")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("e.i"), F.col("i.i")).alias("i"),
+        F.coalesce(F.col("e.pos"), F.col("i.pos")).alias("pos"),
+        (
+            F.coalesce(F.col("e.c"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("i.c"), F.lit(0).cast("long"))
+        ).alias("c"),
+    )
+
+
+from graph_etl_pipeline_spark.queries.aggregates import _cms_contract_sql as _cms_sql
+
+
+@register(
+    "stream_countmin_topk",
+    oracle=_cms_sql(),
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING COUNT-MIN maintenance — the ADDITIVE-merge twin of
+    stream_sketch_register_merge: every micro-batch reduces to its d×w
+    cell counts and foreachBatch ADDS them into a persisted cell state
+    table (versioned parquet, effectively-exactly-once). Because cell
+    addition is exactly how CMS merges, the streamed state is
+    bit-identical to the batch sketch regardless of how the engine cut
+    the stream into micro-batches — graded by running the SAME
+    closed-form oracle as agg_countmin_contract against the streamed
+    cells: the top-K true-frequency keys probe the state and every
+    estimate must carry the one-sided overcount guarantee.
+
+    Contract difference from the HLL stream (docstring of
+    cms_cell_add_merge): addition is not idempotent, so this query is
+    the registry's proof that the versioned-rewrite sink upgrades
+    at-least-once replay to exactly-once STATE — the property every
+    production streaming-sketch deployment (per-minute frequency
+    tables, DDoS heavy-hitter monitors) depends on.
+
+    Scale: state is a CONSTANT d·w = 1,536 rows forever; each batch's
+    shuffle carries at most that after map-side combine; the probe join
+    broadcasts the top-K keys against the cell table."""
+    import os
+
+    from graph_etl_pipeline_spark.io import SCRATCH_DIR, _reap_stale_pid_dirs
+    from graph_etl_pipeline_spark.queries.aggregates import (
+        CMS_MULTS, CMS_PROBE_K, CMS_W, _cms_pos,
+    )
+    from graph_etl_pipeline_spark.streaming.jobs import incremental_upsert
+
+    seed = spark.range(len(CMS_MULTS) * CMS_W).select(
+        (F.col("id") / CMS_W).cast("int").alias("i"),
+        F.pmod(F.col("id"), F.lit(CMS_W)).cast("int").alias("pos"),
+        F.lit(0).cast("long").alias("c"),
+    )
+    _reap_stale_pid_dirs(SCRATCH_DIR)
+    ckpt = os.path.join(
+        SCRATCH_DIR, f"stream_cms_ckpt_{uuid.uuid4().hex[:8]}-{os.getpid()}"
+    )
+    cells = incremental_upsert(
+        events_stream(spark, sf_dir).select("user_id"),
+        seed,
+        keys=["i", "pos"],
+        checkpoint_dir=ckpt,
+        table_name=f"stream_cms_{uuid.uuid4().hex[:8]}",
+        prepare=cms_batch_cells,
+        merge=cms_cell_add_merge,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(CMS_PROBE_K)
+    )
+    pp = probes.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_pos(F.col("user_id"), m).alias("pos"),
+                    )
+                    for i, m in enumerate(CMS_MULTS)
+                ]
+            )
+        ).alias("ip"),
+    ).select(
+        "user_id", "n", F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos")
+    )
+    est = (
+        F.broadcast(pp)
+        .join(cells, ["i", "pos"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").alias("true_n"),
+        "est_n",
+        (F.col("est_n") >= F.col("n")).alias("overcount_ok"),
+    )

@@ -57,6 +57,8 @@ CORE_ORDER = [
     "pipeline_dpo_dataset",
     "dq_eval_overlap_audit",
     "stream_ingest_decontaminate",
+    "stream_countmin_topk",
+    "agg_countmin_contract",
     "stream_session_bucketed_state",
     "stream_partitioned_sink_merge",
     "join_four_hop_chain",
@@ -100,8 +102,6 @@ CORE_ORDER = [
     "dq_benford_audit",
     "dq_merkle_checksum",
     "geo_grid_nn_join",
-    "graph_degree_distribution",
-    "graph_orphan_antijoin",
 ]
 # --- END GENERATED WINDOW ---
 

@@ -63,12 +63,17 @@ ANCHORS = (
 # the sizing policy (stateful.py — ADVICE r15 #2 / VERDICT r15 #6;
 # output-identical by construction, re-earn on principle);
 # partitioned_incremental_merge unpersists the localCheckpointed batch
-# after the v{batch_id} write (jobs.py — ADVICE r15 #1).
+# after the v{batch_id} write (jobs.py — ADVICE r15 #1);
+# agg_countmin_contract's oracle moved into the shared _cms_contract_sql
+# builder for stream_countmin_topk (output string byte-identical,
+# md5-asserted at refactor time — re-earn on principle, the r15
+# crossmodal-oracle precedent).
 # Infra-only edits NOT listed per query: bench.py load gate +
 # band-breach retry (no query results).
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset({
     "stream_session_bucketed_state",
     "stream_partitioned_sink_merge",
+    "agg_countmin_contract",
 })
 
 # One registry entry per SURVEY §2 row (the coverage contract). Every

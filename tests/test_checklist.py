@@ -75,6 +75,7 @@ ADVERSARIAL_EXEMPT = frozenset({
     "sink_zorder_write", "sort_limit", "split_train_holdout", "src_csv_scan",
     "src_docx_scan", "src_format_sniff", "src_json_flatten", "src_jsonl_scan",
     "src_orc_scan", "src_pdf_scan", "src_xlsx_scan", "stream_dedup_keys",
+    "stream_countmin_topk",
     "stream_full_join_timeout", "stream_incremental_upsert",
     "stream_ingest_decontaminate", "stream_interval_join",
     "stream_left_join_timeout", "stream_sliding_hourly", "stream_stateful_running",
@@ -107,6 +108,7 @@ R10_EMPTY_EXEMPT = frozenset({
     # exempt: the file-source fixture requires real input files)
     "stream_sketch_register_merge",
     "stream_ingest_decontaminate",
+    "stream_countmin_topk",
     # trained operator: the shared Lloyd seeding collects the first K
     # vectors and legitimately requires non-empty input (same reason
     # dedup_semdedup_clusters and the sim_kmeans family are exempt)

@@ -249,3 +249,82 @@ def test_stream_firewall_is_stateless(spark, sf_dir):
         for r in d.select("doc_id").join(contaminated, "doc_id", "left_anti").collect()
     }
     assert got == want
+
+
+def test_cms_stream_state_multi_batch_and_stray_overwrite(spark, tmp_path):
+    """The additive CMS state's exactly-once story, driven over a REAL
+    3-batch stream: (a) the summed cell state equals the batch sketch of
+    all events regardless of micro-batch boundaries; (b) a poisoned
+    COMPLETE stray v{b} (the crash-between-write-and-commit artifact)
+    is deterministically overwritten on replay — the property that makes
+    a NON-idempotent merge safe (cms_cell_add_merge's contract)."""
+    import datetime as dt
+    import os
+
+    from graph_etl_pipeline_spark.queries.streaming_queries import (
+        cms_batch_cells, cms_cell_add_merge,
+    )
+    from graph_etl_pipeline_spark.queries.aggregates import CMS_MULTS, CMS_W
+    from graph_etl_pipeline_spark.streaming.jobs import incremental_upsert
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    batches = [
+        [(1, t0, 7, 1.0), (2, t0, 7, 1.0), (3, t0, 9, 1.0)],
+        [(4, t0, 7, 1.0), (5, t0, 11, 1.0)],
+        [(6, t0, 9, 1.0)],
+    ]
+    seed = spark.range(len(CMS_MULTS) * CMS_W).selectExpr(
+        f"CAST(id div {CMS_W} AS INT) AS i",
+        f"CAST(pmod(id, {CMS_W}) AS INT) AS pos",
+        "CAST(0 AS BIGINT) AS c",
+    )
+    target = str(tmp_path / "state")
+
+    def _run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+            .select("user_id")
+        )
+        return incremental_upsert(
+            stream,
+            seed,
+            keys=["i", "pos"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table_name=name,
+            prepare=cms_batch_cells,
+            merge=cms_cell_add_merge,
+            target_dir=target,
+        )
+
+    # run batch 0 alone, then crash-inject: a poisoned COMPLETE stray v1
+    # (written, never checkpoint-committed) must be deterministically
+    # overwritten when the real batch 1 replays from v0
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    _run("cms_replay_a")
+    spark.createDataFrame(
+        [(0, 0, 999_999)], "i int, pos int, c long"
+    ).coalesce(1).write.parquet(os.path.join(target, "v1"))
+    for b in (1, 2):
+        spark.createDataFrame(batches[b], schema).coalesce(1).write.parquet(
+            str(src / f"f{b}")
+        )
+    got = {
+        (r["i"], r["pos"]): r["c"]
+        for r in _run("cms_replay_b").collect()
+        if r["c"] > 0
+    }
+    all_events = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    ).select("user_id")
+    want = {
+        (r["i"], r["pos"]): r["c"] for r in cms_batch_cells(all_events).collect()
+    }
+    assert got == want, (got, want)
+    assert 999_999 not in got.values()
