@@ -176,6 +176,11 @@ def test_crossmodal_dedup_scale_smoke_amplified(spark, tmp_path):
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{sf}/{name}.parquet")
 
+    # snapshot BEFORE the base run: in a full-suite session other tests
+    # have already left (legitimately True) "cid" probe entries in the
+    # process-global memo, so both deltas below must be scoped to THIS
+    # test's own runs (the r16 gate caught exactly that contamination)
+    probes_at_start = dict(pairs_mod._HOT_PROBE)
     t0 = time.perf_counter()
     base = pipeline_crossmodal_dedup(spark, base_sf)
     base_rows = base.count()
@@ -207,7 +212,9 @@ def test_crossmodal_dedup_scale_smoke_amplified(spark, tmp_path):
         new_probes,
     )
     assert not any(
-        v for k, v in probes_before.items() if k[3] == "cid"
+        v
+        for k, v in probes_before.items()
+        if k not in probes_at_start and k[3] == "cid"
     ), "base corpus unexpectedly tripped the cell cap — AMP_XM stale?"
 
     # (c) sub-quadratic wall-clock (pair work is ×AMP² by construction)
