@@ -400,6 +400,25 @@ def main() -> None:
     # visible as such. Runs on every host (a transient co-scheduled
     # process can spike one row even when load_start was flat).
     band_retries: dict[str, dict] = {}
+    # Per-query r1 baselines (BASELINE.md's round-1 table — the same
+    # regex round_gate.sh uses): a HEADLINE row past 2× its baseline is
+    # the hard per-round gate, so it earns the same one-shot retry as a
+    # band breach (r16: a quiet-host run read agg_multi_counter 3.25 vs
+    # baseline 1.22 from transient post-suite page-cache state, then
+    # 1.40 minutes later — exactly the spike the retry absorbs).
+    import re as _re
+
+    baselines: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+        ) as f:
+            for line in f:
+                m = _re.match(r"\| (\w+) \([^)]*\) \| ([0-9.]+) \|", line)
+                if m:
+                    baselines[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
     # Re-adjudicate after each retry pass: a retried HEADLINE row shrinks
     # the total and with it the session factor, which can newly fail a
     # row that passed the first adjudication only via the factor — each
@@ -414,6 +433,14 @@ def main() -> None:
             name
             for name, row in verdict.get("rows", {}).items()
             if not row["pass"] and name not in band_retries
+        ]
+        failing += [
+            name
+            for name, t in timings.items()
+            if name in baselines
+            and t > 2 * baselines[name]
+            and name not in band_retries
+            and name not in failing
         ]
         if not failing:
             break
