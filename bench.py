@@ -434,14 +434,20 @@ def main() -> None:
             for name, row in verdict.get("rows", {}).items()
             if not row["pass"] and name not in band_retries
         ]
-        failing += [
-            name
-            for name, t in timings.items()
-            if name in baselines
-            and t > 2 * baselines[name]
-            and name not in band_retries
-            and name not in failing
-        ]
+        # Baseline-breach retries only make sense at the scale the
+        # baselines were recorded at (ADVICE r16 #1): BASELINE.md's
+        # per-query numbers are sf0.1, so mirror _adjudicate_bands'
+        # skip — an sf1 run must not spuriously re-run every headline
+        # row against numbers from a 10x smaller input.
+        if sf_val == 0.1:
+            failing += [
+                name
+                for name, t in timings.items()
+                if name in baselines
+                and t > 2 * baselines[name]
+                and name not in band_retries
+                and name not in failing
+            ]
         if not failing:
             break
         for name in failing:

@@ -96,12 +96,16 @@ class PropertyGraph:
         scale the traversal's wall-clock is driver job count, not data):
 
         * SHALLOW bounds (max_depth ≤ 4, every reference hierarchy) pay
-          ONE job per level: the frontier is persisted lazily and forced
-          by ``count()``, which doubles as the early-exit test — no
-          checkpoint block write, no separate isEmpty job. Lineage grows
-          only max_depth levels deep, well inside Catalyst's comfort
-          zone, and each persisted frontier is read from cache by both
-          the next hop and the final union.
+          ONE job per NON-FINAL level: the frontier is persisted lazily
+          and forced by ``count()``, which doubles as the early-exit
+          test — no checkpoint block write, no separate isEmpty job.
+          The FINAL level is fully lazy (r17): its early-exit test
+          decides nothing and its frontier is consumed exactly once, so
+          the last hop folds into the caller's consumption job —
+          max_depth-1 driver jobs per traversal instead of max_depth.
+          Lineage grows only max_depth levels deep, well inside
+          Catalyst's comfort zone, and each persisted frontier is read
+          from cache by both the next hop and the final union.
         * DEEP bounds keep eager localCheckpoint + isEmpty: there,
           lineage truncation is what keeps plan analysis O(1) per round
           (SURVEY §7 risk list), worth the extra job per level.
@@ -137,11 +141,24 @@ class PropertyGraph:
         visited = roots
         frontier = roots
         try:
-            for _ in range(max_depth):
+            for level in range(max_depth):
                 nxt = (
                     self.hop_edges(frontier, e, direction)
                     .join(visited, ["uid", "root"], "left_anti")
                 )
+                if level == max_depth - 1:
+                    # FINAL level (r17, VERDICT r16 #6): the early-exit
+                    # test decides nothing here — the loop ends either
+                    # way — and this frontier is consumed exactly once
+                    # (the closing union below). Skipping the persist +
+                    # count folds the last hop into the CALLER's job and
+                    # drops one driver job per traversal; an empty final
+                    # frontier unions to a no-op. Applies to both the
+                    # shallow and deep paths: the deep path's lineage
+                    # already truncated at level max_depth-2, so one
+                    # lazy tail level stays O(1) to analyze.
+                    visited = visited.unionByName(nxt)
+                    break
                 if checkpoint and not shallow:
                     nxt = nxt.localCheckpoint(eager=True)
                     if nxt.isEmpty():

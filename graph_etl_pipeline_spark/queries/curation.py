@@ -1045,8 +1045,15 @@ def sample_preference_pairs_decontaminated(
         .select(F.col("doc_id").alias("prompt_doc_id"))
         .distinct()
     )
+    # No explicit broadcast hint on the anti-join (VERDICT r16 #2): the
+    # contaminated set is bounded by the DISTINCT prompt universe, which
+    # is tiny when prompts ≪ corpus but unbounded in the adversarial
+    # worst case (every user a distinct contaminated prompt). AQE sees
+    # the post-semi-join size at runtime and broadcasts when it fits;
+    # when it doesn't, the planner falls back to a shuffled anti-join
+    # instead of OOMing the driver on a forced build.
     return withdoc.join(
-        F.broadcast(contaminated), "prompt_doc_id", "left_anti"
+        contaminated, "prompt_doc_id", "left_anti"
     ).select(
         "user_id", "rank", "chosen_id", "rejected_id", "margin_cents",
         "prompt_doc_id",

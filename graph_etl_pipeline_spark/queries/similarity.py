@@ -2191,6 +2191,11 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     selected = [(1, int(seed["vec_id"]), 0)]
     chosen_ids = [int(seed["vec_id"])]
+    # Plan-depth note (VERDICT r16 #3): each round chains one more
+    # withColumn(least(...)) onto the lineage, so plan depth grows
+    # linearly in K. At K_CENTERS=8 that is trivial; a caller raising K
+    # past ~30 must localCheckpoint `cur` every ~20 rounds (the
+    # sim_kmeans_iterate discipline) or analysis time will dominate.
     cur = fold_center(q, seed["qe"], seed["nn"])
     for r in range(2, K_CENTERS + 1):
         rows = (

