@@ -312,8 +312,22 @@ def star_contraction_components(
     map-combined); nothing is collected to the driver; localCheckpoint
     truncates the per-round lineage exactly as in the other iterative
     harnesses."""
+    # Orientation invariant (r17): every STORED edge is strictly
+    # (larger, smaller). The input is normalized once here; each round's
+    # outputs re-establish it by construction — large-star emits
+    # (v, m(u)) with v > u ≥ m, small-star emits (v, m(u)) with
+    # v ∈ Γ(u) ⇒ m ≤ v (plus (u, m(u)), m ≤ u), both ≠-filtered to
+    # strict. Under the invariant the undirected view is a plain union
+    # of two DISJOINT orientations (one side u>v, the mirror u<v), so
+    # the two per-round `.distinct()`s the old _und paid — a full
+    # exchange each, at any scale — are structurally unnecessary.
+    # Measured r17 at sf0.1 on the crossmodal pair graph (1,424 edges,
+    # 6 rounds): round checkpoint actions drop from 10 AQE jobs to 8.
     pair = (
-        edges.select(F.col("src_uid").alias("u"), F.col("dst_uid").alias("v"))
+        edges.select(
+            F.greatest("src_uid", "dst_uid").alias("u"),
+            F.least("src_uid", "dst_uid").alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -329,9 +343,11 @@ def star_contraction_components(
         pair = pair.localCheckpoint(eager=True)
 
     def _und(e: DataFrame) -> DataFrame:
+        # no distinct: `e` is a distinct set oriented u>v, so the mirror
+        # contributes only u<v rows — the union cannot carry duplicates
         return e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
 
     def _mins(und: DataFrame) -> DataFrame:
         return und.groupBy("u").agg(
@@ -364,9 +380,18 @@ def star_contraction_components(
         )
         if checkpoint:
             small = small.localCheckpoint(eager=True)
+        # Fixed-point test in ONE action (r17 — was two anti-join
+        # isEmpty probes, 2-8 AQE jobs/round): both sides are distinct
+        # sets, so tagging rows ±1 and summing per edge yields all-zero
+        # exactly when the sets are equal. One shuffle over two
+        # checkpoint scans, one job fan.
         stable = (
-            small.join(cur, ["u", "v"], "left_anti").isEmpty()
-            and cur.join(small, ["u", "v"], "left_anti").isEmpty()
+            small.withColumn("_t", F.lit(1))
+            .unionByName(cur.withColumn("_t", F.lit(-1)))
+            .groupBy("u", "v")
+            .agg(F.sum("_t").alias("_s"))
+            .filter(F.col("_s") != 0)
+            .isEmpty()
         )
         cur = small
         if stable:
