@@ -1435,8 +1435,14 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             nbr.unionByName(b)
             .groupBy("s", "c")
             .agg(F.bit_or("w").alias("w"))
-            .localCheckpoint(eager=True)
         )
+        if hop < 3:
+            # Final-hop bitsets have exactly ONE consumer (the p3
+            # popcount below), so the eager checkpoint there bought
+            # nothing but a block-write job (r17, the reachable
+            # final-level rule); intermediate hops stay checkpointed —
+            # each is read twice (next hop's join + its own popcount).
+            b = b.localCheckpoint(eager=True)
         pops.append(
             b.groupBy("s").agg(F.sum(F.bit_count("w")).alias(f"p{hop}"))
         )
@@ -1530,12 +1536,21 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", F.col("t").alias("node"))
             .distinct()
         )
-        frontier = (
-            relaxed.join(pairs, ["src", "node"], "left_anti")
-            .select("src", "node", F.lit(rnd).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
+        frontier = relaxed.join(pairs, ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(rnd).cast("long").alias("dist")
         )
-        pairs = pairs.unionByName(frontier).localCheckpoint(eager=True)
+        if rnd < CLOSENESS_HOPS:
+            # Intermediate rounds: the frontier feeds BOTH the next
+            # round's join and the pairs union, and pairs feeds the next
+            # anti-join — checkpoint each once. FINAL round (r17, the
+            # reachable final-level rule): frontier has one consumer
+            # (the closing union) and pairs one (the closing aggregate),
+            # so both eager checkpoints were pure block-write jobs; the
+            # last hop folds into the consumption job instead.
+            frontier = frontier.localCheckpoint(eager=True)
+            pairs = pairs.unionByName(frontier).localCheckpoint(eager=True)
+        else:
+            pairs = pairs.unionByName(frontier)
     return (
         pairs.filter(F.col("dist") > 0)
         .groupBy("node")
@@ -1693,13 +1708,16 @@ def graph_betweenness_stress_sampled(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy("src", F.col("t").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = (
-            expanded.join(settled, ["src", "node"], "left_anti")
-            .select(
-                "src", "node", F.lit(rnd).cast("long").alias("dist"), "sigma"
-            )
-            .localCheckpoint(eager=True)
+        frontier = expanded.join(settled, ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(rnd).cast("long").alias("dist"), "sigma"
         )
+        if rnd < STRESS_HOPS:
+            # final-round frontier has one consumer (the closing union)
+            # — its eager checkpoint was a pure block-write job (r17);
+            # the union itself STAYS checkpointed every round: the
+            # settled table is read four times downstream (pdist, both
+            # path legs, and the next round when there is one).
+            frontier = frontier.localCheckpoint(eager=True)
         settled = settled.unionByName(frontier).localCheckpoint(eager=True)
     dst = settled
     pdist = pairs.join(

@@ -217,7 +217,23 @@ def test_crossmodal_dedup_scale_smoke_amplified(spark, tmp_path):
         if k not in probes_at_start and k[3] == "cid"
     ), "base corpus unexpectedly tripped the cell cap — AMP_XM stale?"
 
-    # (c) sub-quadratic wall-clock (pair work is ×AMP² by construction)
+    # (c) sub-quadratic wall-clock (pair work is ×AMP² by construction).
+    # One retry on breach (ADVICE r16 #3, the bench.py band-retry
+    # pattern): the ratio compares two COLD runs, so an unusually fast
+    # base (page cache, scheduler luck) or a host burst during the
+    # amplified run can breach the ~10× headroom without any quadratic
+    # regression. The retry re-times BOTH sides in the now-warm session
+    # and takes the min per side — a real quadratic blowup breaches both
+    # passes; host noise does not survive two.
+    if t_amp > (AMP_XM ** 1.5) * t_base:
+        t0 = time.perf_counter()
+        base_retry = pipeline_crossmodal_dedup(spark, base_sf)
+        base_retry.count()
+        t_base = min(t_base, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        amp_retry = pipeline_crossmodal_dedup(spark, sf)
+        amp_retry.count()
+        t_amp = min(t_amp, time.perf_counter() - t0)
     assert t_amp <= (AMP_XM ** 1.5) * t_base, (
         f"amplified run {t_amp:.1f}s vs base {t_base:.1f}s — "
         f"ratio {t_amp / t_base:.1f}x exceeds AMP^1.5 = {AMP_XM ** 1.5:.0f}x"
