@@ -432,6 +432,40 @@ def test_star_contraction_long_chain_logarithmic_rounds(spark):
     assert comp == {f"n{i:05d}": "n00000" for i in range(n)} | {"z_solo": "z_solo"}
 
 
+def test_star_contraction_mirrored_and_duplicate_input_edges(spark):
+    """r17 orientation invariant: the input edge set is normalized ONCE
+    to strict (larger, smaller) so the per-round undirected views can
+    skip their distincts. Feed the same component as mirrored AND
+    duplicated edges — the labeling must match the clean-input run
+    exactly (a missed normalization would surface as duplicate rows
+    blowing up the round or as a wrong min label)."""
+    from graph_etl_pipeline_spark.graph.model import star_contraction_components
+
+    vertices = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("lone",)], "uid string"
+    )
+    messy = spark.createDataFrame(
+        # b->a and a->b (mirror), duplicate c->b twice, self-loop d->d,
+        # plus d->c — one component {a,b,c,d} rooted at 'a'
+        [
+            ("b", "a", "L"), ("a", "b", "L"),
+            ("c", "b", "L"), ("c", "b", "L"),
+            ("d", "d", "L"), ("d", "c", "L"),
+        ],
+        "src_uid string, dst_uid string, rel_type string",
+    )
+    clean = spark.createDataFrame(
+        [("b", "a", "L"), ("c", "b", "L"), ("d", "c", "L")],
+        "src_uid string, dst_uid string, rel_type string",
+    )
+    got_messy, _ = star_contraction_components(vertices, messy)
+    got_clean, _ = star_contraction_components(vertices, clean)
+    as_map = lambda df: {r.uid: r.component for r in df.collect()}  # noqa: E731
+    expect = {"a": "a", "b": "a", "c": "a", "d": "a", "lone": "lone"}
+    assert as_map(got_messy) == expect
+    assert as_map(got_clean) == expect
+
+
 def test_star_contraction_matches_hash_min(spark):
     """Same output contract as the default algorithm on a branchy
     multi-component graph (two components + isolated vertex)."""
