@@ -379,7 +379,12 @@ def star_contraction_components(
             .distinct()
         )
         if checkpoint:
-            small = small.localCheckpoint(eager=True)
+            # LAZY checkpoint (r17): the fixed-point probe below is the
+            # round's first action over `small` and materializes the
+            # checkpoint blocks as a side effect — one action per round
+            # where eager-checkpoint-then-probe paid two. Lineage is
+            # truncated identically; the next round reads blocks.
+            small = small.localCheckpoint(eager=False)
         # Fixed-point test in ONE action (r17 — was two anti-join
         # isEmpty probes, 2-8 AQE jobs/round): both sides are distinct
         # sets, so tagging rows ±1 and summing per edge yields all-zero
