@@ -522,9 +522,15 @@ def test_harmonic_centrality_hop_exchanges_bounded(spark, sf_dir):
     bootstrap pin above (r13 quiet-host 3.86-3.91 s vs r11's 2.51,
     in line with the session's unchanged-code controls)."""
     plan = _plan(spark, "graph_harmonic_centrality", sf_dir)
-    # one shuffle per hop (broadcasts of the tiny vertex index are free)
-    assert plan.count("Exchange hashpartitioning") == 3
-    assert plan.count("HashAggregate") == 6  # partial+final x 3 hops
+    # one shuffle per hop (broadcasts of the tiny vertex index are free).
+    # r17: the FINAL hop's bit_or aggregation is no longer hidden behind
+    # an eager checkpoint job — it inlines into this plan, so the visible
+    # final plan carries ITS exchange too (4 = 3 popcount aggs + the
+    # inlined hop-3 union-OR agg; hops 1-2 still materialize behind
+    # their checkpoints, read ≥2× each). Total exchanges ACROSS jobs are
+    # unchanged — one per hop — with one fewer driver job.
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert plan.count("HashAggregate") == 8  # partial+final x (3 pops + inlined hop 3)
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
