@@ -2089,6 +2089,15 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K_CENTERS = 8  # coreset size: bounded greedy rounds, closed-form oracle
+# r18: candidates collected per argmax action (the batched-certificate
+# fold of the per-round TakeOrdered(1) probes — see the loop body). Any
+# value >= 1 is result-identical: smaller only forces more certificate
+# failures / re-collect actions; tests force 2 to drive that path.
+# Sized by measurement at sf0.1 (batch -> cluster actions for the K=8
+# selection, seed excluded): 64 -> 4, 128 -> 3, 256 -> 2, 1024 -> 2.
+# 256 rows x DIM=64 int64s is a ~128 KB driver transfer — far below any
+# driver-memory concern at any corpus size (the batch is a constant).
+KCENTER_CAND_BATCH = 256
 
 
 def _kcenter_sql() -> str:
@@ -2197,20 +2206,75 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past ~30 must localCheckpoint `cur` every ~20 rounds (the
     # sim_kmeans_iterate discipline) or analysis time will dominate.
     cur = fold_center(q, seed["qe"], seed["nn"])
+
+    # r18 (VERDICT r17 #6): the K-1 per-round TakeOrdered(1) actions fold
+    # into ONE TakeOrdered(CAND_BATCH) plus a driver-side EXACTNESS
+    # CERTIFICATE. Collect the top CAND_BATCH rows by (mind DESC, vec_id
+    # ASC) once; every point NOT collected has current mind <= floor (the
+    # last collected row's mind), and minds only DECREASE as centers are
+    # added, so a collected candidate whose updated mind is STRICTLY above
+    # the floor is provably the global argmax — no cluster pass needed.
+    # The first pick after any collect is exact unconditionally (the sort
+    # already applied the (mind, vec_id) tie-break globally). When the
+    # certificate fails (best <= floor: the far cluster collapsed), fall
+    # back to a fresh collect against `cur` with all folds applied — the
+    # exact argmax the old per-round action computed. Result-identical at
+    # every step: candidate minds are updated with the same int64
+    # nn_a + nn_b - 2*a.b the column fold computes (Python ints are exact
+    # and the docstring bounds d2 <= 2^56, inside int64). Actions drop
+    # from K-1 per call to 1 + #certificate-failures (0 on corpora whose
+    # farthest points are spread, which the greedy selection favors).
+    cands: list[dict] = []
+    pool_complete = False  # pool holds EVERY non-chosen point
+    floor = 0
+    fresh = False  # pool was just collected: first pick needs no proof
+    exhausted = False
     for r in range(2, K_CENTERS + 1):
-        rows = (
-            cur.filter(~F.col("vec_id").isin(chosen_ids))
-            .orderBy(F.desc("mind"), "vec_id")
-            .limit(1)
-            .collect()
-        )
-        if not rows:
-            # corpus smaller than K: emit what exists — the unrolled
-            # oracle's s{r} CTEs go empty past the corpus size too
+        while True:
+            if cands:
+                best = max(cands, key=lambda c: (c["mind"], -c["vec_id"]))
+                if fresh or pool_complete or best["mind"] > floor:
+                    break
+            rows = (
+                cur.filter(~F.col("vec_id").isin(chosen_ids))
+                .orderBy(F.desc("mind"), "vec_id")
+                .limit(KCENTER_CAND_BATCH)
+                .collect()
+            )
+            if not rows:
+                # corpus smaller than K: emit what exists — the unrolled
+                # oracle's s{r} CTEs go empty past the corpus size too
+                exhausted = True
+                break
+            pool_complete = len(rows) < KCENTER_CAND_BATCH
+            floor = int(rows[-1]["mind"])
+            cands = [
+                {
+                    "vec_id": int(x["vec_id"]),
+                    "qe": [int(v) for v in x["qe"]],
+                    "nn": int(x["nn"]),
+                    "mind": int(x["mind"]),
+                }
+                for x in rows
+            ]
+            fresh = True
+        if exhausted:
             break
-        best = rows[0]
-        selected.append((r, int(best["vec_id"]), int(best["mind"])))
-        chosen_ids.append(int(best["vec_id"]))
+        fresh = False
+        cands.remove(best)
+        selected.append((r, best["vec_id"], best["mind"]))
+        chosen_ids.append(best["vec_id"])
+        # same fixed-point arithmetic as fold_center, driver-side
+        for c in cands:
+            d2 = (
+                c["nn"]
+                + best["nn"]
+                - 2 * sum(x * y for x, y in zip(c["qe"], best["qe"]))
+            )
+            if d2 < c["mind"]:
+                c["mind"] = d2
+        # keep the Spark-side folds current so a certificate-failure
+        # re-collect (and nothing else) pays an action
         cur = fold_center(cur, best["qe"], best["nn"])
     return spark.createDataFrame(
         selected, "rank bigint, vec_id bigint, d2 bigint"

@@ -56,6 +56,39 @@ def test_kcenter_planted_geometry(spark, tmp_path):
     assert got == want, got
 
 
+def test_kcenter_batched_certificate_recollect_path(spark, tmp_path, monkeypatch):
+    """r18: the batched argmax collects KCENTER_CAND_BATCH candidates and
+    proves later picks exact via the floor certificate. Force the batch
+    down to 2 so the pool is never complete and nearly every round fails
+    the certificate (on the planted line the two farthest points are
+    adjacent, so picking one collapses the other's mind below the floor)
+    — the re-collect fallback must reproduce the identical hand-computed
+    selection the one-probe-per-round r16 loop produced."""
+    from graph_etl_pipeline_spark.queries import similarity
+
+    monkeypatch.setattr(similarity, "KCENTER_CAND_BATCH", 2)
+    positions = [0, 1, 3, 7, 15, 31, 63, 100]
+    _write_line_embeddings(spark, str(tmp_path), positions)
+    got = [
+        (r["rank"], r["vec_id"], r["d2"])
+        for r in similarity.sample_kcenter_coreset(spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    S = 1 << 48
+    want = [
+        (1, 0, 0),
+        (2, 7, 100**2 * S),
+        (3, 6, 37**2 * S),
+        (4, 5, 31**2 * S),
+        (5, 4, 15**2 * S),
+        (6, 3, 7**2 * S),
+        (7, 2, 3**2 * S),
+        (8, 1, 1**2 * S),
+    ]
+    assert got == want, got
+
+
 def test_kcenter_corpus_smaller_than_k(spark, tmp_path):
     """A corpus with fewer than K vectors must yield exactly the corpus
     (in greedy order), matching the oracle's empty trailing s{r} CTEs —
