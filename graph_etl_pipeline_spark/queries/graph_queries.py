@@ -238,7 +238,18 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # r18 (guide §2.5/§3.1, the graph_jaccard_similarity fix): the wedge
+    # join EXPLODES the oriented edge list (~74× at sf0.1: 6.76M wedge
+    # rows from 91k edges, measured) but the planner sizes it by input
+    # bytes, broadcasts the build sides, and runs the probe over the
+    # SCAN's partitioning — 2 tasks at sf0.1, near-serial at any core
+    # count. Hash the PROBE branch by its join key at the session's
+    # configured shuffle width (conf/env-derived; at real scale the same
+    # exchange is exactly what a shuffle join on dst would insert, so it
+    # is reused, never extra).
+    wedge_width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e1 = oriented.repartition(wedge_width, "dst").alias("e1")
+    e2, e3 = oriented.alias("e2"), oriented.alias("e3")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("x"), F.col("e2.src").alias("y"), F.col("e2.dst").alias("z")
     )
@@ -598,6 +609,17 @@ def graph_copurchase_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = materialize(
         li.select("l_orderkey", "l_partkey").distinct(), "copurchase_basket"
     )
+    # r18 (guide §2.5/§3.1, the graph_jaccard_similarity fix): the basket
+    # self-join explodes k-item baskets into k(k-1)/2 pairs, but the
+    # planner sizes the probe by the materialized table's BYTES and runs
+    # it over the parquet scan's few partitions (5 at sf0.1 — measured
+    # 2.0 s -> 0.94 s min-of-3 once hashed to the session's shuffle
+    # width). The width is conf/env-derived, never a local constant; the
+    # hash-by-basket-key layout is what a shuffle join would pick anyway
+    # at real scale, and the tiled hot branch's per-key window reuses it.
+    basket = basket.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
+    )
     pairs = bounded_self_pairs(
         basket, "l_orderkey", "l_partkey", COPURCHASE_BASKET_CAP, _basket_pair_select
     )
@@ -875,9 +897,24 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_etl_pipeline_spark.operators.pairs import bounded_self_pairs
 
     edges = interaction_edges(spark, sf_dir)
-    bi = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).localCheckpoint(eager=True)
+    # r18 (guide §2.5/§3.1): hash the undirected view by the WEDGE KEY at
+    # the session's configured shuffle width BEFORE the checkpoint. The
+    # edge list is tiny in bytes (a few MB at sf0.1) but the wedge join
+    # EXPLODES it ~60× (11.1M wedge rows from 182k edge rows, measured),
+    # and size-based planning cannot see that: the planner broadcasts one
+    # side and runs the probe over the checkpoint's SCAN partitioning —
+    # 2 tasks at sf0.1, i.e. the Σd² wedge generation ran near-serially
+    # at any core count (the bench's 8-vs-32 ratio of 0.91 was this).
+    # The width comes from spark.sql.shuffle.partitions (conf/env-derived,
+    # scales with the deployment), never a local constant; at real scale
+    # the same hash partitioning is what a shuffle join would pick anyway.
+    wedge_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bi = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(wedge_width, "t")
+        .localCheckpoint(eager=True)
+    )
     deg = bi.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     wedge_pairs = bounded_self_pairs(
         bi,
