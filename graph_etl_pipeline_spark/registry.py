@@ -50,14 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # History rounds this window was derived from; the pin test replays
 # the derivation over exactly these rounds, so the driver landing
 # CORRECTNESS_r{N+1}.json mid-round cannot invalidate the literal.
-CORE_ORDER_THROUGH_ROUND = 15
+CORE_ORDER_THROUGH_ROUND = 17
 CORE_ORDER = [
-    "sample_preference_pairs_decontaminated",
-    "sample_kcenter_coreset",
-    "pipeline_dpo_dataset",
-    "dq_eval_overlap_audit",
-    "stream_ingest_decontaminate",
-    "stream_countmin_topk",
     "agg_countmin_contract",
     "stream_session_bucketed_state",
     "stream_partitioned_sink_merge",
@@ -72,36 +66,42 @@ CORE_ORDER = [
     "agg_multi_counter",
     "win_row_number_dedup",
     "stream_incremental_upsert",
-    "graph_random_walks",
-    "join_scd2_asof",
-    "mm_audio_vad_segments",
-    "mm_image_ahash_dedup",
-    "pipeline_incremental_ingest",
-    "privacy_kanonymity_audit",
-    "sample_inbatch_negatives",
-    "sample_upsample_epochs",
-    "sim_ann_pq_adc",
-    "sim_ann_recall_contract",
-    "sink_time_travel_read",
-    "src_format_sniff",
-    "src_jsonl_scan",
-    "text_gopher_rules",
-    "text_html_strip",
-    "text_winnowing_fingerprint",
-    "win_max_drawdown",
-    "win_rolling_range_1h",
-    "win_share_of_parent",
-    "agg_autocorr_lag1",
-    "agg_exact_moments",
-    "agg_kmv_shard_merge",
-    "agg_ks_drift",
-    "agg_salted_skew",
-    "dedup_band_bucket_stats",
-    "dedup_minhash_signatures",
-    "dedup_url_canonicalize",
-    "dq_benford_audit",
-    "dq_merkle_checksum",
-    "geo_grid_nn_join",
+    "graph_degree_distribution",
+    "graph_orphan_antijoin",
+    "graph_pattern_match",
+    "join_asof_tolerance",
+    "pipeline_antientropy_repair",
+    "pipeline_ivf_pq_search",
+    "privacy_dp_counts",
+    "privacy_l_diversity_audit",
+    "privacy_t_closeness_audit",
+    "sample_poisson_bootstrap",
+    "sample_reservoir_bottomk",
+    "sample_weighted_priority",
+    "sink_compact_small_files",
+    "sink_dynamic_partition_overwrite",
+    "sink_manifest_atomic_swap",
+    "sink_schema_evolution_merge",
+    "sink_vacuum_retention",
+    "src_fixed_width_scan",
+    "src_multiline_log_scan",
+    "src_pdf_scan",
+    "text_dedup_span_rewrite",
+    "win_interval_union_length",
+    "win_rolling_median_exact",
+    "win_rolling_zscore_outliers",
+    "agg_collect_set",
+    "agg_count_by_label",
+    "agg_global_count",
+    "agg_group_topn",
+    "agg_hdr_histogram",
+    "agg_topk",
+    "agg_weighted_median",
+    "arr_contains_lookup",
+    "cdc_tombstone_compaction",
+    "dedup_docs_exact",
+    "dedup_exact",
+    "dedup_merge_most_complete",
 ]
 # --- END GENERATED WINDOW ---
 
