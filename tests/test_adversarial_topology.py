@@ -9,6 +9,8 @@ recipe."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -159,6 +161,7 @@ print("FAILS:", fails)
 """
 
 
+@pytest.mark.slow
 def test_oracle_parity_survives_hostile_topology():
     # timeout sized off measurement, not hope: the 113-query sweep reads
     # ~705 s on a quiet host (r16) and >900 s inside the full-suite gate
@@ -208,6 +211,7 @@ print("SKEW-OK")
 """
 
 
+@pytest.mark.slow
 def test_copurchase_hot_basket_guard_engages(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -274,6 +278,7 @@ print("HUB-OK")
 """
 
 
+@pytest.mark.slow
 def test_jaccard_hub_node_guard_engages(tmp_path):
     import datetime
 
@@ -350,6 +355,7 @@ print("HOT-HOUR-OK", n_edges)
 """
 
 
+@pytest.mark.slow
 def test_chain_hot_hour_bucket_guard_engages(tmp_path):
     import datetime
 

@@ -4,6 +4,8 @@ pruning into the scan, no cartesian products, whole-stage codegen)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +49,7 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort for top-K
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """BroadcastNestedLoopJoin/CartesianProduct in a hot path is a scale
     bug. The only sanctioned cross joins are 1-row broadcast query

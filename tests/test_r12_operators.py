@@ -3,6 +3,8 @@ the bounded_self_pairs hot-probe memo semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from graph_etl_pipeline_spark.registry import all_queries
@@ -79,6 +81,7 @@ def test_hot_probe_memo_is_strategy_only(spark):
     assert tiled == plain and len(plain) == 2 * (6 * 5 // 2)
 
 
+@pytest.mark.slow
 def test_ehll_register_merge_batch_split_invariance(spark, sf_dir):
     """The streaming sketch state must be invariant to how the engine
     splits the stream into micro-batches: fold the same events through
@@ -122,6 +125,7 @@ def test_ehll_register_merge_batch_split_invariance(spark, sf_dir):
     assert dup == one
 
 
+@pytest.mark.slow
 def test_effective_diameter_known_graph(spark, tmp_path):
     """Path graph 1-2-3-4-5 (the r11 replay fixture): the readout must
     pick the smallest hop whose N(t) ppm fraction clears the 900000

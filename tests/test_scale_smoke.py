@@ -80,6 +80,7 @@ def test_flagship_shape_survives_amplification(spark):
         assert float(got[k]) == pytest.approx(base[k] * AMP, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_incremental_crossmodal_components_invariant_under_amplification(
     spark, tmp_path
 ):
@@ -125,6 +126,7 @@ def test_incremental_crossmodal_components_invariant_under_amplification(
     assert base_kept < base_rows  # non-vacuous: dup clusters exist at sf0.001
 
 
+@pytest.mark.slow
 def test_crossmodal_dedup_scale_smoke_amplified(spark, tmp_path):
     """First EMPIRICAL check of the composite family's 100 TB story
     (VERDICT r15 #4): clone-amplify documents+embeddings AMP_XM× (shifted
