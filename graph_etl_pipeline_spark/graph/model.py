@@ -96,16 +96,16 @@ class PropertyGraph:
         scale the traversal's wall-clock is driver job count, not data):
 
         * SHALLOW bounds (max_depth ≤ 4, every reference hierarchy) pay
-          ONE job per NON-FINAL level: the frontier is persisted lazily
-          and forced by ``count()``, which doubles as the early-exit
-          test — no checkpoint block write, no separate isEmpty job.
-          The FINAL level is fully lazy (r17): its early-exit test
-          decides nothing and its frontier is consumed exactly once, so
-          the last hop folds into the caller's consumption job —
-          max_depth-1 driver jobs per traversal instead of max_depth.
-          Lineage grows only max_depth levels deep, well inside
-          Catalyst's comfort zone, and each persisted frontier is read
-          from cache by both the next hop and the final union.
+          ZERO build-phase jobs (r18; was one count() per non-final
+          level in r17, max_depth per level before that): every frontier
+          is persisted LAZILY and the whole traversal folds into the
+          caller's one consumption job — persist() caches partitions the
+          first time that job computes them, so the next hop and the
+          final union read blocks, and a frontier that empties early
+          leaves only empty-input stages where the count()-based early
+          exit used to buy a driver round-trip per level. Lineage grows
+          only max_depth levels deep, well inside Catalyst's comfort
+          zone.
         * DEEP bounds keep eager localCheckpoint + isEmpty: there,
           lineage truncation is what keeps plan analysis O(1) per round
           (SURVEY §7 risk list), worth the extra job per level.
@@ -159,7 +159,23 @@ class PropertyGraph:
                     # lazy tail level stays O(1) to analyze.
                     visited = visited.unionByName(nxt)
                     break
-                if checkpoint and not shallow:
+                if shallow:
+                    # r18: the shallow path is now FULLY LAZY — zero
+                    # build-phase jobs (was max_depth-1 count() jobs).
+                    # The per-level count() bought (a) cache forcing and
+                    # (b) early exit at the true diameter; neither needs
+                    # a driver round-trip: persist() caches partitions
+                    # the first time the caller's ONE consumption job
+                    # computes them (the next hop and the closing union
+                    # then read blocks), and a frontier that empties
+                    # early makes every deeper level an empty-input
+                    # stage inside that same job — far cheaper than a
+                    # blocking per-level count. Lineage stays max_depth
+                    # levels deep, inside Catalyst's comfort zone, which
+                    # is exactly why this is gated to shallow bounds.
+                    nxt = nxt.persist()
+                    persisted.append(nxt)
+                elif checkpoint:
                     nxt = nxt.localCheckpoint(eager=True)
                     if nxt.isEmpty():
                         break
@@ -361,44 +377,57 @@ def star_contraction_components(
         rounds += 1
         und = _und(cur)
         mins = _mins(und)
+        # r18: NO per-phase `.distinct()` — duplicates in the raw star
+        # outputs are harmless mid-round (they cannot change a min
+        # aggregation, and both phases' outputs stay strictly oriented
+        # (greater, smaller) with or without dedup, so the disjoint-
+        # orientation union argument is unchanged) and the round's ONE
+        # (u, v) exchange — the fixed-point probe's groupBy below —
+        # dedups the small-star output as a side effect of the
+        # aggregation it already runs. That removes two full edge-set
+        # exchanges per round at any scale on top of r17's two (the
+        # old `_und` distincts); duplicate inflation is bounded within
+        # the round (each raw row is one input edge's contribution) and
+        # the edge set handed to the NEXT round is exactly the distinct
+        # set the r17 code produced.
         large = (
             und.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         und2 = _und(large)
         mins2 = _mins(und2)
-        small = (
+        small_raw = (
             und2.filter(F.col("v") <= F.col("u"))
             .join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+        )
+        # Fixed-point test and small-star dedup FUSED into one (u, v)
+        # aggregation (r17 ran the probe over an already-distinct small;
+        # r18 folds the distinct in): per edge, track presence on each
+        # side; the sets are equal exactly when no edge is one-sided.
+        # `cur` is a distinct set, small_raw may carry duplicates —
+        # max() presence flags are duplicate-insensitive.
+        agg = (
+            small_raw.select("u", "v", F.lit(1).alias("_s"), F.lit(0).alias("_c"))
+            .unionByName(
+                cur.select("u", "v", F.lit(0).alias("_s"), F.lit(1).alias("_c"))
+            )
+            .groupBy("u", "v")
+            .agg(F.max("_s").alias("_s"), F.max("_c").alias("_c"))
         )
         if checkpoint:
             # LAZY checkpoint (r17): the fixed-point probe below is the
-            # round's first action over `small` and materializes the
-            # checkpoint blocks as a side effect — one action per round
-            # where eager-checkpoint-then-probe paid two. Lineage is
-            # truncated identically; the next round reads blocks.
-            small = small.localCheckpoint(eager=False)
-        # Fixed-point test in ONE action (r17 — was two anti-join
-        # isEmpty probes, 2-8 AQE jobs/round): both sides are distinct
-        # sets, so tagging rows ±1 and summing per edge yields all-zero
-        # exactly when the sets are equal. One shuffle over two
-        # checkpoint scans, one job fan.
-        stable = (
-            small.withColumn("_t", F.lit(1))
-            .unionByName(cur.withColumn("_t", F.lit(-1)))
-            .groupBy("u", "v")
-            .agg(F.sum("_t").alias("_s"))
-            .filter(F.col("_s") != 0)
-            .isEmpty()
-        )
-        cur = small
+            # round's first action over the fused aggregation and
+            # materializes its map side; the next round's `cur` reads
+            # blocks (or recomputes reduce partitions from the live
+            # shuffle files). Lineage is truncated identically.
+            agg = agg.localCheckpoint(eager=False)
+        stable = agg.filter(F.col("_s") != F.col("_c")).isEmpty()
+        cur = agg.filter(F.col("_s") == 1).select("u", "v")
         if stable:
             converged = True
             break

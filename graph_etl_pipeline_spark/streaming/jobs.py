@@ -444,7 +444,16 @@ def stage_three_batch_fixture(
     names = ["a-events.parquet"] + [f"{n}.parquet" for n, _ in marker_files]
     if replay_events:
         names.append("c-replay.parquet")
-    if not os.path.exists(os.path.join(src, names[-1])):
+    # Reuse only a directory whose file set matches EXACTLY (ADVICE r17
+    # #3): checking just names[-1] would accept a stale scratch dir from
+    # an older fixture layout (pid reuse / interrupted run) and replay
+    # its extra files as data batches — rebuild on any mismatch.
+    existing = (
+        sorted(os.listdir(src)) if os.path.isdir(src) else None
+    )
+    if existing != sorted(names):
+        if existing is not None:
+            shutil.rmtree(src)
         events_file, tmax = staged_events_single_file(spark, sf_dir)
         os.makedirs(src, exist_ok=True)
         shutil.copy(events_file, os.path.join(src, "a-events.parquet"))

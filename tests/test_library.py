@@ -148,24 +148,17 @@ def test_traversal_cache_deferred_cleanup_contract(spark):
 
 def test_traversal_shallow_path_job_count_pinned(spark):
     """Pin the shallow traversal's driver-job budget (VERDICT r13 #1,
-    tightened r17 / VERDICT r16 #6): one count() job per NON-FINAL
-    explored level and nothing else — no checkpoint block-write job, no
-    separate isEmpty probe, and the FINAL level fully lazy (its
-    early-exit test decides nothing, so its hop folds into the caller's
-    consumption job). A regression that adds per-level jobs is exactly
-    the graph_reachability drift class the bench artifact cannot
-    attribute on its own."""
+    tightened r17 / VERDICT r16 #6, made TOTAL in r18): the shallow path
+    is fully lazy — ZERO build-phase jobs; every hop, anti-join, and the
+    lazy persists fold into the caller's one consumption job. A
+    regression that re-introduces per-level actions (count, isEmpty,
+    eager checkpoint) is exactly the graph_reachability drift class the
+    bench artifact cannot attribute on its own."""
     g = _avv_graph(spark)
     roots = spark.createDataFrame([("08", "08")], "uid string, root string")
     sc = spark.sparkContext
-    # AQE splits each frontier count into a variable fan of re-optimize
-    # jobs (22 on this fixture), so the deterministic pin runs with AQE
-    # off: 2 frontier count() jobs (levels 0-1; level 2 is the lazy
-    # final level) + 1 broadcast-relation build — the final level's
-    # anti-join broadcast now builds inside the consumption job, after
-    # this probe reads the counter. An eager per-level checkpoint or
-    # isEmpty probe regression adds ≥1 job per level and breaks the
-    # equality.
+    # AQE off for a deterministic job fan (same discipline as the r17
+    # pin); the build phase must fire NO job at all.
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup("trav_probe", "traversal job-count pin")
@@ -178,7 +171,7 @@ def test_traversal_shallow_path_job_count_pinned(spark):
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", old)
-    assert build_jobs == 3
+    assert build_jobs == 0
     assert {r.uid for r in rows} == {"08", "08 01", "08 01 11*", "08 01 12"}
 
 
