@@ -1428,9 +1428,16 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     edges = interaction_edges(spark, sf_dir)
+    # r18: hash by the hop-join key at the configured shuffle width (the
+    # graph_jaccard_similarity discipline). Each hop joins bi against the
+    # node-sized bitset table — the planner broadcasts the bitsets and
+    # runs the probe over bi's checkpoint partitioning, and the hop
+    # output is |E|·chunks rows (~4.4M at sf0.1) from a 182k-row, few-MB
+    # input: left at the scan's 2 partitions the OR-fold ran near-serial.
     bi = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "t")
         .localCheckpoint(eager=True)
     )
     # Dense vertex index 0..|V|-1 (deterministic: ordered by node id).
@@ -1547,9 +1554,14 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical). BFS rounds are the same composite-key min-fold as
     the harmonic operator; each round shuffles only the live frontier."""
     edges = interaction_edges(spark, sf_dir)
+    # r18: hash by the expansion-join key at the configured shuffle width
+    # (the graph_jaccard_similarity discipline): each round's frontier
+    # join explodes frontier rows by node degree while the planner sizes
+    # the probe by bi's few MB and few scan partitions.
     bi = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "s")
         .localCheckpoint(eager=True)
     )
     verts = bi.select(F.col("s").alias("node")).distinct()
@@ -1698,9 +1710,11 @@ def graph_betweenness_stress_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql import Window
 
     edges = interaction_edges(spark, sf_dir)
+    # r18: same frontier-expansion width fix as graph_closeness_sampled.
     bi = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "s")
         .localCheckpoint(eager=True)
     )
     verts = bi.select(F.col("s").alias("node")).distinct()
